@@ -1,0 +1,426 @@
+package graft.operators
+
+import graft.QSpec
+import graft.util.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator inventory q01–q29 (SURVEY.md §2.1–§2.8), re-expressed
+  * Spark-first. Each query is declarative DataFrame API: Catalyst handles
+  * pushdown/pruning, joins broadcast their small side, aggregates are
+  * partial+final hash aggregates inside whole-stage codegen.
+  *
+  * Reference semantics cited per query (file:line into /root/reference).
+  */
+object Relational {
+
+  import Tables._
+
+  /** q01 — CSV source with header + schema inference
+    * (ref: notebooks/00_prepare_data.py:43-53). Round-trips `region` through
+    * CSV so the scan is genuinely exercised.
+    */
+  val q01 = QSpec(
+    "q01_csv_scan",
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+    (s, d) => {
+      val p = scratch(d, "q01_csv")
+      region(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(p)
+      s.read.option("header", "true").option("inferSchema", "true").csv(p)
+        .select(col("r_regionkey").cast("int"), col("r_name"))
+        .orderBy("r_regionkey")
+    })
+
+  /** q02 — Parquet scan (ref: src/features/feature_engineering.py:401). */
+  val q02 = QSpec(
+    "q02_parquet_scan",
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+    (s, d) => region(s, d).select("r_regionkey", "r_name").orderBy("r_regionkey"))
+
+  /** q03 — local-rows source with explicit schema
+    * (ref: src/inference/predict.py:31-62).
+    */
+  val q03 = QSpec(
+    "q03_local_rows",
+    Some("""SELECT * FROM (VALUES
+           | (1, 'alpha', CAST(1.5 AS DOUBLE)),
+           | (2, 'beta',  CAST(2.5 AS DOUBLE)),
+           | (3, NULL,    CAST(0.0 AS DOUBLE))) t(id, name, score)
+           |ORDER BY id""".stripMargin),
+    (s, _) => {
+      val schema = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("score", DoubleType, nullable = true)))
+      val rows = java.util.Arrays.asList(
+        Row(1, "alpha", 1.5), Row(2, "beta", 2.5), Row(3, null, 0.0))
+      s.createDataFrame(rows, schema).orderBy("id")
+    })
+
+  /** q04 — Parquet sink, overwrite (ref: notebooks/00_prepare_data.py:91). */
+  val q04 = QSpec(
+    "q04_parquet_sink",
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
+    (s, d) => {
+      val p = scratch(d, "q04_parquet")
+      nation(s, d).write.mode("overwrite").parquet(p)
+      s.read.parquet(p).orderBy("n_nationkey")
+    })
+
+  /** q05 — CSV sink with header (ref: src/webapp/app.py:146-168). */
+  val q05 = QSpec(
+    "q05_csv_sink",
+    Some("""SELECT * FROM (
+           |  SELECT c_custkey, c_name, c_acctbal FROM customer
+           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+           |) ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      val p = scratch(d, "q05_csv")
+      customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(10)
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(p)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType)))
+      s.read.option("header", "true").schema(schema).csv(p).orderBy("c_custkey")
+    })
+
+  /** q06 — project + cast normalization (ref: notebooks/00_prepare_data.py:65-87). */
+  val q06 = QSpec(
+    "q06_cast_project",
+    Some(s"""SELECT l_orderkey, l_linenumber,
+            | CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+            | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_2dp,
+            | l_returnflag || '/' || l_linestatus AS flag_status
+            |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    (s, d) => lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_quantity")).cast("long").as("qty_floor"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).cast("double").as("price_2dp"),
+      concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag_status"))
+      .orderBy("l_orderkey", "l_linenumber"))
+
+  /** q07 — column projection (pruned at the scan; ref: src/webapp/app.py:110). */
+  val q07 = QSpec(
+    "q07_projection",
+    Some("SELECT o_orderkey, o_custkey, o_orderpriority FROM orders ORDER BY o_orderkey"),
+    (s, d) => orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority")
+      .orderBy("o_orderkey"))
+
+  /** q08 — rename (ref: src/inference/predict.py:23-24). */
+  val q08 = QSpec(
+    "q08_rename",
+    Some("SELECT o_orderkey, o_totalprice AS price FROM orders ORDER BY o_orderkey"),
+    (s, d) => orders(s, d).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_totalprice", "price").orderBy("o_orderkey"))
+
+  /** q09 — drop column (ref: notebooks/04_model_improvement.py:90). */
+  val q09 = QSpec(
+    "q09_drop_column",
+    Some("""SELECT p_partkey, p_brand, p_type, p_size FROM part ORDER BY p_partkey"""),
+    (s, d) => part(s, d).drop("p_name", "p_retailprice").orderBy("p_partkey"))
+
+  /** q10 — null-predicate filter (ref: notebooks/01_exploratory_data_analysis.py:79). */
+  val q10 = QSpec(
+    "q10_null_filter",
+    Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+           |WHERE NULLIF(l_returnflag, 'N') IS NULL
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .withColumn("rf", when(col("l_returnflag") === "N", lit(null: String))
+        .otherwise(col("l_returnflag")))
+      .filter(col("rf").isNull)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber"))
+
+  /** q11 — equality filter on a derived bucket (ref: notebooks/04_model_improvement.py:88-90). */
+  val q11 = QSpec(
+    "q11_bucket_filter",
+    Some("""SELECT o_orderkey,
+           | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_2dp
+           |FROM orders
+           |WHERE (CASE WHEN o_totalprice < 50000 THEN 0
+           |            WHEN o_totalprice < 300000 THEN 1 ELSE 2 END) = 1
+           |ORDER BY o_orderkey""".stripMargin),
+    (s, d) => orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, 0)
+          .when(col("o_totalprice") < 300000, 1).otherwise(2))
+      .filter(col("bucket") === 1)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("price_2dp"))
+      .orderBy("o_orderkey"))
+
+  /** q12 — isin membership (ref: src/features/feature_engineering.py:124). */
+  val q12 = QSpec(
+    "q12_isin",
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+           |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select("c_custkey", "c_mktsegment").orderBy("c_custkey"))
+
+  /** q13 — chained when/otherwise conditional projection
+    * (ref: src/features/feature_engineering.py:94-148).
+    */
+  val q13 = QSpec(
+    "q13_when_chain",
+    Some("""SELECT p_partkey, p_size,
+           | CASE WHEN p_size <= 10 THEN 'small'
+           |      WHEN p_size <= 25 THEN 'medium'
+           |      WHEN p_size <= 40 THEN 'large'
+           |      ELSE 'jumbo' END AS size_class
+           |FROM part ORDER BY p_partkey""".stripMargin),
+    (s, d) => part(s, d).select(col("p_partkey"), col("p_size"),
+      when(col("p_size") <= 10, "small")
+        .when(col("p_size") <= 25, "medium")
+        .when(col("p_size") <= 40, "large")
+        .otherwise("jumbo").as("size_class"))
+      .orderBy("p_partkey"))
+
+  /** q14 — FLAGSHIP: equi inner join + group-agg + sort
+    * (ref: notebooks/00_prepare_data.py:57 + 01_exploratory_data_analysis.py:163-165).
+    * customer is the small dimension → broadcast-hash join, no shuffle of
+    * orders; aggregation is partial+final hash agg.
+    */
+  val q14 = QSpec(
+    "q14_join_agg",
+    Some(s"""SELECT c_mktsegment,
+            | COUNT(*) AS order_cnt,
+            | ${Exact.sqlAvg("o_totalprice")} AS avg_totalprice,
+            | ${Exact.sqlSum("o_totalprice")} AS sum_totalprice
+            |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            |GROUP BY c_mktsegment
+            |ORDER BY order_cnt DESC, c_mktsegment""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+      val c = customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          Exact.davg(col("o_totalprice")).as("avg_totalprice"),
+          Exact.dsum(col("o_totalprice")).as("sum_totalprice"))
+        .orderBy(col("order_cnt").desc, col("c_mktsegment"))
+    })
+
+  /** q15 — group-by count (ref: notebooks/00_prepare_data.py:114). */
+  val q15 = QSpec(
+    "q15_groupby_count",
+    Some("""SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+           |GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority""".stripMargin),
+    (s, d) => orders(s, d).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("o_orderpriority")))
+
+  /** q16 — group-by avg (ref: notebooks/01_exploratory_data_analysis.py:163-165). */
+  val q16 = QSpec(
+    "q16_groupby_avg",
+    Some(s"""SELECT c_mktsegment, ${Exact.sqlAvg("c_acctbal")} AS avg_acctbal
+            |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    (s, d) => customer(s, d).groupBy("c_mktsegment")
+      .agg(Exact.davg(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy("c_mktsegment"))
+
+  /** q17 — global multi-agg: mean/std/min/max
+    * (ref: notebooks/01_exploratory_data_analysis.py:125-129).
+    */
+  val q17 = QSpec(
+    "q17_global_stats",
+    Some(s"""SELECT COUNT(*) AS n,
+            | MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+            | ${Exact.sqlAvg("l_extendedprice")} AS mean_price,
+            | ROUND(${Exact.sqlStd("l_extendedprice")}, 4) AS std_price,
+            | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+            | ${Exact.sqlAvg("l_quantity")} AS mean_qty,
+            | ROUND(${Exact.sqlStd("l_quantity")}, 4) AS std_qty
+            |FROM lineitem""".stripMargin),
+    (s, d) => lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"),
+      Exact.davg(col("l_extendedprice")).as("mean_price"),
+      round(Exact.dstd(col("l_extendedprice")), 4).as("std_price"),
+      min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+      Exact.davg(col("l_quantity")).as("mean_qty"),
+      round(Exact.dstd(col("l_quantity")), 4).as("std_qty")))
+
+  /** q18 — count() actions / row-count audit (ref: notebooks/00_prepare_data.py:94). */
+  val q18 = QSpec(
+    "q18_counts",
+    Some("""SELECT (SELECT COUNT(*) FROM lineitem) AS lineitem_cnt,
+           |       (SELECT COUNT(*) FROM orders)   AS orders_cnt,
+           |       (SELECT COUNT(*) FROM customer) AS customer_cnt""".stripMargin),
+    (s, d) => lineitem(s, d).agg(count(lit(1)).as("lineitem_cnt"))
+      .crossJoin(orders(s, d).agg(count(lit(1)).as("orders_cnt")))
+      .crossJoin(customer(s, d).agg(count(lit(1)).as("customer_cnt"))))
+
+  /** q19 — summary() statistics: count/mean/std/min/quartiles/max, computed
+    * with exact percentiles (ref: src/features/target_transformer.py:34).
+    */
+  val q19 = QSpec(
+    "q19_summary_stats",
+    Some(s"""SELECT COUNT(*) AS n,
+            | ${Exact.sqlAvg("l_quantity")} AS mean_qty,
+            | ROUND(${Exact.sqlStd("l_quantity")}, 4) AS std_qty,
+            | MIN(l_quantity) AS min_qty,
+            | ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+            | ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+            | ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+            | MAX(l_quantity) AS max_qty
+            |FROM lineitem""".stripMargin),
+    (s, d) => lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      Exact.davg(col("l_quantity")).as("mean_qty"),
+      round(Exact.dstd(col("l_quantity")), 4).as("std_qty"),
+      min("l_quantity").as("min_qty"),
+      round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+      round(expr("percentile(l_quantity, 0.50)"), 4).as("p50"),
+      round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+      max("l_quantity").as("max_qty")))
+
+  /** q20 — approxQuantile (Greenwald–Khanna, relErr 0.01; approximate, so no
+    * SQL oracle — driver records rows-only; exactness covered by q19)
+    * (ref: src/features/feature_engineering.py:164).
+    */
+  val q20 = QSpec(
+    "q20_approx_quantile",
+    None,
+    (s, d) => {
+      val qs = orders(s, d).stat
+        .approxQuantile("o_totalprice", Array(0.01, 0.5, 0.99), 0.01)
+      import s.implicits._
+      Seq((qs(0), qs(1), qs(2))).toDF("p01", "p50", "p99")
+    })
+
+  /** q21 — global sort desc (range-partitioned exchange + per-partition sort)
+    * (ref: notebooks/01_exploratory_data_analysis.py:151).
+    */
+  val q21 = QSpec(
+    "q21_sort_desc",
+    Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+           |ORDER BY s_acctbal DESC, s_suppkey""".stripMargin),
+    (s, d) => supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey")))
+
+  /** q22 — top-k (lowers to TakeOrderedAndProject — no full sort/shuffle)
+    * (ref: notebooks/00_prepare_data.py:54 show/limit).
+    */
+  val q22 = QSpec(
+    "q22_topk",
+    Some("""SELECT o_orderkey,
+           | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_2dp
+           |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin),
+    (s, d) => orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("price_2dp"))
+      .limit(15))
+
+  /** q23 — natural log (ref: src/features/feature_engineering.py:130-148). */
+  val q23 = QSpec(
+    "q23_log",
+    Some("""SELECT o_orderkey, ROUND(LN(o_totalprice), 6) AS log_price
+           |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin),
+    (s, d) => orders(s, d).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), round(log(col("o_totalprice")), 6).as("log_price"))
+      .orderBy("o_orderkey"))
+
+  /** q24 — exp (ref: src/features/target_transformer.py:84-87). */
+  val q24 = QSpec(
+    "q24_exp",
+    Some("""SELECT l_orderkey, ROUND(EXP(l_discount), 6) AS exp_disc
+           |FROM lineitem WHERE l_orderkey % 97 = 0 AND l_linenumber = 1
+           |ORDER BY l_orderkey""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .filter(col("l_orderkey") % 97 === 0 && col("l_linenumber") === 1)
+      .select(col("l_orderkey"), round(exp(col("l_discount")), 6).as("exp_disc"))
+      .orderBy("l_orderkey"))
+
+  /** q25 — trig/sqrt/pow scalar math (haversine building blocks;
+    * ref: src/features/feature_engineering.py:182-209).
+    */
+  val q25 = QSpec(
+    "q25_math_funcs",
+    Some("""SELECT p_partkey,
+           | ROUND(SIN(p_size), 6)  AS sin_size,
+           | ROUND(COS(p_size), 6)  AS cos_size,
+           | ROUND(ASIN(p_size / 1000.0), 6) AS asin_size,
+           | ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+           | ROUND(POW(p_size, 2), 6) AS size_sq
+           |FROM part WHERE p_partkey % 53 = 0 ORDER BY p_partkey""".stripMargin),
+    (s, d) => part(s, d).filter(col("p_partkey") % 53 === 0)
+      .select(col("p_partkey"),
+        round(sin(col("p_size")), 6).as("sin_size"),
+        round(cos(col("p_size")), 6).as("cos_size"),
+        round(asin(col("p_size") / 1000.0), 6).as("asin_size"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+        round(pow(col("p_size"), 2), 6).as("size_sq"))
+      .orderBy("p_partkey"))
+
+  /** q26 — literal constants (ref: src/features/feature_engineering.py:98). */
+  val q26 = QSpec(
+    "q26_lit",
+    Some("""SELECT r_regionkey, CAST(42 AS BIGINT) AS answer,
+           | CAST(2.5 AS DOUBLE) AS factor, 'graft' AS tag
+           |FROM region ORDER BY r_regionkey""".stripMargin),
+    (s, d) => region(s, d).select(col("r_regionkey"),
+      lit(42L).as("answer"), lit(2.5).as("factor"), lit("graft").as("tag"))
+      .orderBy("r_regionkey"))
+
+  /** q27 — coalesce to default (ref: notebooks/01_exploratory_data_analysis.py:143-146). */
+  val q27 = QSpec(
+    "q27_coalesce",
+    Some("""SELECT c_custkey,
+           | COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'Unknown') AS seg_or_unknown
+           |FROM customer ORDER BY c_custkey""".stripMargin),
+    (s, d) => customer(s, d).select(col("c_custkey"),
+      coalesce(
+        when(col("c_mktsegment") === "BUILDING", lit(null: String))
+          .otherwise(col("c_mktsegment")),
+        lit("Unknown")).as("seg_or_unknown"))
+      .orderBy("c_custkey"))
+
+  /** q28 — na.fill per-column defaults (ref: src/features/feature_engineering.py:83-91). */
+  val q28 = QSpec(
+    "q28_na_fill",
+    Some("""SELECT c_custkey,
+           | COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS acct_filled,
+           | COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'unknown') AS seg_filled
+           |FROM customer ORDER BY c_custkey""".stripMargin),
+    (s, d) => customer(s, d)
+      .withColumn("acct_filled",
+        when(col("c_acctbal") < 0, lit(null: java.lang.Double)).otherwise(col("c_acctbal")))
+      .withColumn("seg_filled",
+        when(col("c_mktsegment") === "MACHINERY", lit(null: String)).otherwise(col("c_mktsegment")))
+      .na.fill(Map("acct_filled" -> 0.0, "seg_filled" -> "unknown"))
+      .select("c_custkey", "acct_filled", "seg_filled")
+      .orderBy("c_custkey"))
+
+  /** q29 — cast normalization incl. timestamps→date parts
+    * (ref: notebooks/00_prepare_data.py:65-87).
+    */
+  val q29 = QSpec(
+    "q29_cast",
+    Some("""SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str,
+           | CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,
+           | CAST(MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_month,
+           | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date_str
+           |FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin),
+    (s, d) => orders(s, d).filter(col("o_orderkey") % 101 === 0)
+      .select(col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        year(col("o_orderdate").cast("date")).cast("long").as("order_year"),
+        month(col("o_orderdate").cast("date")).cast("long").as("order_month"),
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("order_date_str"))
+      .orderBy("o_orderkey"))
+
+  val specs: Seq[QSpec] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+}

@@ -1,0 +1,56 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic aggregate builders.
+  *
+  * Plain `sum(double)` is order-dependent (partial-aggregate merge order is
+  * nondeterministic across runs and differs from any other engine), so every
+  * aggregate a correctness oracle checks is computed through exact decimal
+  * arithmetic and only converted to double at the very end. The resulting
+  * values are bit-identical run-to-run and engine-to-engine.
+  *
+  * These stay inside whole-stage codegen (decimal sum is a codegen'd
+  * HashAggregate) and keep map-side partial aggregation, so they cost little
+  * over a raw double sum while being reproducible at any scale.
+  */
+object Exact {
+
+  /** Exact sum: cast to decimal(18,scale) per row, sum exactly, emit double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic mean: exact decimal sum divided by count, in double. */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+
+  /** Deterministic sample stddev via exact first/second moments:
+    * sqrt((Σx² − (Σx)²/n) / (n−1)) with both sums carried in decimal.
+    * The double arithmetic at the end is a fixed formula, so the result is
+    * reproducible (unlike Welford-merge `stddev_samp`, whose merge order —
+    * and therefore last-ulp value — varies with shuffle arrival order).
+    */
+  def dstd(c: Column): Column = {
+    val s  = sum(c.cast(DecimalType(25, 4))).cast("double")
+    val s2 = sum((c * c).cast(DecimalType(30, 4))).cast("double")
+    val n  = count(lit(1))
+    sqrt((s2 - s * s / n) / (n - lit(1.0)))
+  }
+
+  /** DuckDB SQL twin of [[dsum]]. */
+  def sqlSum(col: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18, $scale))) AS DOUBLE)"
+
+  /** DuckDB SQL twin of [[davg]]. */
+  def sqlAvg(col: String, scale: Int = 2): String =
+    s"(CAST(SUM(CAST($col AS DECIMAL(18, $scale))) AS DOUBLE) / COUNT(*))"
+
+  /** DuckDB SQL twin of [[dstd]]. */
+  def sqlStd(col: String): String = {
+    val s  = s"CAST(SUM(CAST($col AS DECIMAL(25, 4))) AS DOUBLE)"
+    val s2 = s"CAST(SUM(CAST(($col * $col) AS DECIMAL(30, 4))) AS DOUBLE)"
+    s"SQRT(($s2 - $s * $s / COUNT(*)) / (COUNT(*) - 1.0))"
+  }
+}
