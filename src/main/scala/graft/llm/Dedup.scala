@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators, each designed for 100 TB scale: every candidate
+  * generation step is a bucketed equi-join (grams / LSH bands / hash bands),
+  * never an all-pairs crossJoin, and exact verification only runs on
+  * candidates.
+  */
+object Dedup {
+
+  /** Exact dedup stats + canonical-keeper assignment (keep min id per text):
+    * hash-shuffle groupBy on the text (or fingerprint) key.
+    */
+  def exactStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(textCol)).as("n_distinct"),
+      (count(lit(1)) - countDistinct(col(textCol))).as("n_dup_rows"))
+
+  /** Exact dedup: one surviving row per distinct text (minimal id wins). */
+  def dedupKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+
+  /** Word n-grams via element_at over the split array — 1-based indexing so
+    * SQL twins mirror it exactly.
+    */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    transform(sequence(lit(1), size(w) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))
+  }
+
+  /** n-gram Jaccard near-dup: explode distinct grams, self-join on the gram
+    * (the gram IS the bucket — candidate pairs only ever share a gram),
+    * count intersections, compute |A∩B|/|A∪B|, keep pairs ≥ threshold.
+    * Shuffle cost is O(total grams), not O(n²).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val grams = df.select(col(idCol).as("doc"),
+      explode(array_distinct(wordNGrams(col(textCol), n))).as("gram"))
+    val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup: 3-gram shingles → hashed term frequencies
+    * (binarized) → MinHashLSH banded buckets → approxSimilarityJoin
+    * (bucket-join, then exact Jaccard distance on candidates only).
+    * Deterministic seed. Shingles (not unigrams) keep the Jaccard signal
+    * discriminative when documents share a small vocabulary.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxJaccardDist: Double): DataFrame = {
+    val withTokens = df.select(col(idCol).as("id"),
+      array_distinct(wordNGrams(col(textCol), 3)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(withTokens)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("bands")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, maxJaccardDist, "dist")
+      .filter(col("datasetA.id") < col("datasetB.id"))
+      .select(col("datasetA.id").as("doc_a"), col("datasetB.id").as("doc_b"),
+        round(col("dist"), 6).as("jaccard_dist"))
+  }
+
+  /** SimHash: per-token 64-bit xxhash64; each bit contributes ±1; sign of
+    * the per-bit sum forms the 64-bit signature. Near-dups = signatures
+    * within `maxHamming`. Candidates come from banding the signature into
+    * four 16-bit bands (equi-join per band), then exact hamming via
+    * bit_count(xor) on candidates.
+    */
+  def simhash(text: Column): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val bitVotes = (0 until 64).map { b =>
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    }
+    bitVotes.zipWithIndex.map { case (v, b) =>
+      when(v > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val bands = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

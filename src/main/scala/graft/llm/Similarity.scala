@@ -1,0 +1,147 @@
+package graft.llm
+
+import graft.functions.{CosineSimilarity, GraftFunctions}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — probes broadcast against the
+  * partitioned corpus, per-partition partial top-k via a bounded-heap
+  * Aggregator (map-side combine shrinks every partition to k rows BEFORE the
+  * shuffle, so the exchange moves O(partitions·k) rows, not the corpus).
+  *
+  * Scale path: LSH-bucketed variant — deterministic random-hyperplane
+  * signatures; candidates only within matching bands, exact re-rank after.
+  */
+object Similarity {
+
+  /** Cosine via the native codegen expression (graft.functions.CosineSimilarity). */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    GraftFunctions.ensureRegistered(spark)
+    call_function("cosine_sim", a, b)
+  }
+
+  /** Bounded top-k accumulator ordered by (score desc, id asc). Holds at
+    * most k entries at every stage, so partial aggregation is O(k) memory
+    * and the merge tree never materializes full partitions.
+    */
+  class TopKAggregator(k: Int)
+      extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+
+    private def better(x: (Double, Long), y: (Double, Long)): Boolean =
+      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
+
+    private def insert(l: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] = {
+      val (pre, post) = l.span(better(_, v))
+      pre ::: v :: post
+    }
+
+    override def zero: List[(Double, Long)] = Nil
+    override def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
+      insert(b, a).take(k)
+    override def merge(x: List[(Double, Long)], y: List[(Double, Long)]): List[(Double, Long)] =
+      y.foldLeft(x)((acc, v) => insert(acc, v)).take(k)
+    override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: Encoder[List[(Double, Long)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  }
+
+  /** Exact top-k neighbors for each probe vector.
+    * Output: (p_id, neighbor_id, rank, sim).
+    */
+  def bruteTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    val p = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
+    val pairs = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        cosine(spark, col("emb"), col("p_emb")).as("sim"))
+    pairs.groupBy("p_id")
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("p_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("p_id"),
+        col("entry._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("entry._1"), 6).as("sim"))
+      .orderBy("p_id", "rank")
+  }
+
+  /** Deterministic random-hyperplane signature: `nBits` pseudo-random
+    * hyperplanes h_j with h_j[i] = sin(i·12.9898 + j·78.233)·43758.5453
+    * (fractional part recentred) — reproducible with no RNG state; the
+    * signature is the sign bit of each projection.
+    */
+  def hyperplaneSignature(emb: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val proj = (0 until dim).map { i =>
+        val h = math.sin(i * 12.9898 + j * 78.233) * 43758.5453
+        val w = h - math.floor(h) - 0.5
+        element_at(emb, i + 1).cast("double") * lit(w)
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via banded hyperplane LSH: candidates share at least one
+    * 8-bit band of the signature; exact cosine re-rank on candidates only.
+    * Recall < 1 by construction (that's the 100 TB trade).
+    */
+  def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      idCol: String, embCol: String, dim: Int, k: Int): DataFrame = {
+    val nBits = 16
+    val bands = 2 // two 8-bit bands
+    def withBands(df: DataFrame, id: String, emb: String): DataFrame = {
+      val sig = hyperplaneSignature(col(emb), dim, nBits)
+      df.select(col(id), col(emb), sig.as("sig"))
+        .select(col(id), col(emb),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * 8).bitwiseAND(0xFFL).as("key"))): _*)).as("bk"))
+    }
+    val c = withBands(corpus, idCol, embCol)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(embCol, "emb")
+    val p = withBands(probes, idCol, embCol)
+      .withColumnRenamed(idCol, "p_id").withColumnRenamed(embCol, "p_emb")
+    val cand = c.join(broadcast(p), c("bk") === p("bk"))
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        cosine(spark, col("emb"), col("p_emb")).as("sim"))
+      .distinct()
+    val topk = udaf(new TopKAggregator(k))
+    cand.groupBy("p_id")
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("p_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("p_id"), col("entry._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("entry._1"), 6).as("sim"))
+      .orderBy("p_id", "rank")
+  }
+
+  /** Embedding near-dup pairs (cosine ≥ threshold) via the same banded LSH
+    * candidate generation — never an all-pairs crossJoin.
+    */
+  def embeddingNearDupPairs(spark: SparkSession, df: DataFrame,
+      idCol: String, embCol: String, dim: Int, threshold: Double): DataFrame = {
+    val nBits = 16
+    val bands = 4 // four 4-bit bands → high candidate recall for near-dups
+    val sig = hyperplaneSignature(col(embCol), dim, nBits)
+    val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"), sig.as("sig"))
+      .select(col("id"), col("emb"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 4).bitwiseAND(0xFL).as("key"))): _*)).as("bk"))
+    withB.as("a").join(withB.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(spark, col("a.emb"), col("b.emb")).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs) so they run at full scan speed
+  * over a 100 TB documents table.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty strings kept — mirrors plain split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Non-empty whitespace token count. */
+  def wordCount(text: Column): Column =
+    size(filter(tokens(text), t => t =!= "")).cast("long")
+
+  /** BPE-ish regex token count: runs of letters, digits, or single
+    * non-alphanumeric symbols.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+
+  /** Count of tokens belonging to a marker set. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*))).cast("long")
+
+  /** n-gram-frequency language-ID heuristic: score each language by marker
+    * token hits, pick the best with a fixed precedence order (en > es > de >
+    * fr > zh) for ties. Deterministic and SQL-expressible by construction.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "row", "query"),
+    "de" -> Seq("table", "scan", "group"),
+    "fr" -> Seq("value", "join", "sort"),
+    "zh" -> Seq("window", "batch", "stream"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, ms) => l -> markerCount(text, ms) }
+
+  def predictedLang(scores: Seq[(String, Column)]): Column = {
+    // lang wins if its score >= every other score, in precedence order
+    val conds = scores.zipWithIndex.map { case ((l, s), i) =>
+      val others = scores.zipWithIndex.collect { case ((_, o), j) if j != i => o }
+      (l, others.map(o => s >= o).reduce(_ && _))
+    }
+    conds.dropRight(1).foldRight(lit(conds.last._1)) { case ((l, c), acc) =>
+      when(c, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality score: length saturation × (1 − stopword ratio). Components
+    * exposed for auditing (ref pattern: heuristic doc-quality filters in
+    * public LLM-data pipelines).
+    */
+  def qualityComponents(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val wc = wordCount(text)
+    val charsNoSpace = length(regexp_replace(text, " ", "")).cast("long")
+    val stopCnt = markerCount(text, stopwords)
+    Seq(
+      "word_cnt" -> wc,
+      "avg_word_len" -> round(charsNoSpace / wc, 6),
+      "stopword_ratio" -> round(stopCnt / wc, 6),
+      "quality_score" -> round(least(lit(1.0), wc / 100.0) * (lit(1.0) - stopCnt / wc), 6))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the exact-dedup key that is stable under formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** 64-bit rolling (polynomial) content hash over whitespace tokens:
+    * h = Σ xxhash64(token) · 31^position (wrapping). Used by SimHash-style
+    * near-dup; engine-specific (xxhash64) so it is verified by unit tests,
+    * not a SQL oracle.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      filter(tokens(text), t => t =!= ""),
+      lit(0L),
+      (acc, t) => acc * 31L + xxhash64(t))
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.QSpec
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over documents/embeddings:
+  * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+  * near-dup), similarity search (brute-force + LSH), text analysis
+  * (lang-ID, quality, tokens, fingerprint), multimodal plumbing.
+  *
+  * Scale stance: every near-dup candidate generator is a bucketed equi-join
+  * (gram buckets, LSH bands) — no all-pairs crossJoin anywhere; similarity
+  * top-k does map-side partial top-k so the shuffle moves O(k·partitions)
+  * rows. Approximate/hash-seeded ops (MinHash, SimHash, LSH) are rows-only
+  * for the oracle (engine-specific hashes) and verified by ScalaTest.
+  */
+object LlmOps {
+
+  import Tables._
+
+  /** d01 — exact dedup stats. */
+  val d01 = QSpec(
+    "d01_exact_dedup",
+    Some("""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_distinct,
+           | COUNT(*) - COUNT(DISTINCT text) AS n_dup_rows
+           |FROM documents""".stripMargin),
+    (s, d) => Dedup.exactStats(documents(s, d), "text", "doc_id"))
+
+  /** d02 — MinHash+LSH near-dup (banded bucket join; rows-only oracle). */
+  val d02 = QSpec(
+    "d02_minhash_lsh",
+    None,
+    (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text", 0.5)
+      .orderBy("doc_a", "doc_b"))
+
+  /** d03 — SimHash near-dup (16-bit band candidates + exact hamming). */
+  val d03 = QSpec(
+    "d03_simhash",
+    None,
+    (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text", 10)
+      .orderBy("doc_a", "doc_b"))
+
+  /** d04 — word-3-gram Jaccard near-dup, gram-bucketed self-join. */
+  val d04 = QSpec(
+    "d04_ngram_jaccard",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.5)
+      .orderBy("doc_a", "doc_b"))
+
+  /** d05 — embedding cosine near-dup via banded hyperplane LSH. */
+  val d05 = QSpec(
+    "d05_embedding_neardup",
+    None,
+    (s, d) => Similarity.embeddingNearDupPairs(
+      s, embeddings(s, d), "vec_id", "embedding", 64, 0.4)
+      .orderBy("id_a", "id_b"))
+
+  /** s01 — brute-force cosine top-k (the exact baseline; oracle mirrors the
+    * fused dot/norm loop of graft.functions.CosineSimilarity).
+    */
+  val s01 = QSpec(
+    "s01_cosine_topk",
+    Some("""WITH p AS (SELECT vec_id AS p_id, embedding AS p_emb
+           |           FROM embeddings WHERE vec_id < 5),
+           |pairs AS (
+           |  SELECT p_id, vec_id,
+           |    list_sum(list_transform(range(1, len(embedding) + 1),
+           |      i -> CAST(embedding[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE)))
+           |    / (SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+           |         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           |       * SQRT(list_sum(list_transform(range(1, len(p_emb) + 1),
+           |         i -> CAST(p_emb[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE))))) AS sim
+           |  FROM embeddings, p WHERE vec_id <> p_id),
+           |r AS (SELECT p_id, vec_id, sim,
+           |        ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY sim DESC, vec_id) AS rank
+           |      FROM pairs)
+           |SELECT p_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+           |       ROUND(sim, 6) AS sim
+           |FROM r WHERE rank <= 10 ORDER BY p_id, rank""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteTopK(s, emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+    })
+
+  /** s02 — ANN top-k via banded hyperplane LSH (the 100 TB scale path;
+    * recall < 1 by construction → rows-only).
+    */
+  val s02 = QSpec(
+    "s02_cosine_topk_lsh",
+    None,
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 64, 10)
+    })
+
+  /** t01 — language-ID heuristic (marker n-gram scores, fixed precedence). */
+  val t01 = QSpec(
+    "t01_langid",
+    Some("""SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+           | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |      WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |      WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+           |      ELSE 'zh' END AS pred_lang
+           |FROM (SELECT doc_id,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','fast'))) AS BIGINT) AS s_en,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('data','row','query'))) AS BIGINT) AS s_es,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('table','scan','group'))) AS BIGINT) AS s_de,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('value','join','sort'))) AS BIGINT) AS s_fr,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('window','batch','stream'))) AS BIGINT) AS s_zh
+           |  FROM documents WHERE doc_id % 7 = 0)
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val base = documents(s, d).filter(col("doc_id") % 7 === 0)
+      val scores = TextAnalysis.langScores(col("text"))
+      val withScores = scores.foldLeft(base) { case (df, (l, c)) =>
+        df.withColumn(s"s_$l", c)
+      }
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, _) => l -> col(s"s_$l") }
+      withScores.select(col("doc_id") +:
+        scoreCols.map { case (l, c) => c.as(s"s_$l") } :+
+        TextAnalysis.predictedLang(scoreCols).as("pred_lang"): _*)
+        .orderBy("doc_id")
+    })
+
+  /** t02 — quality scoring (length saturation, stopword ratio). */
+  val t02 = QSpec(
+    "t02_quality_score",
+    Some("""SELECT doc_id, word_cnt,
+           | ROUND(chars_ns / word_cnt, 6) AS avg_word_len,
+           | ROUND(stop_cnt / word_cnt, 6) AS stopword_ratio,
+           | ROUND(LEAST(1.0, word_cnt / 100.0) * (1.0 - stop_cnt / word_cnt), 6) AS quality_score
+           |FROM (SELECT doc_id,
+           |   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS word_cnt,
+           |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+           |   CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS BIGINT) AS stop_cnt
+           | FROM documents WHERE doc_id % 7 = 0)
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val comps = TextAnalysis.qualityComponents(col("text"), Seq("the", "a"))
+      documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") +: comps.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    })
+
+  /** t03 — token counting: whitespace + BPE-ish regex. */
+  val t03 = QSpec(
+    "t03_token_count",
+    Some("""SELECT doc_id,
+           | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+           |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
+      .orderBy("doc_id"))
+
+  /** t04 — document fingerprint (md5 of normalized text). */
+  val t04 = QSpec(
+    "t04_fingerprint",
+    Some("""SELECT doc_id, n_chars,
+           | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"))
+
+  /** mm01 — multimodal binary column + typed metadata (byte length, sha256). */
+  val mm01 = QSpec(
+    "mm01_binary_meta",
+    Some("""SELECT doc_id,
+           | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           | sha256(text) AS sha
+           |FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d).filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
+      .orderBy("doc_id"))
+
+  /** mm02 — batched per-partition media feature extraction (decode stubbed,
+    * plumbing real; rows-only oracle, exactness covered by ScalaTest).
+    */
+  val mm02 = QSpec(
+    "mm02_media_features",
+    None,
+    (s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.asMedia(documents(s, d), "doc_id", "text"))
+      feats.toDF()
+        .select(col("doc_id"), col("byteLen"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"),
+          round(element_at(col("features"), 4), 6).as("f3"))
+        .orderBy("doc_id")
+    })
+
+  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, s01, s02,
+    t01, t02, t03, t04, mm01, mm02)
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.QSpec
+import graft.util.{Exact, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Windowed / analytic operators (SURVEY §2.5 gap + the events-table
+  * extensions): tumbling and session event-time windows, ranking and
+  * analytic window functions. Batch forms here; the Structured Streaming
+  * forms live in graft.streaming and are covered by tests (a stream can't
+  * be a declared query).
+  *
+  * `events.ts` arrives as long nanos (see the nanosAsLong note in Verify);
+  * queries convert explicitly with integer division before windowing.
+  */
+object Windows {
+
+  import Tables._
+
+  private def tsMicros = timestamp_micros(expr("ts div 1000"))
+
+  /** w01 — tumbling 1-hour event-time window: count + exact sum per
+    * (window, event_type). Epoch-aligned, so date_trunc is the SQL twin.
+    */
+  val w01 = QSpec(
+    "w01_tumbling_window",
+    Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+            | event_type, COUNT(*) AS cnt,
+            | CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => events(s, d).withColumn("ts_us", tsMicros)
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value"), 6).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("hour_start", "event_type"))
+
+  /** w02 — session window (30-minute gap) per user. The SQL twin is the
+    * classic gaps-and-islands construction with the same >= gap boundary
+    * rule Spark uses (a session spans [start, last+gap)).
+    */
+  val w02 = QSpec(
+    "w02_session_window",
+    Some("""WITH e AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN LAG(ts) OVER w IS NULL
+           |              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           |), s AS (
+           |  SELECT user_id, ts,
+           |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |                     ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM e)
+           |SELECT user_id,
+           |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           |  COUNT(*) AS n_events
+           |FROM s GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin),
+    (s, d) => events(s, d).withColumn("ts_us", tsMicros)
+      .groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start"))
+
+  /** w03 — ranking window functions: row_number / rank / dense_rank /
+    * ntile over a deterministic total order per partition.
+    */
+  val w03 = QSpec(
+    "w03_ranking_windows",
+    Some("""SELECT * FROM (
+           |  SELECT c_mktsegment, c_custkey, c_acctbal,
+           |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           |    CAST(RANK() OVER w AS BIGINT) AS rnk,
+           |    CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           |    CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+           |  FROM customer
+           |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+           |) WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d).select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    })
+
+  /** w04 — analytic window functions: lag/lead + rows-frame moving sum
+    * (exact decimal arithmetic inside the frame).
+    */
+  val w04 = QSpec(
+    "w04_analytic_windows",
+    Some("""SELECT o_custkey, o_orderkey,
+           |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_2dp,
+           |  LAG(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 1) OVER w AS prev_price,
+           |  LEAD(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 1) OVER w AS next_price,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+           |FROM orders WHERE o_custkey % 100 = 0
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    (s, d) => {
+      val price2 = col("o_totalprice").cast(DecimalType(18, 2)).cast("double")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d).filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("od"),
+          price2.as("price_2dp"),
+          lag(price2, 1).over(w).as("prev_price"),
+          lead(price2, 1).over(w).as("next_price"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(-2, 0)).cast("double").as("moving_sum3"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+
+  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04)
+}

@@ -1,0 +1,19 @@
+package graft.plans
+
+import graft.functions.{CosineSimilarity, GraftFunctions}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * into the session function registry. Enable with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      GraftFunctions.cosineSimInfo,
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}
