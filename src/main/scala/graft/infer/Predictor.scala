@@ -1,0 +1,37 @@
+package graft.infer
+
+import graft.features.TargetTransformer
+import org.apache.spark.ml.{PipelineModel, Transformer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch + single-row inference (ref: src/webapp/app.py:68-112 and
+  * src/inference/predict.py:28-70).
+  *
+  * The model is trained on log(price) (the SURVEY §7 fix of quirk Q2), so
+  * the smearing inverse produces finite prices — unlike the reference,
+  * whose exp(raw-price prediction) overflowed to inf on every row.
+  */
+class Predictor(
+    val fePipeline: PipelineModel,
+    val model: Transformer,
+    val targetTransformer: TargetTransformer) extends Serializable {
+
+  /** features → encoded features → log-scale prediction → smearing inverse. */
+  def predictBatch(df: DataFrame): DataFrame = {
+    val feats = fePipeline.transform(df)
+    val preds = model.transform(feats)
+    targetTransformer.inverse(preds, "prediction")
+  }
+
+  /** Single property as (columnName → value), with the declared schema
+    * (ref: src/inference/predict.py:31-62). Missing fields become null.
+    */
+  def predictSingle(spark: SparkSession, values: Map[String, Any], schema: StructType): Double = {
+    val row = Row.fromSeq(schema.fields.map(f => values.get(f.name).orNull).toSeq)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(row), schema)
+    predictBatch(df).select(col("prediction_price")).head().getDouble(0)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.ml
+
+import graft.features.TargetTransformer
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.util.{MLReadable, MLWritable}
+import java.nio.file.{Files, Paths}
+
+/** Model-artifact persistence: model + feature pipeline + target stats +
+  * metadata.json side-file, mirroring the reference's artifact layout
+  * (ref: src/models/train.py:152-220; models/rf/ on disk).
+  *
+  * Layout: <dir>/model, <dir>/feature_pipeline, <dir>/target_transformer.json,
+  * <dir>/metadata.json.
+  */
+object Persist {
+
+  def saveAll(dir: String, model: MLWritable, fePipeline: PipelineModel,
+      tt: TargetTransformer, metadata: Map[String, String]): Unit = {
+    model.write.overwrite().save(s"$dir/model")
+    fePipeline.write.overwrite().save(s"$dir/feature_pipeline")
+    tt.save(s"$dir/target_transformer.json")
+    val body = metadata.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": "${v.replace("\"", "\\\"")}"""" }
+      .mkString("{", ", ", "}")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/metadata.json"), body)
+  }
+
+  def loadModel[M](dir: String, reader: MLReadable[M]): M =
+    reader.load(s"$dir/model")
+
+  def loadPipeline(dir: String): PipelineModel =
+    PipelineModel.load(s"$dir/feature_pipeline")
+
+  def loadTargetTransformer(dir: String, labelCol: String = "price"): TargetTransformer =
+    new TargetTransformer(labelCol).load(s"$dir/target_transformer.json")
+}

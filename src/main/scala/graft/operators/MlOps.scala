@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.QSpec
+import graft.features.Encoding
+import graft.ml.Trainer
+import graft.util.Tables
+import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel, RandomForestRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML-pipeline operators m01–m12 (SURVEY §2.10), declared over the testdata
+  * tables. Deterministic pieces (index mappings, one-hot layout, assembly,
+  * exact least-squares recovery, persistence round-trip, evaluator math)
+  * carry DuckDB oracles; stochastic trainers (RF/GBT/CV) are rows-only here
+  * and asserted in ScalaTest (metric-range checks). m05 (Bucketizer) is
+  * exercised by a09_bucket_outlier_filter.
+  */
+object MlOps {
+
+  import Tables._
+
+  /** Deterministic regression frame: label = 2·x1 + 3·x2 + 1 exactly. */
+  private def regressionFrame(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).filter(col("l_orderkey") % 15 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("x1"), col("l_discount").as("x2"))
+      .withColumn("label", col("x1") * 2.0 + col("x2") * 3.0 + 1.0)
+    new VectorAssembler().setInputCols(Array("x1", "x2")).setOutputCol("features")
+      .transform(base)
+  }
+
+  /** m01 — StringIndexer (frequencyDesc) label→index mapping. */
+  val m01 = QSpec(
+    "m01_string_indexer",
+    Some("""SELECT c_mktsegment,
+           | CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) - 1 AS BIGINT) AS seg_idx
+           |FROM customer GROUP BY c_mktsegment ORDER BY seg_idx""".stripMargin),
+    (s, d) => {
+      val c = customer(s, d)
+      val model = new StringIndexer().setInputCol("c_mktsegment")
+        .setOutputCol("seg_idx_d").setStringOrderType("frequencyDesc").fit(c)
+      model.transform(c)
+        .select(col("c_mktsegment"), col("seg_idx_d").cast("long").as("seg_idx"))
+        .distinct().orderBy("seg_idx")
+    })
+
+  /** m02 — OneHotEncoder layout (dropLast): vector size + active slot. */
+  val m02 = QSpec(
+    "m02_onehot",
+    Some("""WITH m AS (SELECT c_mktsegment,
+           |   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) - 1 AS idx
+           | FROM customer GROUP BY c_mktsegment)
+           |SELECT c_mktsegment, CAST(4 AS BIGINT) AS vec_size,
+           | CAST(CASE WHEN idx < 4 THEN idx ELSE -1 END AS BIGINT) AS active_slot
+           |FROM m ORDER BY c_mktsegment""".stripMargin),
+    (s, d) => {
+      val c = customer(s, d)
+      val si = new StringIndexer().setInputCol("c_mktsegment")
+        .setOutputCol("seg_idx").setStringOrderType("frequencyDesc").fit(c)
+      val ohe = new OneHotEncoder().setInputCol("seg_idx").setOutputCol("seg_vec")
+        .setDropLast(true)
+      val encoded = ohe.fit(si.transform(c)).transform(si.transform(c))
+      encoded.select(col("c_mktsegment"), vector_to_array(col("seg_vec")).as("arr"))
+        .select(col("c_mktsegment"),
+          size(col("arr")).cast("long").as("vec_size"),
+          (array_position(col("arr"), 1.0) - 1).cast("long").as("active_slot"))
+        .distinct().orderBy("c_mktsegment")
+    })
+
+  /** m03 — VectorAssembler: packed vector verified via its L2 norm. */
+  val m03 = QSpec(
+    "m03_vector_assembler",
+    Some("""SELECT c_custkey,
+           | ROUND(SQRT(0.0 + c_acctbal * c_acctbal
+           |   + CAST(c_nationkey AS DOUBLE) * CAST(c_nationkey AS DOUBLE)), 6) AS vec_norm
+           |FROM customer WHERE c_custkey % 13 = 0 ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      val base = customer(s, d).filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_nat_d", col("c_nationkey").cast("double"))
+      val assembled = new VectorAssembler()
+        .setInputCols(Array("c_acctbal", "c_nat_d")).setOutputCol("features")
+        .transform(base)
+      assembled.select(col("c_custkey"),
+        round(sqrt(aggregate(vector_to_array(col("features")), lit(0.0),
+          (acc, x) => acc + x * x)), 6).as("vec_norm"))
+        .orderBy("c_custkey")
+    })
+
+  /** m04 — Pipeline fit/save/load round-trip; feature-vector width must be
+    * (distinct categories − 1) + numerics (quirk-Q1 fix made observable).
+    */
+  val m04 = QSpec(
+    "m04_pipeline_persist",
+    Some("""SELECT (SELECT COUNT(*) FROM customer) AS n_rows,
+           | CAST((SELECT COUNT(DISTINCT c_mktsegment) - 1 + 2 FROM customer) AS BIGINT) AS num_features,
+           | (SELECT COUNT(DISTINCT c_mktsegment) FROM customer) AS n_segments""".stripMargin),
+    (s, d) => {
+      val c = customer(s, d).withColumn("c_nat_d", col("c_nationkey").cast("double"))
+      // strict mode: no invalid-bucket slot, so the vector width is exactly
+      // (categories − 1) + numerics — the oracle-checkable Q1-fix shape
+      val pipeline = Encoding.buildPipeline(
+        Seq("c_mktsegment"), Seq("c_acctbal", "c_nat_d"), handleInvalid = "skip")
+      val path = scratch(d, "m04_pipeline")
+      pipeline.fit(c).write.overwrite().save(path)
+      val loaded = org.apache.spark.ml.PipelineModel.load(path)
+      loaded.transform(c).agg(
+        count(lit(1)).as("n_rows"),
+        first(size(vector_to_array(col("features")))).cast("long").as("num_features"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+    })
+
+  /** m06 — RandomForestRegressor (seeded; learned metrics are partition-
+    * layout dependent → rows-only, range-checked in ScalaTest).
+    */
+  val m06 = QSpec(
+    "m06_random_forest",
+    None,
+    (s, d) => {
+      val df = regressionFrame(s, d)
+      val model = Trainer.randomForest("label", numTrees = 5, maxDepth = 5).fit(df)
+      val metrics = Trainer.evaluate(model.transform(df), "label")
+      import s.implicits._
+      Seq((metrics.rmse, metrics.r2, metrics.mae)).toDF("rmse", "r2", "mae")
+    })
+
+  /** m07 — LinearRegression recovers y = 2x1 + 3x2 + 1 exactly (regParam 0,
+    * normal equations) — coefficients are the oracle.
+    */
+  val m07 = QSpec(
+    "m07_linear_regression",
+    Some("""SELECT CAST(2.0 AS DOUBLE) AS coef_x1, CAST(3.0 AS DOUBLE) AS coef_x2,
+           | CAST(1.0 AS DOUBLE) AS intercept""".stripMargin),
+    (s, d) => {
+      val model = Trainer.linear("label").setSolver("normal").fit(regressionFrame(s, d))
+      import s.implicits._
+      Seq((
+        math.rint(model.coefficients(0) * 1e4) / 1e4,
+        math.rint(model.coefficients(1) * 1e4) / 1e4,
+        math.rint(model.intercept * 1e4) / 1e4)).toDF("coef_x1", "coef_x2", "intercept")
+    })
+
+  /** m08 — GBTRegressor (rows-only, seeded). */
+  val m08 = QSpec(
+    "m08_gbt",
+    None,
+    (s, d) => {
+      val df = regressionFrame(s, d)
+      val model = Trainer.gbt("label", maxDepth = 3, maxIter = 5).fit(df)
+      val metrics = Trainer.evaluate(model.transform(df), "label")
+      import s.implicits._
+      Seq((metrics.rmse, metrics.r2, metrics.mae)).toDF("rmse", "r2", "mae")
+    })
+
+  /** m09 — CrossValidator + ParamGridBuilder (rows-only: fold assignment is
+    * partition-dependent; best-model selection asserted in ScalaTest).
+    */
+  val m09 = QSpec(
+    "m09_cross_validation",
+    None,
+    (s, d) => {
+      val df = regressionFrame(s, d)
+      val lr = new LinearRegression().setLabelCol("label").setFeaturesCol("features")
+      val grid = Trainer.lrGrid(lr)
+      val cv = Trainer.trainWithCV(df, lr, grid, "label", folds = 3)
+      val best = cv.bestModel.asInstanceOf[LinearRegressionModel]
+      import s.implicits._
+      Seq((best.getRegParam, best.getElasticNetParam, cv.avgMetrics.min))
+        .toDF("best_reg_param", "best_elastic_net", "best_cv_rmse")
+    })
+
+  /** m10 — RegressionEvaluator rmse/r2/mae on a deterministic prediction. */
+  val m10 = QSpec(
+    "m10_regression_evaluator",
+    Some("""WITH t AS (SELECT o_totalprice AS label, o_totalprice * 1.05 AS prediction
+           |           FROM orders),
+           |s AS (SELECT AVG(label) AS m FROM t)
+           |SELECT ROUND(SQRT(AVG((label - prediction) * (label - prediction))), 4) AS rmse,
+           | ROUND(1 - SUM((label - prediction) * (label - prediction))
+           |         / SUM((label - m) * (label - m)), 6) AS r2,
+           | ROUND(AVG(ABS(label - prediction)), 4) AS mae
+           |FROM t, s""".stripMargin),
+    (s, d) => {
+      val preds = orders(s, d).select(col("o_totalprice").as("label"),
+        (col("o_totalprice") * 1.05).as("prediction"))
+      val m = Trainer.evaluate(preds, "label")
+      import s.implicits._
+      Seq((
+        math.rint(m.rmse * 1e4) / 1e4,
+        math.rint(m.r2 * 1e6) / 1e6,
+        math.rint(m.mae * 1e4) / 1e4)).toDF("rmse", "r2", "mae")
+    })
+
+  /** m11 — featureImportances ranking (rows-only; x1 must dominate —
+    * asserted in ScalaTest).
+    */
+  val m11 = QSpec(
+    "m11_feature_importances",
+    None,
+    (s, d) => {
+      val model = new RandomForestRegressor()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setNumTrees(5).setMaxDepth(5).setSeed(42L)
+        .fit(regressionFrame(s, d))
+      import s.implicits._
+      model.featureImportances.toArray.zipWithIndex
+        .map { case (imp, i) => (i.toLong, imp) }.toSeq
+        .toDF("feature_idx", "importance").orderBy("feature_idx")
+    })
+
+  /** m12 — model persistence: save/load must reproduce predictions exactly. */
+  val m12 = QSpec(
+    "m12_model_persist",
+    Some("""SELECT COUNT(*) AS n, COUNT(*) AS n_equal
+           |FROM lineitem WHERE l_orderkey % 15 = 0""".stripMargin),
+    (s, d) => {
+      val df = regressionFrame(s, d)
+      val model = Trainer.linear("label").setSolver("normal").fit(df)
+      val path = scratch(d, "m12_model")
+      model.write.overwrite().save(path)
+      val loaded = LinearRegressionModel.load(path)
+      // both models applied in one plan (no join key needed): predictions
+      // from saved and loaded coefficients must agree bitwise
+      val p1 = model.transform(df).withColumnRenamed("prediction", "p1")
+      val both = loaded.transform(p1).withColumnRenamed("prediction", "p2")
+      both.agg(count(lit(1)).as("n"),
+        sum(when(col("p1") === col("p2"), 1).otherwise(0)).cast("long").as("n_equal"))
+    })
+
+  val specs: Seq[QSpec] = Seq(m01, m02, m03, m04, m06, m07, m08, m09, m10, m11, m12)
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event (micro-batch or stream — same schema either way). */
+final case class EventRow(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user running aggregate carried in streaming state. */
+final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming forms of the event-analytics operators (the batch
+  * twins are declared queries w01/w02; a live stream can't be hash-compared
+  * against DuckDB, so these are covered by MemoryStream ScalaTests).
+  *
+  * Design for scale: every aggregation is keyed (state is partitioned by
+  * group), watermarks bound state growth, and the transformations are the
+  * same declarative groupBy/window plans Catalyst optimizes for batch.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts with a watermark bounding late data & state. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user with watermark. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Custom keyed state via mapGroupsWithState: per-user running event count
+    * and value total, updated per micro-batch.
+    */
+  def runningUserTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), r) => (cn + 1, cv + r.value)
+          }
+          val updated = UserRunning(userId, n, v)
+          state.update(updated)
+          updated
+      }
+  }
+
+  /** Streaming output-mode helper for tests. */
+  def completeMode: OutputMode = OutputMode.Complete()
+  def updateMode: OutputMode = OutputMode.Update()
+}
