@@ -73,14 +73,16 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
-  /** 64-bit rolling (polynomial) content hash over whitespace tokens:
-    * h = Σ xxhash64(token) · 31^position (wrapping). Used by SimHash-style
-    * near-dup; engine-specific (xxhash64) so it is verified by unit tests,
-    * not a SQL oracle.
+  /** 64-bit rolling content hash over whitespace tokens:
+    * h ← rotl(h, 5) XOR xxhash64(token). Pure bitwise ops (rotate + xor), so
+    * it wraps without tripping ANSI overflow checks, and it is positional
+    * (token order changes the hash). Engine-specific (xxhash64) so it is
+    * verified by unit tests, not a SQL oracle.
     */
   def rollingHash(text: Column): Column =
     aggregate(
       filter(tokens(text), t => t =!= ""),
       lit(0L),
-      (acc, t) => acc * 31L + xxhash64(t))
+      (acc, t) =>
+        (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))).bitwiseXOR(xxhash64(t)))
 }

@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 1
+    (3L, "completely different words nothing shared here at all whatsoever truly"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (5L, "another unrelated text with its own private vocabulary entirely distinct")
+  ).toDF("doc_id", "text")
+
+  test("exactStats counts duplicates") {
+    val r = Dedup.exactStats(docs, "text", "doc_id").head()
+    r.getLong(0) shouldBe 5
+    r.getLong(1) shouldBe 4
+    r.getLong(2) shouldBe 1
+  }
+
+  test("dedupKeepFirst keeps the minimal id per distinct text") {
+    val kept = Dedup.dedupKeepFirst(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    kept should contain theSameElementsAs Seq(1L, 2L, 3L, 5L)
+  }
+
+  test("wordNGrams builds 1-based sliding 3-grams") {
+    val g = Seq("a b c d").toDF("t")
+      .select(Dedup.wordNGrams(col("t"), 3).as("g")).as[Seq[String]].head()
+    g shouldBe Seq("a b c", "b c d")
+  }
+
+  test("ngramJaccardPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 4L)) // exact dup → jaccard 1.0
+    pairs should contain((1L, 2L)) // near dup (one word differs at the end)
+    pairs should contain((2L, 4L))
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("minhashPairs recovers the planted near-dups (bucketed, seeded)") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 4L))
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("simhash: identical texts → identical signatures (hamming 0)") {
+    val sigs = docs.filter(col("doc_id").isin(1, 4))
+      .select(Dedup.simhash(col("text")).as("s")).as[Long].collect()
+    sigs(0) shouldBe sigs(1)
+  }
+
+  test("simhashPairs finds the exact dup with hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    pairs.find(p => p._1 == 1L && p._2 == 4L).map(_._3) shouldBe Some(0)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.functions.CosineSimUtil
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("native cosine_sim expression matches hand-computed values") {
+    val out = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id").isin(1, 2, 3))
+      .select(col("b.vec_id"),
+        Similarity.cosine(spark, col("a.embedding"), col("b.embedding")).as("sim"))
+      .orderBy("vec_id").as[(Long, Double)].collect()
+    out(0)._2 shouldBe 0.0 +- 1e-9                      // orthogonal
+    out(1)._2 shouldBe 1.0 / math.sqrt(2) +- 1e-9       // 45°
+    out(2)._2 shouldBe -1.0 +- 1e-9                     // opposite
+  }
+
+  test("kernel matches the interpreted formula") {
+    val a = Array(0.3f, -0.7f, 2.0f); val b = Array(1.5f, 0.2f, -0.1f)
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    CosineSimUtil.cosine(a, b) shouldBe dot / (na * nb) +- 1e-12
+  }
+
+  test("bruteTopK ranks by similarity desc with id tie-break, excludes self") {
+    val res = Similarity.bruteTopK(spark, vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect()
+    // for probe [1,0,0]: best = 4 (0.994), then 2 (0.707), then 1 (0.0)
+    res.map(_._1).toSeq shouldBe Seq(4L, 2L, 1L)
+    res.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("TopKAggregator bounds the buffer and merges correctly") {
+    val agg = new Similarity.TopKAggregator(2)
+    val b1 = agg.reduce(agg.reduce(agg.zero, (0.5, 1L)), (0.9, 2L))
+    val b2 = agg.reduce(agg.reduce(agg.zero, (0.7, 3L)), (0.1, 4L))
+    val merged = agg.merge(b1, b2)
+    merged shouldBe List((0.9, 2L), (0.7, 3L))
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with exact sims") {
+    val brute = Similarity.bruteTopK(spark, vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 4)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(spark, vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3, 4)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    lsh.foreach { case (id, sim) =>
+      brute.keySet should contain(id)
+      sim shouldBe brute(id) +- 1e-9 // re-rank is exact cosine
+    }
+  }
+
+  test("embeddingNearDupPairs finds the planted near-identical pair") {
+    val pairs = Similarity.embeddingNearDupPairs(spark, vecs, "vec_id", "embedding", 3, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 4L)) // cosine(e0, e4) ≈ 0.9939
+  }
+}

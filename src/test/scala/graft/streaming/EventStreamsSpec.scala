@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("tumbling window counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val query = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        EventRow(1, ts(0), 10, "click", 1.0),
+        EventRow(2, ts(5), 10, "click", 2.0),
+        EventRow(3, ts(70), 11, "view", 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("event_type", "cnt").as[(String, Long)].collect().toMap
+      rows("click") shouldBe 2
+      rows("view") shouldBe 1
+    } finally query.stop()
+  }
+
+  test("session windows split on the 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val query = EventStreams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        EventRow(1, ts(0), 10, "click", 1.0),
+        EventRow(2, ts(10), 10, "click", 1.0), // same session
+        EventRow(3, ts(50), 10, "click", 1.0)) // gap 40min → new session
+      query.processAllAvailable()
+      val sessions = spark.table("session_test")
+        .select("n_events").as[Long].collect().sorted
+      sessions shouldBe Array(1L, 2L)
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val query = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    try {
+      input.addData(EventRow(1, ts(0), 10, "click", 2.0))
+      query.processAllAvailable()
+      input.addData(EventRow(2, ts(1), 10, "click", 3.0))
+      query.processAllAvailable()
+      val last = spark.table("running_test")
+        .orderBy("n_events").as[UserRunning].collect().last
+      last.n_events shouldBe 2
+      last.total_value shouldBe 5.0 +- 1e-9
+    } finally query.stop()
+  }
+}
