@@ -20,6 +20,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warmup: absorb JVM/codegen/executor init so it isn't billed to the
+    // first query in alphabetical order.
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
+
     val errors = scala.collection.mutable.ListBuffer[String]()
     // Stable execution order (sorted by name) for run-to-run comparability.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -32,6 +37,8 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             false
         }
+      // queries must not leak cached state into each other's timings
+      spark.catalog.clearCache()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

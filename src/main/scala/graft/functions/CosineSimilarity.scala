@@ -59,13 +59,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val cosineSimInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "cosine_sim")
+  val hyperplaneSigInfo = new ExpressionInfo(
+    classOf[HyperplaneSignature].getName, "hyperplane_sig")
+  val simhash64Info = new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
+
+  /** hyperplane_sig(emb, nBits) — nBits must be a foldable int literal. */
+  def buildHyperplaneSig(children: Seq[Expression]): Expression =
+    HyperplaneSignature(children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue())
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val name = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
-    if (!registry.functionExists(name)) {
-      registry.registerFunction(name, cosineSimInfo,
+    val cos = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
+    if (!registry.functionExists(cos)) {
+      registry.registerFunction(cos, cosineSimInfo,
         (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    }
+    val sig = org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_sig")
+    if (!registry.functionExists(sig)) {
+      registry.registerFunction(sig, hyperplaneSigInfo, buildHyperplaneSig _)
+    }
+    val sh = org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64")
+    if (!registry.functionExists(sh)) {
+      registry.registerFunction(sh, simhash64Info,
+        (children: Seq[Expression]) => SimHash64(children.head))
     }
   }
 }

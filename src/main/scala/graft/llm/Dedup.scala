@@ -37,11 +37,29 @@ object Dedup {
     * (the gram IS the bucket — candidate pairs only ever share a gram),
     * count intersections, compute |A∩B|/|A∪B|, keep pairs ≥ threshold.
     * Shuffle cost is O(total grams), not O(n²).
+    *
+    * `maxDocFreq` (stop-gram pruning) drops grams appearing in more than
+    * that many documents before the self-join: the pair fanout of a gram is
+    * O(df²), so capping df bounds the worst-case join size — the lever that
+    * keeps this exact-verification path viable at corpus scale. Jaccard is
+    * then computed over the kept (rare) grams on both intersection AND
+    * set-size sides, a well-defined and still discriminative measure.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val grams = df.select(col(idCol).as("doc"),
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val allGrams = df.select(col(idCol).as("doc"),
       explode(array_distinct(wordNGrams(col(textCol), n))).as("gram"))
+    val grams = maxDocFreq match {
+      case None => allGrams
+      case Some(cap) =>
+        // no broadcast hint: the gram vocabulary and per-doc size tables
+        // scale with the corpus, so strategy is left to AQE — it broadcasts
+        // them when they're actually small, and falls back to shuffle joins
+        // (with skew splitting) when they aren't
+        val rare = allGrams.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("gram")
+        allGrams.join(rare, "gram")
+    }
     val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
     val inter = grams.as("a").join(grams.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
@@ -68,7 +86,9 @@ object Dedup {
       .filter(size(col("toks")) > 0)
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(withTokens)
+    // cache: approxSimilarityJoin(feat, feat, …) walks this DAG from both
+    // sides — without the cache the shingle+hash pipeline runs twice
+    val feat = tf.transform(withTokens).cache()
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("bands")
       .setNumHashTables(8).setSeed(42L)
     val model = lsh.fit(feat)
@@ -78,26 +98,23 @@ object Dedup {
         round(col("dist"), 6).as("jaccard_dist"))
   }
 
-  /** SimHash: per-token 64-bit xxhash64; each bit contributes ±1; sign of
-    * the per-bit sum forms the 64-bit signature. Near-dups = signatures
-    * within `maxHamming`. Candidates come from banding the signature into
-    * four 16-bit bands (equi-join per band), then exact hamming via
-    * bit_count(xor) on candidates.
+  /** SimHash: per-token 64-bit xxhash64 (seed 42, same values as the SQL
+    * `xxhash64`); each bit contributes ±1; sign of the per-bit sum forms the
+    * 64-bit signature. Computed by the fused native kernel
+    * [[graft.functions.SimHash64]] — one loop per row instead of per-token
+    * array allocations. Near-dups = signatures within `maxHamming`;
+    * candidates come from banding the signature into four 16-bit bands
+    * (equi-join per band), then exact hamming via bit_count(xor).
     */
-  def simhash(text: Column): Column = {
-    val toks = filter(split(text, " "), t => t =!= "")
-    val bitVotes = (0 until 64).map { b =>
-      aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-    }
-    bitVotes.zipWithIndex.map { case (v, b) =>
-      when(v > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def simhash(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    call_function("simhash64", split(text, " "))
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(df.sparkSession, col(textCol)).as("sig"))
     val bands = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

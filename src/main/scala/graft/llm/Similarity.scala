@@ -71,21 +71,14 @@ object Similarity {
       .orderBy("p_id", "rank")
   }
 
-  /** Deterministic random-hyperplane signature: `nBits` pseudo-random
-    * hyperplanes h_j with h_j[i] = sin(i·12.9898 + j·78.233)·43758.5453
-    * (fractional part recentred) — reproducible with no RNG state; the
-    * signature is the sign bit of each projection.
+  /** Deterministic random-hyperplane signature (sign bits of `nBits`
+    * pseudo-random projections), via the fused native kernel
+    * [[graft.functions.HyperplaneSignature]] — a single codegen'd loop
+    * instead of an nBits×dim expression tree.
     */
-  def hyperplaneSignature(emb: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { j =>
-      val proj = (0 until dim).map { i =>
-        val h = math.sin(i * 12.9898 + j * 78.233) * 43758.5453
-        val w = h - math.floor(h) - 0.5
-        element_at(emb, i + 1).cast("double") * lit(w)
-      }.reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+  def hyperplaneSignature(spark: SparkSession, emb: Column, nBits: Int): Column = {
+    GraftFunctions.ensureRegistered(spark)
+    call_function("hyperplane_sig", emb, lit(nBits))
   }
 
   /** ANN top-k via banded hyperplane LSH: candidates share at least one
@@ -93,11 +86,11 @@ object Similarity {
     * Recall < 1 by construction (that's the 100 TB trade).
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
-      idCol: String, embCol: String, dim: Int, k: Int): DataFrame = {
+      idCol: String, embCol: String, k: Int): DataFrame = {
     val nBits = 16
     val bands = 2 // two 8-bit bands
     def withBands(df: DataFrame, id: String, emb: String): DataFrame = {
-      val sig = hyperplaneSignature(col(emb), dim, nBits)
+      val sig = hyperplaneSignature(spark, col(emb), nBits)
       df.select(col(id), col(emb), sig.as("sig"))
         .select(col(id), col(emb),
           explode(array((0 until bands).map(b =>
@@ -127,10 +120,10 @@ object Similarity {
     * candidate generation — never an all-pairs crossJoin.
     */
   def embeddingNearDupPairs(spark: SparkSession, df: DataFrame,
-      idCol: String, embCol: String, dim: Int, threshold: Double): DataFrame = {
+      idCol: String, embCol: String, threshold: Double): DataFrame = {
     val nBits = 16
     val bands = 4 // four 4-bit bands → high candidate recall for near-dups
-    val sig = hyperplaneSignature(col(embCol), dim, nBits)
+    val sig = hyperplaneSignature(spark, col(embCol), nBits)
     val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"), sig.as("sig"))
       .select(col("id"), col("emb"),
         explode(array((0 until bands).map(b =>

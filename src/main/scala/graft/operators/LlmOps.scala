@@ -42,13 +42,17 @@ object LlmOps {
     (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text", 10)
       .orderBy("doc_a", "doc_b"))
 
-  /** d04 — word-3-gram Jaccard near-dup, gram-bucketed self-join. */
+  /** d04 — word-3-gram Jaccard near-dup, gram-bucketed self-join with
+    * stop-gram pruning (df ≤ 10) mirrored exactly in the oracle.
+    */
   val d04 = QSpec(
     "d04_ngram_jaccard",
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-           |g AS (SELECT DISTINCT doc_id,
+           |g0 AS (SELECT DISTINCT doc_id,
            |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
            |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 10),
+           |g AS (SELECT g0.* FROM g0 JOIN rare USING (gram)),
            |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
            |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
            |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -58,7 +62,8 @@ object LlmOps {
            |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
            |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin),
-    (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.5)
+    (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.5,
+      maxDocFreq = Some(10))
       .orderBy("doc_a", "doc_b"))
 
   /** d05 — embedding cosine near-dup via banded hyperplane LSH. */
@@ -66,7 +71,7 @@ object LlmOps {
     "d05_embedding_neardup",
     None,
     (s, d) => Similarity.embeddingNearDupPairs(
-      s, embeddings(s, d), "vec_id", "embedding", 64, 0.4)
+      s, embeddings(s, d), "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b"))
 
   /** s01 — brute-force cosine top-k (the exact baseline; oracle mirrors the
@@ -106,7 +111,7 @@ object LlmOps {
     (s, d) => {
       val emb = embeddings(s, d)
       Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", 64, 10)
+        "vec_id", "embedding", 10)
     })
 
   /** t01 — language-ID heuristic (marker n-gram scores, fixed precedence). */

@@ -15,5 +15,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       GraftFunctions.cosineSimInfo,
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      GraftFunctions.hyperplaneSigInfo,
+      GraftFunctions.buildHyperplaneSig _))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      GraftFunctions.simhash64Info,
+      (children: Seq[Expression]) => graft.functions.SimHash64(children.head)))
   }
 }

@@ -51,7 +51,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: identical texts → identical signatures (hamming 0)") {
     val sigs = docs.filter(col("doc_id").isin(1, 4))
-      .select(Dedup.simhash(col("text")).as("s")).as[Long].collect()
+      .select(Dedup.simhash(spark, col("text")).as("s")).as[Long].collect()
     sigs(0) shouldBe sigs(1)
   }
 

@@ -55,7 +55,7 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", 4)
       .select("neighbor_id", "sim").as[(Long, Double)].collect().toMap
     val lsh = Similarity.lshTopK(spark, vecs, vecs.filter(col("vec_id") === 0),
-      "vec_id", "embedding", 3, 4)
+      "vec_id", "embedding", 4)
       .select("neighbor_id", "sim").as[(Long, Double)].collect()
     lsh.foreach { case (id, sim) =>
       brute.keySet should contain(id)
@@ -64,7 +64,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("embeddingNearDupPairs finds the planted near-identical pair") {
-    val pairs = Similarity.embeddingNearDupPairs(spark, vecs, "vec_id", "embedding", 3, 0.95)
+    val pairs = Similarity.embeddingNearDupPairs(spark, vecs, "vec_id", "embedding", 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs should contain((0L, 4L)) // cosine(e0, e4) ≈ 0.9939
   }
