@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.QSpec
+import graft.util.{Exact, Tables}
+import org.apache.spark.sql.functions._
+
+/** Generic query capability beyond the reference's own surface (SURVEY §2.7
+  * records "no set operations" — exposed anyway since the engine is a
+  * general library): set ops, rollup grouping, HLL sketches, and the
+  * tokenize→explode word-count pipeline over documents.
+  */
+object Extras {
+
+  import Tables._
+
+  /** u01 — UNION / INTERSECT / EXCEPT (distinct set semantics). */
+  val u01 = QSpec(
+    "u01_set_ops",
+    Some("""SELECT DISTINCT c_custkey FROM (
+           |  ((SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+           |   INTERSECT
+           |   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+           |  EXCEPT
+           |  (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+           |  UNION
+           |  (SELECT c_custkey FROM customer WHERE c_custkey <= 3)
+           |) ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      val cust = customer(s, d)
+      val a = cust.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val b = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val c = cust.filter(col("c_custkey") % 10 === 0).select("c_custkey")
+      val dd = cust.filter(col("c_custkey") <= 3).select("c_custkey")
+      a.intersect(b).except(c).union(dd).distinct().orderBy("c_custkey")
+    })
+
+  /** x01 — ROLLUP grouping sets with grouping_id. */
+  val x01 = QSpec(
+    "x01_rollup",
+    Some(s"""SELECT o_orderpriority, o_orderstatus,
+            | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+            | COUNT(*) AS cnt,
+            | ${Exact.sqlSum("o_totalprice")} AS sum_price
+            |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    (s, d) => orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first))
+
+  /** x02 — HLL sketch: approx_count_distinct next to the exact count
+    * (different sketch implementations per engine → rows-only; accuracy
+    * asserted in ScalaTest).
+    */
+  val x02 = QSpec(
+    "x02_approx_distinct",
+    None,
+    (s, d) => orders(s, d).agg(
+      countDistinct(col("o_custkey")).as("exact_distinct"),
+      approx_count_distinct(col("o_custkey")).as("approx_distinct")))
+
+  /** t05 — tokenize → explode → word counts over documents.text (top 50). */
+  val t05 = QSpec(
+    "t05_word_counts",
+    Some("""SELECT word, COUNT(*) AS cnt FROM (
+           |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+           |  FROM documents)
+           |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin),
+    (s, d) => documents(s, d)
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(50))
+
+  val specs: Seq[QSpec] = Seq(u01, x01, x02, t05)
+}
