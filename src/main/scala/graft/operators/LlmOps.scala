@@ -114,6 +114,28 @@ object LlmOps {
         "vec_id", "embedding", 10)
     })
 
+  /** s03 — IVF centroid construction: mean embedding per label cluster
+    * (posexplode → per-(label, dim) exact mean). This is the build step of
+    * an IVF index (s02's buckets generalize to these centroids); the
+    * per-dimension decimal mean keeps the oracle exact.
+    */
+  val s03 = QSpec(
+    "s03_label_centroids",
+    Some("""SELECT label, CAST(dim AS INT) AS dim,
+           | CAST(CAST(SUM(CAST(v AS DECIMAL(18, 8))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS centroid_v
+           |FROM (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+           |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))
+           |WHERE dim < 8
+           |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+    (s, d) => embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("dim") < 8)
+      .select(col("label"), col("dim"), col("v").cast("double").as("v"))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+        .cast("double") / count(lit(1))).as("centroid_v"))
+      .orderBy("label", "dim"))
+
   /** t01 — language-ID heuristic (marker n-gram scores, fixed precedence). */
   val t01 = QSpec(
     "t01_langid",
@@ -219,6 +241,6 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
-  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, s01, s02,
+  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
     t01, t02, t03, t04, mm01, mm02)
 }

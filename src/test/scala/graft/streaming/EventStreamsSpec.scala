@@ -46,6 +46,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark drops events later than the threshold (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // 10-minute watermark so late data is evictable quickly
+    val query = EventStreams.tumblingCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      input.addData(EventRow(1, ts(0), 10, "click", 1.0))
+      query.processAllAvailable()
+      // advance event time far past window 0's end + watermark → finalizes it
+      input.addData(EventRow(2, ts(200), 10, "click", 1.0))
+      query.processAllAvailable()
+      // this event's window is already finalized — must be dropped
+      input.addData(EventRow(3, ts(1), 10, "click", 5.0))
+      query.processAllAvailable()
+      input.addData(EventRow(4, ts(400), 10, "click", 1.0))
+      query.processAllAvailable()
+      val firstWindow = spark.table("late_test")
+        .orderBy("hour_start").select("cnt").as[Long].collect()
+      firstWindow.head shouldBe 1 // the late event did not inflate window 0
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventRow]
