@@ -42,8 +42,17 @@ class DedupSpec extends SparkSpec {
     pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
   }
 
-  test("minhashPairs recovers the planted near-dups (bucketed, seeded)") {
+  test("minhashPairs (native banded) recovers the planted near-dups exactly") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    keys should contain((1L, 4L))
+    pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 shouldBe 1.0 // exact dup
+    keys.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("minhashPairsMl (spark.ml twin) also recovers the planted near-dups") {
+    val pairs = Dedup.minhashPairsMl(docs, "doc_id", "text", 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     pairs should contain((1L, 4L))
     pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
