@@ -116,6 +116,61 @@ object Similarity {
       .orderBy("p_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k — the scale path for *top-k* search.
+    * Hyperplane bands only prune well in the near-dup regime (per-bit
+    * collision prob ≈ 1 − θ/π, so a cos≈0.4 neighbor matches an 8-bit band
+    * ~2% of the time); coarse quantization prunes by cluster structure
+    * instead: KMeans centroids over the corpus, each vector assigned to its
+    * cluster (the inverted file), probes search only the `nprobe` nearest
+    * clusters, exact cosine re-rank on members.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      nClusters: Int = 16, nprobe: Int = 6, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.Normalizer
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // spherical k-means: cluster L2-normalized vectors so Euclidean
+    // assignment and cosine probe-ranking agree (‖x−y‖² = 2 − 2cos on the
+    // unit sphere); re-rank still uses the raw embeddings
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+      .withColumn("raw_fv", array_to_vector(col("emb")))
+    val normalizer = new Normalizer().setInputCol("raw_fv").setOutputCol("fv").setP(2.0)
+    val cn = normalizer.transform(c)
+    val km = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cluster").fit(cn)
+    val inverted = km.transform(cn).select("neighbor_id", "emb", "cluster")
+
+    // nprobe nearest centroids per probe: centroid list is tiny and fixed
+    // (k × dim floats) → literal array, evaluated per probe row
+    val centroidArr = array(km.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+      struct(lit(i).as("cid"),
+        array(ctr.toArray.map(v => lit(v.toFloat)): _*).as("cv"))
+    }: _*)
+    GraftFunctions.ensureRegistered(spark)
+    val p = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
+      .withColumn("near", slice(array_sort(
+        transform(centroidArr, ce => struct(
+          (-call_function("cosine_sim", col("p_emb"), ce.getField("cv"))).as("negSim"),
+          ce.getField("cid").as("cid")))), 1, nprobe))
+      .select(col("p_id"), col("p_emb"),
+        explode(col("near").getField("cid")).as("cluster"))
+
+    val cand = inverted.join(broadcast(p), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        cosine(spark, col("emb"), col("p_emb")).as("sim"))
+    val topk = udaf(new TopKAggregator(k))
+    cand.groupBy("p_id")
+      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("p_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("p_id"), col("entry._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("entry._1"), 6).as("sim"))
+      .orderBy("p_id", "rank")
+  }
+
   /** Embedding near-dup pairs (cosine ≥ threshold) via the same banded LSH
     * candidate generation — never an all-pairs crossJoin.
     */

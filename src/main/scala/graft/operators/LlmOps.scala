@@ -102,15 +102,18 @@ object LlmOps {
         "vec_id", "embedding", 10)
     })
 
-  /** s02 — ANN top-k via banded hyperplane LSH (the 100 TB scale path;
-    * recall < 1 by construction → rows-only).
+  /** s02 — ANN top-k via IVF coarse quantization (the 100 TB scale path for
+    * top-k; recall < 1 by construction → rows-only; recall measured against
+    * s01 in SCALE.md). Hyperplane-LSH banding remains the candidate
+    * generator for the near-dup regime (d05), where its collision math
+    * actually prunes well.
     */
   val s02 = QSpec(
-    "s02_cosine_topk_lsh",
+    "s02_cosine_topk_ivf",
     None,
     (s, d) => {
       val emb = embeddings(s, d)
-      Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < 5),
+      Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 10)
     })
 

@@ -63,6 +63,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK finds the true nearest neighbor with sufficient nprobe") {
+    val res = Similarity.ivfTopK(spark, vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 2, nClusters = 2, nprobe = 2)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    // with nprobe == nClusters the search is exhaustive → exact top-2
+    res.map(_._1).toSeq shouldBe Seq(4L, 2L)
+    res.head._2 shouldBe 0.9939 +- 1e-3
+  }
+
   test("embeddingNearDupPairs finds the planted near-identical pair") {
     val pairs = Similarity.embeddingNearDupPairs(spark, vecs, "vec_id", "embedding", 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
