@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * Aggregator (map-side combine shrinks every partition to k rows BEFORE the
   * shuffle, so the exchange moves O(partitions·k) rows, not the corpus).
   *
-  * Scale path: LSH-bucketed variant — deterministic random-hyperplane
-  * signatures; candidates only within matching bands, exact re-rank after.
+  * Scale paths: IVF coarse quantization for top-k (spherical k-means
+  * inverted file, nprobe cluster search, exact re-rank) and banded
+  * hyperplane LSH for the near-dup regime (candidates only within matching
+  * bands, exact verification after).
   */
 object Similarity {
 
