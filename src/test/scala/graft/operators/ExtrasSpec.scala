@@ -16,6 +16,15 @@ class ExtrasSpec extends SparkSpec {
     math.abs(approx - exact) / exact should be < 0.05 // default rsd 0.05
   }
 
+  test("df.summary() API parity: count/mean/stddev rows (ref q19 surface)") {
+    val df = Seq(2.0, 4.0, 6.0, 8.0).toDF("x")
+    val s = df.summary("count", "mean", "stddev").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    s("count") shouldBe "4"
+    s("mean").toDouble shouldBe 5.0 +- 1e-9
+    s("stddev").toDouble shouldBe math.sqrt(20.0 / 3) +- 1e-6
+  }
+
   test("set ops have distinct semantics (union dedups after distinct())") {
     val a = Seq(1, 2, 2, 3).toDF("x")
     val b = Seq(2, 3, 4).toDF("x")
