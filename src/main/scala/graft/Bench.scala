@@ -37,9 +37,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             false
         }
-      // queries must not leak cached state into each other's timings
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // after the clock stops: queries must not leak cached state into
+      // each other's timings, but teardown isn't billed to this query
       spark.catalog.clearCache()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -37,14 +37,21 @@ object Ingest {
     df.write.mode("overwrite").parquet(path)
 
   /** Full prepare pipeline + join-integrity counts (a10,
-    * ref: notebooks/00_prepare_data.py:117-120).
+    * ref: notebooks/00_prepare_data.py:117-120). Inputs are cached so the
+    * integrity counts don't re-scan (and re-infer) the raw CSVs after the
+    * join/write already consumed them.
     */
   def prepare(spark: SparkSession, xCsv: String, yCsv: String, outParquet: String):
       (Long, Long, Long) = {
-    val x = readCsv(spark, xCsv)
-    val y = readCsv(spark, yCsv)
-    val joined = castCanonical(joinFeaturesLabels(x, y))
-    writeParquet(joined, outParquet)
-    (x.count(), y.count(), spark.read.parquet(outParquet).count())
+    val x = readCsv(spark, xCsv).cache()
+    val y = readCsv(spark, yCsv).cache()
+    try {
+      val joined = castCanonical(joinFeaturesLabels(x, y))
+      writeParquet(joined, outParquet)
+      (x.count(), y.count(), spark.read.parquet(outParquet).count())
+    } finally {
+      x.unpersist()
+      y.unpersist()
+    }
   }
 }

@@ -54,7 +54,8 @@ class Capper(
     val body = bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
       s""""$c": [$lo, $hi]"""
     }.mkString("{", ", ", "}")
-    Files.createDirectories(Paths.get(path).getParent)
+    val parent = Paths.get(path).getParent
+    if (parent != null) Files.createDirectories(parent)
     Files.writeString(Paths.get(path), body)
   }
 

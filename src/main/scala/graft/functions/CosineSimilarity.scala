@@ -17,7 +17,10 @@ object CosineSimUtil {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm vectors (padding/garbage rows) define cosine 0, not NaN —
+    // a NaN would otherwise float to rank 1 through every comparison
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }
 

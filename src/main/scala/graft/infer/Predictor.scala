@@ -1,6 +1,6 @@
 package graft.infer
 
-import graft.features.TargetTransformer
+import graft.features.{FeatureEngineering, TargetTransformer}
 import org.apache.spark.ml.{PipelineModel, Transformer}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,19 +9,32 @@ import org.apache.spark.sql.types.StructType
 /** Batch + single-row inference (ref: src/webapp/app.py:68-112 and
   * src/inference/predict.py:28-70).
   *
+  * `preprocess` is the FULL train-time feature transform — for the
+  * real-estate flow that is `FeatureEngineering.transform` (null policy →
+  * derived columns → capping → encode pipeline), not just the encode
+  * pipeline; constructing from a bare PipelineModel is supported for
+  * pipelines that already start from raw columns. Train/serve skew is
+  * exactly what the reference's quirk Q4 warns about, so the transform used
+  * at fit time must be the one used here.
+  *
   * The model is trained on log(price) (the SURVEY §7 fix of quirk Q2), so
   * the smearing inverse produces finite prices — unlike the reference,
   * whose exp(raw-price prediction) overflowed to inf on every row.
   */
 class Predictor(
-    val fePipeline: PipelineModel,
+    val preprocess: DataFrame => DataFrame,
     val model: Transformer,
     val targetTransformer: TargetTransformer) extends Serializable {
 
-  /** features → encoded features → log-scale prediction → smearing inverse. */
+  def this(fe: FeatureEngineering, model: Transformer, tt: TargetTransformer) =
+    this(df => fe.transform(df), model, tt)
+
+  def this(fePipeline: PipelineModel, model: Transformer, tt: TargetTransformer) =
+    this(df => fePipeline.transform(df), model, tt)
+
+  /** features → log-scale prediction → smearing inverse. */
   def predictBatch(df: DataFrame): DataFrame = {
-    val feats = fePipeline.transform(df)
-    val preds = model.transform(feats)
+    val preds = model.transform(preprocess(df))
     targetTransformer.inverse(preds, "prediction")
   }
 

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup stats + canonical-keeper assignment (keep min id per text):
-    * hash-shuffle groupBy on the text (or fingerprint) key.
+  /** Exact dedup statistics: total rows, distinct texts, duplicate rows.
+    * (Keeper assignment — one surviving row per text — is [[dedupKeepFirst]].)
     */
-  def exactStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def exactStats(df: DataFrame, textCol: String): DataFrame =
     df.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col(textCol)).as("n_distinct"),

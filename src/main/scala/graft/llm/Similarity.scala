@@ -43,7 +43,8 @@ object Similarity {
 
     override def zero: List[(Double, Long)] = Nil
     override def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
-      insert(b, a).take(k)
+      if (a._1.isNaN) b // NaN compares false both ways → would land at rank 1
+      else insert(b, a).take(k)
     override def merge(x: List[(Double, Long)], y: List[(Double, Long)]): List[(Double, Long)] =
       y.foldLeft(x)((acc, v) => insert(acc, v)).take(k)
     override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r
@@ -51,19 +52,12 @@ object Similarity {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
   }
 
-  /** Exact top-k neighbors for each probe vector.
-    * Output: (p_id, neighbor_id, rank, sim).
+  /** Shared finishing stage: (p_id, neighbor_id, sim) candidates → ranked
+    * top-k per probe via the bounded aggregator.
     */
-  def bruteTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
-      idCol: String, embCol: String, k: Int): DataFrame = {
+  private def finishTopK(cand: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    val p = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
-    val pairs = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
-      .crossJoin(broadcast(p))
-      .filter(col("neighbor_id") =!= col("p_id"))
-      .select(col("p_id"), col("neighbor_id"),
-        cosine(spark, col("emb"), col("p_emb")).as("sim"))
-    pairs.groupBy("p_id")
+    cand.groupBy("p_id")
       .agg(topk(col("sim"), col("neighbor_id")).as("top"))
       .select(col("p_id"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("p_id"),
@@ -71,6 +65,20 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"),
         round(col("entry._1"), 6).as("sim"))
       .orderBy("p_id", "rank")
+  }
+
+  /** Exact top-k neighbors for each probe vector.
+    * Output: (p_id, neighbor_id, rank, sim).
+    */
+  def bruteTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
+    val pairs = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        cosine(spark, col("emb"), col("p_emb")).as("sim"))
+    finishTopK(pairs, k)
   }
 
   /** Deterministic random-hyperplane signature (sign bits of `nBits`
@@ -108,14 +116,7 @@ object Similarity {
       .select(col("p_id"), col("neighbor_id"),
         cosine(spark, col("emb"), col("p_emb")).as("sim"))
       .distinct()
-    val topk = udaf(new TopKAggregator(k))
-    cand.groupBy("p_id")
-      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
-      .select(col("p_id"), posexplode(col("top")).as(Seq("pos", "entry")))
-      .select(col("p_id"), col("entry._2").as("neighbor_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        round(col("entry._1"), 6).as("sim"))
-      .orderBy("p_id", "rank")
+    finishTopK(cand, k)
   }
 
   /** IVF (inverted-file) ANN top-k — the scale path for *top-k* search.
@@ -163,14 +164,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("p_id"))
       .select(col("p_id"), col("neighbor_id"),
         cosine(spark, col("emb"), col("p_emb")).as("sim"))
-    val topk = udaf(new TopKAggregator(k))
-    cand.groupBy("p_id")
-      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
-      .select(col("p_id"), posexplode(col("top")).as(Seq("pos", "entry")))
-      .select(col("p_id"), col("entry._2").as("neighbor_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        round(col("entry._1"), 6).as("sim"))
-      .orderBy("p_id", "rank")
+    finishTopK(cand, k)
   }
 
   /** Embedding near-dup pairs (cosine ≥ threshold) via the same banded LSH

@@ -26,7 +26,7 @@ object LlmOps {
     Some("""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_distinct,
            | COUNT(*) - COUNT(DISTINCT text) AS n_dup_rows
            |FROM documents""".stripMargin),
-    (s, d) => Dedup.exactStats(documents(s, d), "text", "doc_id"))
+    (s, d) => Dedup.exactStats(documents(s, d), "text"))
 
   /** d02 — MinHash+LSH near-dup (banded bucket join; rows-only oracle). */
   val d02 = QSpec(

@@ -22,20 +22,23 @@ object Exact {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Deterministic mean: exact decimal sum divided by count, in double. */
+  /** Deterministic mean: exact decimal sum over the NON-NULL count (standard
+    * AVG semantics — sum() skips nulls, so the divisor must too), in double.
+    */
   def davg(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
 
   /** Deterministic sample stddev via exact first/second moments:
-    * sqrt((Σx² − (Σx)²/n) / (n−1)) with both sums carried in decimal.
-    * The double arithmetic at the end is a fixed formula, so the result is
-    * reproducible (unlike Welford-merge `stddev_samp`, whose merge order —
-    * and therefore last-ulp value — varies with shuffle arrival order).
+    * sqrt((Σx² − (Σx)²/n) / (n−1)) with both sums carried in decimal and
+    * n = non-null count. The double arithmetic at the end is a fixed
+    * formula, so the result is reproducible (unlike Welford-merge
+    * `stddev_samp`, whose merge order — and therefore last-ulp value —
+    * varies with shuffle arrival order).
     */
   def dstd(c: Column): Column = {
     val s  = sum(c.cast(DecimalType(25, 4))).cast("double")
     val s2 = sum((c * c).cast(DecimalType(30, 4))).cast("double")
-    val n  = count(lit(1))
+    val n  = count(c)
     sqrt((s2 - s * s / n) / (n - lit(1.0)))
   }
 
@@ -45,12 +48,12 @@ object Exact {
 
   /** DuckDB SQL twin of [[davg]]. */
   def sqlAvg(col: String, scale: Int = 2): String =
-    s"(CAST(SUM(CAST($col AS DECIMAL(18, $scale))) AS DOUBLE) / COUNT(*))"
+    s"(CAST(SUM(CAST($col AS DECIMAL(18, $scale))) AS DOUBLE) / COUNT($col))"
 
   /** DuckDB SQL twin of [[dstd]]. */
   def sqlStd(col: String): String = {
     val s  = s"CAST(SUM(CAST($col AS DECIMAL(25, 4))) AS DOUBLE)"
     val s2 = s"CAST(SUM(CAST(($col * $col) AS DECIMAL(30, 4))) AS DOUBLE)"
-    s"SQRT(($s2 - $s * $s / COUNT(*)) / (COUNT(*) - 1.0))"
+    s"SQRT(($s2 - $s * $s / COUNT($col)) / (COUNT($col) - 1.0))"
   }
 }

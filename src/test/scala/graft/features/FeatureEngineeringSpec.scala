@@ -110,14 +110,17 @@ class FeatureEngineeringSpec extends SparkSpec {
     val tt = new TargetTransformer("price").fit(listings)
     val train = tt.transform(fe.fitTransform(listings))
     val model = Trainer.linear("log_price").setSolver("normal").fit(train)
-    Persist.saveAll(dir, model, fe.pipeline, tt, Map("model_type" -> "lr"))
+    Persist.saveAllWithFe(dir, model, fe, tt, Map("model_type" -> "lr"))
 
-    val predictor = new Predictor(fe.pipeline, model, tt) {
-      override def predictBatch(df: DataFrame): DataFrame = {
-        val prepared = fe.capper.transform(fe.addDerived(fe.fillNulls(df)))
-        targetTransformer.inverse(model.transform(fe.pipeline.transform(prepared)), "prediction")
-      }
-    }
+    // rehydrate everything from disk — the predictor must reconstruct the
+    // exact train-time transform (nulls → derived → capping → encoding)
+    val feLoaded = Persist.loadFeatureEngineering(dir,
+      new FeatureEngineering("permissive",
+        categoricalCols = Seq("property_type", "exposition"),
+        numericCols = Seq("size", "land_size", "nb_rooms")))
+    val predictor = new Predictor(feLoaded,
+      Persist.loadModel(dir, org.apache.spark.ml.regression.LinearRegressionModel),
+      Persist.loadTargetTransformer(dir, "price"))
     val firstRow = listings.limit(1)
     val batch = predictor.predictBatch(firstRow)
       .select("prediction_price").head().getDouble(0)

@@ -15,7 +15,7 @@ class DedupSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("exactStats counts duplicates") {
-    val r = Dedup.exactStats(docs, "text", "doc_id").head()
+    val r = Dedup.exactStats(docs, "text").head()
     r.getLong(0) shouldBe 5
     r.getLong(1) shouldBe 4
     r.getLong(2) shouldBe 1
