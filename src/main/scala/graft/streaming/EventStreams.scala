@@ -60,6 +60,53 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup with bounded state: duplicates are dropped by
+    * key among events whose times fall within the watermark delay of each
+    * other; state for keys older than the watermark is evicted. The
+    * streaming twin of d01 exact dedup, viable on an unbounded stream
+    * precisely because the watermark bounds the key set held in state.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** flatMapGroupsWithState sessionizer: accumulates per-user events in
+    * state and EMITS a session row only when a gap larger than
+    * `gapMinutes` is observed (zero-or-more outputs per invocation — the
+    * shape mapGroupsWithState can't express).
+    */
+  final case class SessionState(start: Long, lastTs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  def closedSessions(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs >= gapMs =>
+                closed += ClosedSession(userId, s.start, s.lastTs, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case Some(s) =>
+                cur = Some(s.copy(lastTs = t, n = s.n + 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Streaming output-mode helper for tests. */
   def completeMode: OutputMode = OutputMode.Complete()
   def updateMode: OutputMode = OutputMode.Update()

@@ -70,6 +70,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups by key on the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val query = EventStreams.dedupWithinWatermark(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventRow(1, ts(0), 10, "click", 1.0),
+        EventRow(1, ts(1), 10, "click", 1.0), // duplicate event_id
+        EventRow(2, ts(2), 11, "view", 2.0))
+      query.processAllAvailable()
+      spark.table("dedup_test").count() shouldBe 2
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState emits only closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val query = EventStreams.closedSessions(input.toDS())
+      .writeStream.format("memory").queryName("closed_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventRow(1, ts(0), 10, "click", 1.0),
+        EventRow(2, ts(10), 10, "click", 1.0))
+      query.processAllAvailable()
+      spark.table("closed_test").count() shouldBe 0 // session still open
+      input.addData(EventRow(3, ts(60), 10, "click", 1.0)) // 50-min gap closes it
+      query.processAllAvailable()
+      val closed = spark.table("closed_test").as[EventStreams.ClosedSession].collect()
+      closed.length shouldBe 1
+      closed.head.n_events shouldBe 2
+      closed.head.start_ms shouldBe ts(0).getTime
+      closed.head.end_ms shouldBe ts(10).getTime
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventRow]
