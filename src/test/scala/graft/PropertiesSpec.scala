@@ -1,0 +1,52 @@
+package graft
+
+import graft.features.{Derived, NullPolicy}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The SURVEY §5 property suite (beyond capping idempotence, which lives in
+  * CapperSpec): log/exp inverse round-trip, join-count invariant for
+  * key-unique dimensions, and null-fill totality.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def positiveDoubles: Seq[List[Double]] = {
+    val gen = Gen.nonEmptyListOf(Gen.choose(1, 2000000000).map(_ / 1000.0))
+    (1L to 6L).flatMap(s => gen.apply(Gen.Parameters.default, Seed(s)))
+  }
+
+  test("exp(log(x)) round-trips within fp tolerance for x > 0") {
+    positiveDoubles.foreach { xs =>
+      val out = xs.toDF("x")
+        .select(col("x"), exp(Derived.guardedLog(col("x"))).as("rt"))
+        .as[(Double, Double)].collect()
+      out.foreach { case (x, rt) =>
+        math.abs(rt - x) / x should be < 1e-12
+      }
+    }
+  }
+
+  test("inner join against a key-unique dimension never exceeds the fact count") {
+    val facts = (1 to 500).map(i => (i % 60L, i)).toDF("k", "v")
+    val dimAll = (0L to 59L).map(k => (k, s"d$k")).toDF("k", "label")
+    val dimHalf = (0L to 29L).map(k => (k, s"d$k")).toDF("k", "label")
+    facts.join(dimAll, "k").count() shouldBe 500   // full coverage: exactly n
+    facts.join(dimHalf, "k").count() should be <= 500L
+    facts.join(dimHalf, "k").count() shouldBe
+      facts.filter(col("k") <= 29).count()         // dropped = label-less rows (quirk Q5)
+  }
+
+  test("null-policy fills are total: no nulls escape on covered columns") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (None, Some("b")), (Some(3.0), None),
+      (None: Option[Double], None: Option[String]))
+      .toDF("num", "cat")
+    val strict = NullPolicy.strict(df, Seq("num"), Seq("cat"))
+    strict.filter(col("num").isNull || col("cat").isNull).count() shouldBe 0
+    val perm = NullPolicy.permissive(df, Map("num" -> -1.0), Map("cat" -> "NA"))
+    perm.filter(col("num").isNull || col("cat").isNull).count() shouldBe 0
+    perm.filter(col("num") === -1.0).count() shouldBe 2
+  }
+}
