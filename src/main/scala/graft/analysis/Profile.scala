@@ -3,6 +3,7 @@ package graft.analysis
 import graft.util.Exact
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-profiling operators (SURVEY §2 a08/a11/a12), each a single
   * distributed job — the reference loops one Spark action per column
@@ -31,6 +32,44 @@ object Profile {
       min(valueCol).as(s"min_$valueCol"),
       max(valueCol).as(s"max_$valueCol"))
       .orderBy(col("cnt").desc, col(catCol))
+
+  /** a13 — pairwise Pearson correlation matrix in ONE distributed pass
+    * (the reference collects to pandas and calls .corr():
+    * notebooks/01_exploratory_data_analysis.py:253-254 — a driver-side OOM
+    * at scale; this is a single partial+final hash aggregate of
+    * O(k²) moments regardless of row count).
+    *
+    * corr(x,y) = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)),
+    * every sum carried in exact decimal (see [[graft.util.Exact]]) so the
+    * result is bit-deterministic across partitionings and engines; the
+    * closed-form double arithmetic happens once at the end. Columns must be
+    * null-free (cast to double internally). Output long-form:
+    * (col_a, col_b, corr) per unordered pair, given-order.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)
+    } yield (a, b)
+    def d(c: String): Column = col(c).cast("double")
+    val moments: Seq[Column] =
+      count(lit(1)).as("n") +:
+        (cols.flatMap(c => Seq(
+          sum(d(c).cast(DecimalType(25, 6))).cast("double").as(s"s__$c"),
+          sum((d(c) * d(c)).cast(DecimalType(30, 6))).cast("double").as(s"s2__$c"))) ++
+          pairs.map { case (a, b) =>
+            sum((d(a) * d(b)).cast(DecimalType(30, 6))).cast("double").as(s"sp__${a}__$b")
+          })
+    val m = df.agg(moments.head, moments.tail: _*)
+    val entries = array(pairs.map { case (a, b) =>
+      val n = col("n")
+      val num = n * col(s"sp__${a}__$b") - col(s"s__$a") * col(s"s__$b")
+      val den = sqrt((n * col(s"s2__$a") - col(s"s__$a") * col(s"s__$a")) *
+        (n * col(s"s2__$b") - col(s"s__$b") * col(s"s__$b")))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(num / den, 6).as("corr"))
+    }: _*)
+    m.select(explode(entries).as("e")).select(col("e.col_a"), col("e.col_b"), col("e.corr"))
+  }
 
   /** a12 — prediction error analysis, computed natively (the reference drops
     * to pandas: notebooks/03_model_training.py:157-179).

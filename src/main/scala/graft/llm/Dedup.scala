@@ -24,6 +24,16 @@ object Dedup {
   def dedupKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
 
+  /** Keep-first dedup keyed on the 128-bit [[TextAnalysis.fingerprint]]
+    * instead of the raw text: the groupBy shuffles a 16-byte key per row, not
+    * multi-KB documents — the difference between moving ~2 % and ~100 % of a
+    * 100 TB corpus through the exchange. Output: (fp, keeper_id, n_copies).
+    */
+  def dedupKeepFirstByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   /** Word n-grams as zip_with over shifted slices of the split array:
     * gram[i] = w[i] ⧺ w[i+1] ⧺ … ⧺ w[i+n−1]. Each slice/split evaluates
     * once per ROW — an element_at-per-index formulation re-evaluates the

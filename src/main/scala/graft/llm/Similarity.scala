@@ -167,24 +167,54 @@ object Similarity {
     finishTopK(cand, k)
   }
 
-  /** Embedding near-dup pairs (cosine ≥ threshold) via the same banded LSH
-    * candidate generation — never an all-pairs crossJoin.
+  /** Candidate pairs for the embedding near-dup regime: 64-bit hyperplane
+    * signature split into four 16-bit bands (the same band geometry as
+    * SimHash d03), candidates = pairs colliding in at least one band.
+    *
+    * Collision math (per-bit agreement p = 1 − θ/π): a RANDOM pair
+    * (cos ≈ 0 ⇒ p = 0.5) collides in a 16-bit band with prob 2⁻¹⁶, so the
+    * candidate set is ≈ 4n²/65536 ≈ n²·6·10⁻⁵ — bucketed, never all-pairs —
+    * while a true near-dup (cos ≥ 0.99 ⇒ p ≈ 0.955) still collides with
+    * prob ≈ 0.93, and an exact-duplicate/positively-scaled copy collides
+    * with prob 1 (signatures are invariant under positive scaling).
+    * Narrower bands (the previous 4-bit variant) admit a CONSTANT fraction
+    * (~23 %) of all pairs — quadratic at corpus scale.
+    *
+    * Only (id, band-key) rows enter the self-join shuffle; embeddings rejoin
+    * after the pair `distinct()`, so the exchange moves 8-byte signatures,
+    * not vector payloads.
+    */
+  def hyperplaneCandidatePairs(spark: SparkSession, df: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    val nBits = 64
+    val bands = 4 // four 16-bit bands
+    val sig = hyperplaneSignature(spark, col(embCol), nBits)
+    val withB = df.select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+    withB.as("a").join(withB.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Embedding near-dup pairs (cosine ≥ threshold) via banded hyperplane
+    * LSH candidates + exact cosine verification — never an all-pairs
+    * crossJoin. `threshold` belongs in the true near-dup regime (≥ 0.9):
+    * band recall decays fast below it (by design — that selectivity is what
+    * keeps the candidate set sub-quadratic); moderate-similarity search
+    * routes to [[ivfTopK]] instead.
     */
   def embeddingNearDupPairs(spark: SparkSession, df: DataFrame,
       idCol: String, embCol: String, threshold: Double): DataFrame = {
-    val nBits = 16
-    val bands = 4 // four 4-bit bands → high candidate recall for near-dups
-    val sig = hyperplaneSignature(spark, col(embCol), nBits)
-    val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"), sig.as("sig"))
-      .select(col("id"), col("emb"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * 4).bitwiseAND(0xFL).as("key"))): _*)).as("bk"))
-    withB.as("a").join(withB.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(spark, col("a.emb"), col("b.emb")).as("sim"))
-      .distinct()
+    val ids = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    hyperplaneCandidatePairs(spark, df, idCol, embCol)
+      .join(ids.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(ids.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(spark, col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.QSpec
 import graft.analysis.Profile
 import graft.features.{Derived, NullPolicy}
-import graft.util.{Exact, Tables}
+import graft.util.{Exact, ExactQuantiles, Tables}
 import org.apache.spark.ml.feature.Bucketizer
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -45,7 +45,10 @@ object Composite {
 
   /** a02 — outlier capping (winsorize at exact p01/p99; the library Capper
     * uses approxQuantile — exact percentiles here so the oracle can match;
-    * ref: src/features/feature_engineering.py:152-180).
+    * ref: src/features/feature_engineering.py:152-180). The exact bounds
+    * come from [[graft.util.ExactQuantiles]]'s value-frequency plan
+    * (O(distinct prices) state), not Spark's buffer-every-row `percentile`
+    * aggregate, so the declared plan holds at 100 TB.
     */
   val a02 = QSpec(
     "a02_capping",
@@ -58,9 +61,8 @@ object Composite {
            |ORDER BY l_orderkey, l_linenumber""".stripMargin),
     (s, d) => {
       val li = lineitem(s, d)
-      val b = li.agg(
-        expr("percentile(l_extendedprice, 0.01)").as("lo"),
-        expr("percentile(l_extendedprice, 0.99)").as("hi"))
+      val b = ExactQuantiles.quantilesRow(li, "l_extendedprice",
+        Seq("lo" -> 0.01, "hi" -> 0.99))
       li.filter(col("l_orderkey") % 101 === 0).crossJoin(b)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 2)
@@ -240,5 +242,37 @@ object Composite {
       orders(s, d).withColumn("pred", col("o_totalprice") * 1.07 + 500),
       "pred", "o_totalprice"))
 
-  val specs: Seq[QSpec] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10, a11, a12)
+  /** a13 — Pearson correlation matrix over lineitem numerics, one
+    * distributed moment pass (the reference's pandas .corr():
+    * notebooks/01_exploratory_data_analysis.py:253-254). The oracle spells
+    * out the same exact-decimal moment formula — NOT DuckDB's streaming
+    * corr() — so both engines evaluate the identical closed form.
+    */
+  val a13 = QSpec(
+    "a13_corr_matrix",
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1) } yield (a, b)
+      val moments =
+        ("COUNT(*) AS n" +:
+          (cols.flatMap(c => Seq(
+            s"CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(25, 6))) AS DOUBLE) AS s__$c",
+            s"CAST(SUM(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(30, 6))) AS DOUBLE) AS s2__$c")) ++
+            pairs.map { case (a, b) =>
+              s"CAST(SUM(CAST(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) AS DECIMAL(30, 6))) AS DOUBLE) AS sp__${a}__$b"
+            })).mkString(",\n  ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           | ROUND((n * sp__${a}__$b - s__$a * s__$b)
+           |   / SQRT((n * s2__$a - s__$a * s__$a) * (n * s2__$b - s__$b * s__$b)), 6) AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH m AS (SELECT\n  $moments\nFROM lineitem)\n$rows\nORDER BY col_a, col_b"
+    },
+    (s, d) => Profile.corrMatrix(lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_a", "col_b"))
+
+  val specs: Seq[QSpec] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
+    a11, a12, a13)
 }

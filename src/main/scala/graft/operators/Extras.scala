@@ -51,16 +51,27 @@ object Extras {
       .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first))
 
-  /** x02 — HLL sketch: approx_count_distinct next to the exact count
-    * (different sketch implementations per engine → rows-only; accuracy
-    * asserted in ScalaTest).
+  /** x02 — HLL sketch with a tolerance oracle: the sketches differ per
+    * engine, so the comparable output is the exact distinct count plus a
+    * boolean asserting the engine's own HLL estimate lands within 5 %
+    * relative error of it. Hash equality then proves both engines' sketches
+    * met the bound on the same data — a real accuracy check, not rows-only.
     */
   val x02 = QSpec(
     "x02_approx_distinct",
-    None,
+    Some("""SELECT exact_distinct,
+           |  ABS(approx_distinct - exact_distinct) <= 0.05 * exact_distinct AS hll_within_5pct
+           |FROM (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct,
+           |             approx_count_distinct(o_custkey) AS approx_distinct
+           |      FROM orders)""".stripMargin),
     (s, d) => orders(s, d).agg(
       countDistinct(col("o_custkey")).as("exact_distinct"),
-      approx_count_distinct(col("o_custkey")).as("approx_distinct")))
+      // rsd 0.01 (vs the 0.05 default): the declared bound is 5× the
+      // sketch's standard error, not a coin flip on a 1-σ excursion
+      approx_count_distinct(col("o_custkey"), 0.01).as("approx_distinct"))
+      .select(col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")) <=
+          lit(0.05) * col("exact_distinct")).as("hll_within_5pct")))
 
   /** t05 — tokenize → explode → word counts over documents.text (top 50). */
   val t05 = QSpec(

@@ -28,10 +28,28 @@ object LlmOps {
            |FROM documents""".stripMargin),
     (s, d) => Dedup.exactStats(documents(s, d), "text"))
 
-  /** d02 — MinHash+LSH near-dup (banded bucket join; rows-only oracle). */
+  /** d02 — MinHash+LSH near-dup (banded bucket join). The oracle is the
+    * EXACT all-pairs 3-gram Jaccard (no pruning): minhash candidates are
+    * re-verified with exact Jaccard, so precision is exact by construction,
+    * and with 8 tables the per-pair miss prob at J = 0.5 is (1−J)⁸ ≈ 0.4 % —
+    * zero misses on this corpus (checked at sf0.001 and sf0.01), so the
+    * hash compare is a true recall assertion, not just a row count.
+    */
   val d02 = QSpec(
     "d02_minhash_lsh",
-    None,
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text", 0.5)
       .orderBy("doc_a", "doc_b"))
 
@@ -66,13 +84,61 @@ object LlmOps {
       maxDocFreq = Some(10))
       .orderBy("doc_a", "doc_b"))
 
-  /** d05 — embedding cosine near-dup via banded hyperplane LSH. */
+  /** d05 — embedding cosine near-dup via banded 64-bit hyperplane LSH
+    * (four 16-bit bands, threshold in the true near-dup regime).
+    *
+    * The synthetic embeddings table holds no near-dup pairs (max pairwise
+    * cosine ≈ 0.55), so the query plants them deterministically: every 10th
+    * vector re-enters the corpus positively scaled (×1.25, exact in binary
+    * float) under id+100000. Positive scaling preserves every hyperplane
+    * sign, so LSH recall on planted pairs is exactly 1 — which makes the
+    * query hash-oracle-able: the DuckDB twin computes exact all-pairs
+    * cosine ≥ 0.9 over the same augmented corpus (mirroring s01's
+    * double-precision loop), and the hash compare asserts the LSH path
+    * found precisely the exact answer.
+    */
   val d05 = QSpec(
     "d05_embedding_neardup",
-    None,
-    (s, d) => Similarity.embeddingNearDupPairs(
-      s, embeddings(s, d), "vec_id", "embedding", 0.4)
-      .orderBy("id_a", "id_b"))
+    Some("""WITH aug AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(embedding, x -> CAST(x * CAST(1.25 AS FLOAT) AS FLOAT))
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+           |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |    / (SQRT(list_sum(list_transform(range(1, len(a.embedding) + 1),
+           |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           |       * SQRT(list_sum(list_transform(range(1, len(b.embedding) + 1),
+           |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+           |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM pairs
+           |WHERE sim >= 0.9 ORDER BY id_a, id_b""".stripMargin),
+    (s, d) => {
+      val base = embeddings(s, d).select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.25f)).cast("float"))
+            .as("embedding"))
+      Similarity.embeddingNearDupPairs(s, base.unionByName(planted),
+        "vec_id", "embedding", 0.9)
+        .orderBy("id_a", "id_b")
+    })
+
+  /** d06 — exact-dedup keeper assignment at scale: group by the 128-bit t04
+    * fingerprint instead of the raw text, so the shuffle key is 16 bytes per
+    * row regardless of document size (SCALE.md's prescription for d01);
+    * minimal doc_id survives per group.
+    */
+  val d06 = QSpec(
+    "d06_dedup_keepfirst",
+    Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+           |       MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+           |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin),
+    (s, d) => Dedup.dedupKeepFirstByFingerprint(documents(s, d), "text", "doc_id")
+      .orderBy("keeper_id"))
 
   /** s01 — brute-force cosine top-k (the exact baseline; oracle mirrors the
     * fused dot/norm loop of graft.functions.CosineSimilarity).
@@ -244,6 +310,6 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
-  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
+  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
     t01, t02, t03, t04, mm01, mm02)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QSpec
-import graft.util.{Exact, Tables}
+import graft.util.{Exact, ExactQuantiles, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -259,8 +259,12 @@ object Relational {
       .crossJoin(orders(s, d).agg(count(lit(1)).as("orders_cnt")))
       .crossJoin(customer(s, d).agg(count(lit(1)).as("customer_cnt"))))
 
-  /** q19 — summary() statistics: count/mean/std/min/quartiles/max, computed
-    * with exact percentiles (ref: src/features/target_transformer.py:34).
+  /** q19 — summary() statistics: count/mean/std/min/quartiles/max
+    * (ref: src/features/target_transformer.py:34). Quartiles are EXACT
+    * (quantile_cont semantics, same oracle) but computed through the
+    * distributed value-frequency table ([[graft.util.ExactQuantiles]]) —
+    * O(distinct values) state, never Spark's buffer-every-row `percentile`
+    * aggregate, so the plan survives a 100 TB column.
     */
   val q19 = QSpec(
     "q19_summary_stats",
@@ -273,28 +277,57 @@ object Relational {
             | ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
             | MAX(l_quantity) AS max_qty
             |FROM lineitem""".stripMargin),
-    (s, d) => lineitem(s, d).agg(
-      count(lit(1)).as("n"),
-      Exact.davg(col("l_quantity")).as("mean_qty"),
-      round(Exact.dstd(col("l_quantity")), 4).as("std_qty"),
-      min("l_quantity").as("min_qty"),
-      round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
-      round(expr("percentile(l_quantity, 0.50)"), 4).as("p50"),
-      round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
-      max("l_quantity").as("max_qty")))
+    (s, d) => {
+      val li = lineitem(s, d)
+      val stats = li.agg(
+        count(lit(1)).as("n"),
+        Exact.davg(col("l_quantity")).as("mean_qty"),
+        round(Exact.dstd(col("l_quantity")), 4).as("std_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+      val quart = ExactQuantiles.quantilesRow(li, "l_quantity",
+        Seq("p25r" -> 0.25, "p50r" -> 0.50, "p75r" -> 0.75))
+      stats.crossJoin(quart).select(
+        col("n"), col("mean_qty"), col("std_qty"), col("min_qty"),
+        round(col("p25r"), 4).as("p25"),
+        round(col("p50r"), 4).as("p50"),
+        round(col("p75r"), 4).as("p75"),
+        col("max_qty"))
+    })
 
-  /** q20 — approxQuantile (Greenwald–Khanna, relErr 0.01; approximate, so no
-    * SQL oracle — driver records rows-only; exactness covered by q19)
+  /** q20 — approxQuantile (Greenwald–Khanna, relErr 0.01)
     * (ref: src/features/feature_engineering.py:164).
+    *
+    * Tolerance oracle: GK guarantees |rank(q̂) − p| ≤ ε, so the comparable
+    * output is the exact empirical rank of each estimate (one scalable
+    * counting pass) tested against the bound (ε + 0.001 slack). The DuckDB
+    * twin asserts the same rank property of its exact `quantile_cont` —
+    * hash equality proves the sketch met its guarantee on the same data.
     */
   val q20 = QSpec(
     "q20_approx_quantile",
-    None,
+    Some("""WITH q AS (SELECT quantile_cont(o_totalprice, 0.01) AS v01,
+           |                  quantile_cont(o_totalprice, 0.50) AS v50,
+           |                  quantile_cont(o_totalprice, 0.99) AS v99 FROM orders),
+           |r AS (SELECT COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN o_totalprice <= (SELECT v01 FROM q) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS r01,
+           |  CAST(SUM(CASE WHEN o_totalprice <= (SELECT v50 FROM q) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS r50,
+           |  CAST(SUM(CASE WHEN o_totalprice <= (SELECT v99 FROM q) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS r99
+           |  FROM orders)
+           |SELECT n, ABS(r01 - 0.01) <= 0.011 AS p01_rank_ok,
+           |          ABS(r50 - 0.50) <= 0.011 AS p50_rank_ok,
+           |          ABS(r99 - 0.99) <= 0.011 AS p99_rank_ok
+           |FROM r""".stripMargin),
     (s, d) => {
-      val qs = orders(s, d).stat
-        .approxQuantile("o_totalprice", Array(0.01, 0.5, 0.99), 0.01)
-      import s.implicits._
-      Seq((qs(0), qs(1), qs(2))).toDF("p01", "p50", "p99")
+      val o = orders(s, d)
+      val qs = o.stat.approxQuantile("o_totalprice", Array(0.01, 0.5, 0.99), 0.01)
+      val rank = (v: Double) =>
+        sum(when(col("o_totalprice") <= v, 1).otherwise(0)).cast("double") / count(lit(1))
+      o.agg(
+        count(lit(1)).as("n"),
+        (abs(rank(qs(0)) - 0.01) <= 0.011).as("p01_rank_ok"),
+        (abs(rank(qs(1)) - 0.50) <= 0.011).as("p50_rank_ok"),
+        (abs(rank(qs(2)) - 0.99) <= 0.011).as("p99_rank_ok"))
     })
 
   /** q21 — global sort desc (range-partitioned exchange + per-partition sort)

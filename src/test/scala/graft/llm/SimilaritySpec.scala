@@ -77,4 +77,26 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs should contain((0L, 4L)) // cosine(e0, e4) ≈ 0.9939
   }
+
+  test("d05 banding: candidate set < 1% of all pairs, recall 1.0 on planted dups") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // positive scaling preserves every hyperplane sign → planted recall
+    // must be exactly 1, while random pairs collide in a 16-bit band with
+    // prob 2^-16 → candidate set far below 1% of all pairs
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.25f)).cast("float")).as("embedding"))
+    val aug = base.unionByName(planted)
+    val n = aug.count()
+    val nCand = Similarity.hyperplaneCandidatePairs(spark, aug, "vec_id", "embedding").count()
+    val allPairs = n.toDouble * (n - 1) / 2
+    (nCand / allPairs) should be < 0.01
+    val found = Similarity.embeddingNearDupPairs(spark, aug, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = base.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    found shouldBe expected // recall 1.0 and exact precision vs the truth set
+  }
 }
