@@ -30,7 +30,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try {
+          // materialize every output row (not count(): that lets Catalyst
+          // column-prune the declared projection expressions, timing
+          // scalar-function queries as bare scans)
+          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+          true
+        }
         catch {
           case e: Throwable =>
             errors += name
@@ -46,7 +52,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout capture may truncate (BENCH_r02 lost its tail to a 10 KB cap):
+    // persist the full line where the driver/judge can always read it
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -127,44 +127,85 @@ object Similarity {
     * cluster (the inverted file), probes search only the `nprobe` nearest
     * clusters, exact cosine re-rank on members.
     */
-  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
-      idCol: String, embCol: String, k: Int,
-      nClusters: Int = 16, nprobe: Int = 6, seed: Long = 42L): DataFrame = {
+  /** IVF index: the inverted file (neighbor_id, emb, cluster) plus the
+    * fitted centroids (tiny: nClusters × dim floats — driver/literal-sized
+    * by construction, like any ANN index's coarse quantizer).
+    */
+  final case class IvfIndex(inverted: DataFrame, centroids: Array[Array[Float]])
+
+  /** Build the IVF coarse quantizer: spherical k-means (cluster L2-normalized
+    * vectors so Euclidean assignment and cosine probe-ranking agree:
+    * ‖x−y‖² = 2 − 2cos on the unit sphere). Centroids are fit on a bounded
+    * deterministic sample (standard IVF build practice — k-means needs
+    * ~O(100) points per centroid, not the corpus); only the ASSIGNMENT pass
+    * touches every row.
+    */
+  def buildIvfIndex(spark: SparkSession, corpus: DataFrame,
+      idCol: String, embCol: String, nClusters: Int,
+      seed: Long = 42L, maxFitRows: Long = 100000L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.feature.Normalizer
     import org.apache.spark.ml.functions.array_to_vector
 
-    // spherical k-means: cluster L2-normalized vectors so Euclidean
-    // assignment and cosine probe-ranking agree (‖x−y‖² = 2 − 2cos on the
-    // unit sphere); re-rank still uses the raw embeddings
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
       .withColumn("raw_fv", array_to_vector(col("emb")))
     val normalizer = new Normalizer().setInputCol("raw_fv").setOutputCol("fv").setP(2.0)
     val cn = normalizer.transform(c)
+    val n = cn.count()
+    val fitSet =
+      if (n <= maxFitRows) cn
+      else cn.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
     val km = new KMeans().setK(nClusters).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cluster").fit(cn)
-    val inverted = km.transform(cn).select("neighbor_id", "emb", "cluster")
+      .setFeaturesCol("fv").setPredictionCol("cluster").fit(fitSet)
+    IvfIndex(km.transform(cn).select("neighbor_id", "emb", "cluster"),
+      km.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
 
-    // nprobe nearest centroids per probe: centroid list is tiny and fixed
-    // (k × dim floats) → literal array, evaluated per probe row
-    val centroidArr = array(km.clusterCenters.zipWithIndex.map { case (ctr, i) =>
-      struct(lit(i).as("cid"),
-        array(ctr.toArray.map(v => lit(v.toFloat)): _*).as("cv"))
+  /** The `nprobe` nearest clusters per probe: (p_id, p_emb, cluster) rows.
+    * The centroid list is tiny and fixed → literal array, evaluated per
+    * probe row.
+    */
+  def probeClusters(spark: SparkSession, idx: IvfIndex, probes: DataFrame,
+      idCol: String, embCol: String, nprobe: Int): DataFrame = {
+    val centroidArr = array(idx.centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(lit(i).as("cid"), array(ctr.map(lit(_)): _*).as("cv"))
     }: _*)
     GraftFunctions.ensureRegistered(spark)
-    val p = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
+    probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
       .withColumn("near", slice(array_sort(
         transform(centroidArr, ce => struct(
           (-call_function("cosine_sim", col("p_emb"), ce.getField("cv"))).as("negSim"),
           ce.getField("cid").as("cid")))), 1, nprobe))
       .select(col("p_id"), col("p_emb"),
         explode(col("near").getField("cid")).as("cluster"))
+  }
 
-    val cand = inverted.join(broadcast(p), Seq("cluster"))
+  /** IVF (inverted-file) ANN top-k search over a prebuilt index: exact
+    * cosine re-rank on the members of each probe's `nprobe` clusters.
+    */
+  def ivfSearch(spark: SparkSession, idx: IvfIndex, probes: DataFrame,
+      idCol: String, embCol: String, k: Int, nprobe: Int): DataFrame = {
+    val p = probeClusters(spark, idx, probes, idCol, embCol, nprobe)
+    val cand = idx.inverted.join(broadcast(p), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("p_id"))
       .select(col("p_id"), col("neighbor_id"),
         cosine(spark, col("emb"), col("p_emb")).as("sim"))
     finishTopK(cand, k)
+  }
+
+  /** Build + search in one call. Defaults hit recall@10 = 0.94–0.96 at
+    * ~31 % of the corpus scanned on the synthetic embeddings (SCALE.md
+    * records the measured recall/scan curve): at a FIXED scan fraction,
+    * many small cells beat few large ones, so nClusters is sized for ~2–4
+    * members per cell on this 500-vector corpus; production IVF keeps the
+    * same nprobe/nClusters ratio with nClusters ≈ √n cells.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      nClusters: Int = 256, nprobe: Int = 80, seed: Long = 42L,
+      maxFitRows: Long = 100000L): DataFrame = {
+    val idx = buildIvfIndex(spark, corpus, idCol, embCol, nClusters, seed, maxFitRows)
+    ivfSearch(spark, idx, probes, idCol, embCol, k, nprobe)
   }
 
   /** Candidate pairs for the embedding near-dup regime: 64-bit hyperplane

@@ -169,8 +169,11 @@ object LlmOps {
     })
 
   /** s02 — ANN top-k via IVF coarse quantization (the 100 TB scale path for
-    * top-k; recall < 1 by construction → rows-only; recall measured against
-    * s01 in SCALE.md). Hyperplane-LSH banding remains the candidate
+    * top-k; recall < 1 by construction → rows-only; SimilaritySpec asserts
+    * recall@10 ≥ 0.9 at ≤ 50 % of the corpus scanned, and SCALE.md records
+    * the measured recall/scan curve — 0.94–0.96 at ~31 % with 256 cells/80
+    * probes). Centroids fit on a bounded deterministic sample; assignment
+    * is the only full pass. Hyperplane-LSH banding remains the candidate
     * generator for the near-dup regime (d05), where its collision math
     * actually prunes well.
     */

@@ -78,6 +78,24 @@ class SimilaritySpec extends SparkSpec {
     pairs should contain((0L, 4L)) // cosine(e0, e4) ≈ 0.9939
   }
 
+  test("ivfTopK: recall@10 >= 0.9 while scanning <= 50% of the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(spark, emb, probes, "vec_id", "embedding", 10)
+      .select("p_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val idx = Similarity.buildIvfIndex(spark, emb, "vec_id", "embedding", 256)
+    val ivf = Similarity.ivfSearch(spark, idx, probes, "vec_id", "embedding", 10, 80)
+      .select("p_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    recall should be >= 0.9
+    // measured scan fraction: members of probed clusters / (nProbes × corpus)
+    val sizes = idx.inverted.groupBy("cluster").count()
+    val scanned = Similarity.probeClusters(spark, idx, probes, "vec_id", "embedding", 80)
+      .join(sizes, "cluster").agg(sum("count")).as[Long].head()
+    val scanFrac = scanned.toDouble / (probes.count() * emb.count())
+    scanFrac should be <= 0.5
+  }
+
   test("d05 banding: candidate set < 1% of all pairs, recall 1.0 on planted dups") {
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
