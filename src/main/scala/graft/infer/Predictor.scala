@@ -40,11 +40,26 @@ class Predictor(
 
   /** Single property as (columnName → value), with the declared schema
     * (ref: src/inference/predict.py:31-62). Missing fields become null.
+    *
+    * Runs a full per-call Spark job — fine for ad-hoc use; a serving loop
+    * should [[prepareSingle]] once and reuse the compiled path (≥10×
+    * faster, measured in PipelineSpec).
     */
   def predictSingle(spark: SparkSession, values: Map[String, Any], schema: StructType): Double = {
     val row = Row.fromSeq(schema.fields.map(f => values.get(f.name).orNull).toSeq)
     val df = spark.createDataFrame(
       java.util.Arrays.asList(row), schema)
     predictBatch(df).select(col("prediction_price")).head().getDouble(0)
+  }
+
+  /** Compile the full fitted pipeline (feature transform → model → smearing
+    * inverse) into a driver-local row evaluator — one-time Catalyst
+    * analysis, zero per-call planning/jobs. See [[PreparedPredictor]].
+    */
+  def prepareSingle(spark: SparkSession, schema: StructType): PreparedPredictor = {
+    val template = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    val out = predictBatch(template).select(col("prediction_price"))
+    new PreparedPredictor(out.queryExecution.analyzed, schema, "prediction_price")
   }
 }

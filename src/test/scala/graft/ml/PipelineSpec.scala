@@ -93,4 +93,32 @@ class PipelineSpec extends SparkSpec {
       org.apache.spark.sql.types.StructType(listings.schema.fields.filterNot(_.name == "price")))
     single shouldBe batch +- 1e-9
   }
+
+  test("prepared single-row path matches the naive path and is >= 10x faster") {
+    val fe = Encoding.buildPipeline(Seq("property_type"), Seq("size"),
+      handleInvalid = "skip").fit(listings)
+    val tt = new TargetTransformer("price").fit(listings)
+    val train = tt.transform(fe.transform(listings))
+    val model = Trainer.linear("log_price").setSolver("normal").fit(train)
+    val predictor = new Predictor(fe.transform(_), model, tt)
+    val schema = org.apache.spark.sql.types.StructType(
+      listings.schema.fields.filterNot(_.name == "price"))
+    val input = Map[String, Any](
+      "id_annonce" -> 1, "property_type" -> "maison", "size" -> 75.0)
+
+    val prepared = predictor.prepareSingle(spark, schema)
+    val naive = predictor.predictSingle(spark, input, schema)
+    prepared.predict(input).get shouldBe naive +- 1e-9
+
+    // micro-bench: both paths warmed above; per-call medians over small loops
+    def timeAvgNs(n: Int)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); (1 to n).foreach(_ => f)
+      (System.nanoTime() - t0).toDouble / n
+    }
+    val naiveNs = timeAvgNs(5)(predictor.predictSingle(spark, input, schema))
+    val preparedNs = timeAvgNs(100)(prepared.predict(input))
+    withClue(f"naive=${naiveNs / 1e6}%.2fms prepared=${preparedNs / 1e6}%.3fms: ") {
+      (naiveNs / preparedNs) should be >= 10.0
+    }
+  }
 }
