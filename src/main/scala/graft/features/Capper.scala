@@ -49,24 +49,30 @@ class Capper(
 
   def fitTransform(df: DataFrame): DataFrame = fit(df).transform(df)
 
-  /** Persist bounds as JSON, shaped like the reference's params.json. */
+  /** Persist bounds as JSON in the reference's nested params.json shape:
+    * {"capping_values": {"col": {"lower": …, "upper": …}}} — so artifacts
+    * are interoperable with reference-produced state in both directions.
+    */
   def save(path: String): Unit = {
     val body = bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-      s""""$c": [$lo, $hi]"""
-    }.mkString("{", ", ", "}")
+      s""""$c": {"lower": $lo, "upper": $hi}"""
+    }.mkString("""{"capping_values": {""", ", ", "}}")
     val parent = Paths.get(path).getParent
     if (parent != null) Files.createDirectories(parent)
     Files.writeString(Paths.get(path), body)
   }
 
+  /** Loads both this class's output and a reference-produced params.json
+    * (the {"lower": …, "upper": …} objects are the only shape either
+    * writes inside capping_values).
+    */
   def load(path: String): this.type = {
-    val txt = Files.readString(Paths.get(path)).trim.stripPrefix("{").stripSuffix("}")
-    val entries = txt.split("""\],?\s*""").filter(_.nonEmpty).map { e =>
-      val Array(k, v) = e.split(""":\s*\[""", 2)
-      val key = k.trim.stripPrefix("\"").stripSuffix("\"")
-      val Array(lo, hi) = v.split(",").map(_.trim.toDouble)
-      key -> (lo, hi)
-    }
+    val txt = Files.readString(Paths.get(path))
+    val entry =
+      """"([^"]+)"\s*:\s*\{\s*"lower"\s*:\s*([-0-9.eE]+)\s*,\s*"upper"\s*:\s*([-0-9.eE]+)\s*\}""".r
+    val entries = entry.findAllMatchIn(txt)
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toSeq
+    require(entries.nonEmpty, s"no capping_values entries found in $path")
     state = Some(entries.toMap)
     this
   }

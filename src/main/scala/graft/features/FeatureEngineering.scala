@@ -29,7 +29,14 @@ class FeatureEngineering(
   val derivedCols: Seq[String] =
     Seq("distance_to_eiffel", "log_size", "log_land_size", "rooms_per_m2", "is_house")
 
-  private val cappedCols = Seq("size", "land_size")
+  /** Capped columns = the reference's NUMERIC_COLS minus the label (the
+    * exact key set of models/rf/feature_engineering/params.json's
+    * capping_values): every numeric feature EXCEPT the geographic
+    * coordinates, which the reference never caps (not in its NUMERIC_COLS —
+    * and winsorizing them would distort the haversine derived feature).
+    */
+  private val cappedCols = numericCols.filterNot(c =>
+    c == "approximate_latitude" || c == "approximate_longitude")
 
   private var capperOpt: Option[Capper] = None
   private var pipelineOpt: Option[PipelineModel] = None

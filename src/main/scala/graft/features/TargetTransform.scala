@@ -34,7 +34,13 @@ class TargetTransformer(val labelCol: String = "price") extends Serializable {
   val logCol: String = s"log_$labelCol"
 
   def fit(df: DataFrame): this.type = {
-    val lg = Derived.guardedLog(col(labelCol))
+    // log stats over raw ln(label) with non-positive labels excluded (null
+    // → skipped by avg/stddev), matching the reference's summary-of-log
+    // semantics (src/features/target_transformer.py:34-44): guardedLog's
+    // 0.0 for label ≤ 0 would otherwise bias log_mean/log_std and hence
+    // the Duan smearing factor. transform() still uses the guarded log,
+    // as the reference does.
+    val lg = when(col(labelCol) > 0, log(col(labelCol)))
     val row = df.agg(
       count(col(labelCol)).as("n"),
       avg(col(labelCol)).as("mean"),

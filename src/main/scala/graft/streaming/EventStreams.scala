@@ -75,35 +75,61 @@ object EventStreams {
     * state and EMITS a session row only when a gap larger than
     * `gapMinutes` is observed (zero-or-more outputs per invocation — the
     * shape mapGroupsWithState can't express).
+    *
+    * Robust to streaming realities:
+    *   - out-of-order arrivals never move the session window backwards
+    *     (start/end extend via min/max; a late event inside the current
+    *     session merges into it rather than corrupting gap detection);
+    *   - each user's FINAL session is flushed by an event-time timeout at
+    *     lastTs + gap once the watermark passes it — without a timeout an
+    *     open session would sit in state forever and never be emitted.
     */
   final case class SessionState(start: Long, lastTs: Long, n: Long)
   final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
-  def closedSessions(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+  def closedSessions(events: Dataset[EventRow], gapMinutes: Int = 30,
+      watermark: String = "2 hours"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastTs >= gapMs =>
-                closed += ClosedSession(userId, s.start, s.lastTs, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case Some(s) =>
-                cur = Some(s.copy(lastTs = t, n = s.n + 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: the session
+            // is definitively closed (anything older would be dropped as
+            // late anyway)
+            val out = state.getOption
+              .map(s => ClosedSession(userId, s.start, s.lastTs, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs >= gapMs =>
+                  closed += ClosedSession(userId, s.start, s.lastTs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(
+                    math.min(s.start, t), math.max(s.lastTs, t), s.n + 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // must stay ahead of the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
       }
   }
 

@@ -40,6 +40,13 @@ class CapperSpec extends SparkSpec {
     loaded.bounds shouldBe capper.bounds
   }
 
+  test("load() parses a reference-produced params.json directly") {
+    val cap = new Capper(Seq("size"))
+      .load("/root/reference/models/rf/feature_engineering/params.json")
+    cap.bounds("size") shouldBe ((0.0, 411311.0))
+    cap.bounds("nb_rooms") shouldBe ((0.0, 130.0))
+  }
+
   test("multi-column fit is a single job over all columns") {
     val df = Seq.tabulate(500)(i => (i.toDouble, (500 - i).toDouble)).toDF("a", "b")
     val capper = new Capper(Seq("a", "b")).fit(df)

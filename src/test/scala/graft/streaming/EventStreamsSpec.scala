@@ -105,6 +105,26 @@ class EventStreamsSpec extends SparkSpec {
       closed.head.n_events shouldBe 2
       closed.head.start_ms shouldBe ts(0).getTime
       closed.head.end_ms shouldBe ts(10).getTime
+
+      // out-of-order arrival in a LATER micro-batch: merges into the open
+      // session (window extends via min/max — end must not move backwards)
+      input.addData(EventRow(4, ts(55), 10, "click", 1.0))
+      query.processAllAvailable()
+      spark.table("closed_test").count() shouldBe 1 // still just the first
+
+      // advance the watermark (2h delay) past lastTs + gap via another user,
+      // then trigger one more batch so the event-time timeout fires and
+      // flushes user 10's FINAL session
+      input.addData(EventRow(5, ts(300), 20, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(EventRow(6, ts(301), 20, "view", 1.0))
+      query.processAllAvailable()
+      val all = spark.table("closed_test").as[EventStreams.ClosedSession]
+        .collect().sortBy(_.start_ms)
+      all.length shouldBe 2
+      all(1).start_ms shouldBe ts(55).getTime // extended backwards by the late event
+      all(1).end_ms shouldBe ts(60).getTime   // not corrupted by out-of-order arrival
+      all(1).n_events shouldBe 2
     } finally query.stop()
   }
 
