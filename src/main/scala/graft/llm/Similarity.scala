@@ -152,11 +152,17 @@ object Similarity {
     val normalizer = new Normalizer().setInputCol("raw_fv").setOutputCol("fv").setP(2.0)
     val cn = normalizer.transform(c)
     val n = cn.count()
-    val fitSet =
+    val sampled =
       if (n <= maxFitRows) cn
       else cn.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+    // the fit sample is small by construction — pack it into few partitions
+    // (~25k rows each) and cache it: Lloyd iterations are per-partition
+    // jobs, so 32 near-empty partitions just buy 32× task overhead per step
+    val fitParts = math.max(1, (math.min(n, maxFitRows) / 25000L).toInt)
+    val fitSet = sampled.coalesce(fitParts).cache()
     val km = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cluster").fit(fitSet)
+    fitSet.unpersist(blocking = false)
     IvfIndex(km.transform(cn).select("neighbor_id", "emb", "cluster"),
       km.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
