@@ -90,6 +90,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-dup GROUP assignment: connected components over the near-dup
+    * pair graph — the step between pair generation (d02–d05) and keeper
+    * selection in a real dedup pipeline (one group ⇒ one retained doc;
+    * pairs alone under-delete because near-dup relations chain: a~b, b~c
+    * must collapse a,b,c together even when a≁c).
+    *
+    * Iterative min-label propagation: every round, each node takes the min
+    * label among itself and its neighbors (one equi-join + one partial+final
+    * min-aggregate per round — both distributed, nothing driver-side but the
+    * convergence check). Rounds needed = component diameter, and near-dup
+    * components are shallow star-ish clusters in practice, so this beats the
+    * constant-factor-heavy O(log n) star-contraction variants at the scales
+    * that matter; `maxIter` guards pathological chains.
+    *
+    * Output: (doc_id, group_id) for every node in the pair graph, where
+    * group_id = min doc id of the component (so the keeper rule "keep the
+    * group_id row" is keep-first).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).cache()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("node").agg(min("lbl").as("lbl")).cache()
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels.select(col("node").as("doc_id"), col("lbl").as("group_id"))
+  }
+
   /** MinHash near-dup, native form: per doc, `nTables` minhash values
     * (min over shingles of xxhash64(shingle ++ tableId)); candidates are
     * documents colliding in at least one table (equi-join on

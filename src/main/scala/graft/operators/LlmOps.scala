@@ -140,6 +140,42 @@ object LlmOps {
     (s, d) => Dedup.dedupKeepFirstByFingerprint(documents(s, d), "text", "doc_id")
       .orderBy("keeper_id"))
 
+  /** d07 — near-dup GROUP assignment: connected components (iterative
+    * min-label propagation) over the d04 pair graph — near-dup relations
+    * chain (a~b, b~c ⇒ one group even when a≁c), so keeper selection needs
+    * components, not pairs. Oracle: the same pair graph closed transitively
+    * with a recursive CTE, min reachable id per node.
+    */
+  val d07 = QSpec(
+    "d07_neardup_components",
+    Some("""WITH RECURSIVE
+           |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g0 AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 10),
+           |g AS (SELECT g0.* FROM g0 JOIN rare USING (gram)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |pairs AS (SELECT doc_a, doc_b
+           |          FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+           |SELECT a AS doc_id, MIN(b) AS group_id FROM reach GROUP BY a
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.5,
+        maxDocFreq = Some(10)),
+      "doc_a", "doc_b")
+      .orderBy("doc_id"))
+
   /** s01 — brute-force cosine top-k (the exact baseline; oracle mirrors the
     * fused dot/norm loop of graft.functions.CosineSimilarity).
     */
@@ -313,6 +349,6 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
-  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
+  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
     t01, t02, t03, t04, mm01, mm02)
 }

@@ -38,6 +38,26 @@ class PropertiesSpec extends SparkSpec {
       facts.filter(col("k") <= 29).count()         // dropped = label-less rows (quirk Q5)
   }
 
+  test("ExactQuantiles matches Spark's buffer-everything percentile on random data") {
+    // same interpolated order statistic, radically different plan — the
+    // frequency-table path must agree bit-for-bit after 1e-9 tolerance,
+    // including tie-heavy inputs (the modulo generator forces duplicates)
+    val gens = Seq(
+      Gen.nonEmptyListOf(Gen.choose(-1000000, 1000000).map(_ / 100.0)),
+      Gen.nonEmptyListOf(Gen.choose(0, 50).map(_.toDouble)))
+    val probs = Seq("p10" -> 0.10, "p25" -> 0.25, "p50" -> 0.50, "p99" -> 0.99)
+    for (g <- gens; s <- 1L to 3L; xs <- g.apply(Gen.Parameters.default, Seed(s))) {
+      val df = xs.toDF("x")
+      val exact = graft.util.ExactQuantiles.quantilesRow(df, "x", probs).head()
+      val builtin = df.agg(
+        expr("percentile(x, 0.10)"), expr("percentile(x, 0.25)"),
+        expr("percentile(x, 0.50)"), expr("percentile(x, 0.99)")).head()
+      probs.indices.foreach { i =>
+        exact.getDouble(i) shouldBe builtin.getDouble(i) +- 1e-9
+      }
+    }
+  }
+
   test("null-policy fills are total: no nulls escape on covered columns") {
     val df = Seq(
       (Some(1.0), Some("a")), (None, Some("b")), (Some(3.0), None),

@@ -42,6 +42,15 @@ class DedupSpec extends SparkSpec {
     pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
   }
 
+  test("connectedComponents collapses chained near-dup relations into one group") {
+    // chain 1-2, 2-4 (1≁4 directly) plus isolated pair 3-5: groups must be
+    // {1,2,4} labeled 1 and {3,5} labeled 3
+    val pairs = Seq((1L, 2L), (2L, 4L), (3L, 5L)).toDF("doc_a", "doc_b")
+    val groups = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    groups shouldBe Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L, 5L -> 3L)
+  }
+
   test("minhashPairs (native banded) recovers the planted near-dups exactly") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
