@@ -110,11 +110,24 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both edge directions from ONE evaluation of the (possibly expensive)
+    // pair-generation subtree — a union of two selects over `pairs` would
+    // run that whole DAG twice
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).cache()
+    // labels are monotonically non-increasing under min-propagation, so the
+    // exact label sum strictly decreases until the fixpoint — comparing it
+    // round-over-round is a 1-row aggregate on the already-cached frame,
+    // not another join+shuffle (decimal: exact at any node-count × id scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -123,8 +136,9 @@ object Dedup {
         .select(col("src").as("node"), col("lbl"))
       val next = labels.union(viaNeighbor)
         .groupBy("node").agg(min("lbl").as("lbl")).cache()
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev")).isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist(blocking = false)
       labels = next
       it += 1
