@@ -64,10 +64,23 @@ object GraftFunctions {
   val hyperplaneSigInfo = new ExpressionInfo(
     classOf[HyperplaneSignature].getName, "hyperplane_sig")
   val simhash64Info = new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
+  val minhashSigsInfo = new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs")
 
   /** hyperplane_sig(emb, nBits) — nBits must be a foldable int literal. */
   def buildHyperplaneSig(children: Seq[Expression]): Expression =
     HyperplaneSignature(children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue())
+
+  /** minhash_sigs(shingles, nTables) — nTables must be a foldable int literal. */
+  def buildMinHashSigs(children: Seq[Expression]): Expression =
+    MinHashSigs(children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue())
+
+  val wordNGramsInfo = new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams")
+
+  /** word_ngrams(text, n) — n must be a foldable int literal. */
+  def buildWordNGrams(children: Seq[Expression]): Expression =
+    WordNGrams(children(0),
       children(1).eval(null).asInstanceOf[Number].intValue())
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -85,6 +98,14 @@ object GraftFunctions {
     if (!registry.functionExists(sh)) {
       registry.registerFunction(sh, simhash64Info,
         (children: Seq[Expression]) => SimHash64(children.head))
+    }
+    val mh = org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs")
+    if (!registry.functionExists(mh)) {
+      registry.registerFunction(mh, minhashSigsInfo, buildMinHashSigs _)
+    }
+    val ng = org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")
+    if (!registry.functionExists(ng)) {
+      registry.registerFunction(ng, wordNGramsInfo, buildWordNGrams _)
     }
   }
 }

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+
+/** Fused MinHash signature kernel: all `nTables` per-table minima in one
+  * pass over the shingle array.
+  *
+  * Values are bit-identical to the HOF formulation
+  * `array_min(transform(shingles, s => xxhash64(s, lit(t))))` per table —
+  * SQL `xxhash64(s, lit(t))` is hash(t, seed = hash(s, seed = 42)), so the
+  * expensive byte hash of each shingle happens ONCE here and each table's
+  * value is a cheap integer re-hash, vs the HOF tree hashing every
+  * shingle's bytes `nTables` times (higher-order-function lambdas get no
+  * common-subexpression elimination) and allocating an intermediate hash
+  * array per (row, table).
+  */
+object MinHashSigsUtil {
+  def sigs(shingles: ArrayData, nTables: Int): ArrayData = {
+    val mins = Array.fill(nTables)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val hs = XxHash64Function.hash(shingles.getUTF8String(i), StringType, 42L)
+        var t = 0
+        while (t < nTables) {
+          val h = XxHash64Function.hash(t, IntegerType, hs)
+          if (h < mins(t)) mins(t) = h
+          t += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Native expression: `minhash_sigs(array<string>, nTables)` →
+  * array<long> of the per-table signed-min xxhash64 values (table index =
+  * array position).
+  */
+case class MinHashSigs(child: Expression, nTables: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigsUtil.sigs(input.asInstanceOf[ArrayData], nTables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigsUtil.sigs($c, $nTables);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}

@@ -50,6 +50,17 @@ object Dedup {
     filter(joined, g => g.isNotNull)
   }
 
+  /** Byte-identical to [[wordNGrams]] via the fused
+    * [[graft.functions.WordNGrams]] kernel (split once, one loop — no
+    * shifted-slice/concat intermediates per row); equality pinned in
+    * DedupSpec. Used by every shingling pipeline below.
+    */
+  def wordNGramsFused(spark: org.apache.spark.sql.SparkSession,
+      text: Column, n: Int): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    call_function("word_ngrams", text, lit(n))
+  }
+
   /** n-gram Jaccard near-dup: explode distinct grams, self-join on the gram
     * (the gram IS the bucket — candidate pairs only ever share a gram),
     * count intersections, compute |A∩B|/|A∪B|, keep pairs ≥ threshold.
@@ -65,7 +76,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val allGrams = df.select(col(idCol).as("doc"),
-      explode(array_distinct(wordNGrams(col(textCol), n))).as("gram"))
+      explode(array_distinct(wordNGramsFused(df.sparkSession, col(textCol), n))).as("gram"))
     val grams = maxDocFreq match {
       case None => allGrams
       case Some(cap) =>
@@ -159,22 +170,28 @@ object Dedup {
     * The minhash collision estimates Jaccard (P[collision per table] = J),
     * so nTables=8 gives ≥ 94% recall at J = 0.3 and ≥ 99.98% at J = 0.7 —
     * precision is exact because candidates are re-verified.
+    *
+    * Signatures come from the fused [[graft.functions.MinHashSigs]] kernel:
+    * one byte-hash per shingle + nTables integer re-hashes, bit-identical
+    * to the per-table HOF formulation but without hashing every shingle's
+    * bytes nTables times.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, nTables: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     // cached: consumed three times (signature pass + both candidate
     // rejoins); without it the shingle construction re-runs per consumer
     val shingled = df.select(col(idCol).as("id"),
-      array_distinct(wordNGrams(col(textCol), 3)).as("shingles"))
+      array_distinct(wordNGramsFused(df.sparkSession, col(textCol), 3)).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .cache()
     // signatures only — the self-join and the pair-dedup must not drag the
     // shingle arrays through the shuffle; shingles rejoin after distinct()
-    val withSigs = shingled.select(col("id"),
-      explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("table"),
-          array_min(transform(col("shingles"), s => xxhash64(s, lit(t)))).as("mh"))
-      }: _*)).as("bk"))
+    val withSigs = shingled
+      .select(col("id"), posexplode(
+        call_function("minhash_sigs", col("shingles"), lit(nTables)))
+        .as(Seq("table", "mh")))
+      .select(col("id"), struct(col("table"), col("mh")).as("bk"))
     val candKeys = withSigs.as("a").join(withSigs.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -198,7 +215,7 @@ object Dedup {
   def minhashPairsMl(df: DataFrame, idCol: String, textCol: String,
       maxJaccardDist: Double): DataFrame = {
     val withTokens = df.select(col(idCol).as("id"),
-      array_distinct(wordNGrams(col(textCol), 3)).as("toks"))
+      array_distinct(wordNGramsFused(df.sparkSession, col(textCol), 3)).as("toks"))
       .filter(size(col("toks")) > 0)
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)

@@ -23,5 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       GraftFunctions.simhash64Info,
       (children: Seq[Expression]) => graft.functions.SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      GraftFunctions.minhashSigsInfo,
+      GraftFunctions.buildMinHashSigs _))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      GraftFunctions.wordNGramsInfo,
+      GraftFunctions.buildWordNGrams _))
   }
 }

@@ -33,6 +33,18 @@ class DedupSpec extends SparkSpec {
     g shouldBe Seq("a b c", "b c d")
   }
 
+  test("fused word_ngrams kernel is byte-identical to the HOF formulation") {
+    val texts = Seq("a b c d e", "one two", "", "x", "double  space here ok",
+      "exactly three words").toDF("t")
+    for (n <- Seq(2, 3, 4)) {
+      val rows = texts.select(
+        Dedup.wordNGrams(col("t"), n).as("hof"),
+        Dedup.wordNGramsFused(spark, col("t"), n).as("fused"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (hof, fused) => fused shouldBe hof }
+    }
+  }
+
   test("ngramJaccardPairs finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
