@@ -15,17 +15,21 @@ import org.apache.spark.sql.functions._
   *   1. groupBy(value) → count: map-side combined, output rows = DISTINCT
   *      values (50 for an int code column, ~10⁷ for 2-dp prices), spread
   *      across the cluster — never the raw rows.
-  *   2. cumulative counts over the value order (one narrow window over the
-  *      small frequency table; single-partition by design, documented —
-  *      the frame is O(distinct values), not O(rows)).
-  *   3. each requested quantile reads exactly two frequency rows and
+  *   2. cumulative counts via a TWO-LEVEL prefix sum: values are range-
+  *      bucketed (width_bucket over the observed min/max), the running sum
+  *      inside each bucket is a window partitioned BY bucket (parallel
+  *      across the cluster), and the per-bucket offsets come from one tiny
+  *      window over ≤ nBuckets+2 rows. No global-order single-partition
+  *      window anywhere, so the frequency table itself can be huge.
+  *   3. each requested quantile reads the frequency row holding rank k and
   *      interpolates v_k + (v_{k+1} − v_k)·frac at 1-indexed position
   *      h = (n−1)·p + 1 — the same order-statistic formula as
-  *      `percentile` / DuckDB `quantile_cont`, so oracles stay bit-exact.
+  *      `percentile` / DuckDB `quantile_cont`, so oracles stay bit-exact
+  *      (all rank arithmetic is on exact long counts; pinned against
+  *      Spark's own `percentile` in PropertiesSpec).
   *
-  * Suitable whenever the column's distinct-value count is bounded (ints,
-  * decimals, bucketed doubles) — the common case for capping and summary
-  * stats. For truly unbounded continuous columns at scale, the GK sketch
+  * For truly unbounded continuous columns where even the distinct-value
+  * table is unreasonable, the GK sketch
   * ([[org.apache.spark.sql.DataFrameStatFunctions.approxQuantile]], q20)
   * is the right tool.
   */
@@ -35,17 +39,44 @@ object ExactQuantiles {
     * probability in [0, 1]. Nulls in `valueCol` are excluded (standard
     * percentile semantics).
     */
-  def quantilesRow(df: DataFrame, valueCol: String, probs: Seq[(String, Double)]): DataFrame = {
+  def quantilesRow(df: DataFrame, valueCol: String,
+      probs: Seq[(String, Double)], nBuckets: Int = 1024): DataFrame = {
+    // cached: the frequency table feeds the bounds aggregate, the in-bucket
+    // window, and the bucket-offset aggregate — without the cache the
+    // scan+groupBy subtree evaluates once per consumer
     val freq = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy("v")
-    val cum = freq.select(
-      col("v"), col("cnt"),
-      sum("cnt").over(w).as("cum"),
-      lead("v", 1).over(w).as("v_next"))
-    val total = cum.agg(sum("cnt").as("n"))
-    val withN = cum.crossJoin(broadcast(total))
+      .cache()
+
+    // lazy min/max/total (1-row broadcast) so bucket ids are column math
+    val bounds = freq.agg(min("v").as("lo"), max("v").as("hi"), sum("cnt").as("n"))
+    val bucketed = freq.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        // degenerate single-distinct-value range: width_bucket needs lo<hi
+        when(col("lo") === col("hi"), lit(1L))
+          .otherwise(width_bucket(col("v"), col("lo"), col("hi"), lit(nBuckets))))
+
+    // level 1: running count inside each bucket (parallel window)
+    val wIn = Window.partitionBy("bucket").orderBy("v")
+    val inBucket = bucketed
+      .withColumn("cum_in", sum("cnt").over(wIn))
+      .withColumn("v_next_in", lead("v", 1).over(wIn))
+
+    // level 2: bucket totals → exclusive prefix offsets + each bucket's
+    // first value (the global successor of a bucket's last value); this
+    // window orders ≤ nBuckets+2 rows — trivially small by construction
+    val wB = Window.orderBy("bucket")
+    val offsets = bucketed.groupBy("bucket")
+      .agg(sum("cnt").as("bsum"), min("v").as("bmin"))
+      .withColumn("offset",
+        coalesce(sum("bsum").over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("next_bmin", lead("bmin", 1).over(wB))
+      .select("bucket", "offset", "next_bmin")
+
+    val withN = inBucket.join(offsets, "bucket")
+      .withColumn("cum", col("cum_in") + col("offset"))
+      .withColumn("v_next", coalesce(col("v_next_in"), col("next_bmin")))
 
     // every quantile reads off the same frame in ONE final aggregate: the
     // per-row expression is non-null only on the frequency row holding
