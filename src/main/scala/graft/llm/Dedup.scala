@@ -129,8 +129,14 @@ object Dedup {
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
+    // localCheckpoint (not cache) each round: `labels` appears TWICE in the
+    // next round's plan (union + join side), so without lineage truncation
+    // the logical plan doubles per iteration — exponential analysis cost on
+    // long-diameter graphs. Checkpointing pins the materialized rows and
+    // restarts the plan from them, the standard Spark iterative pattern.
     var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")).cache()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
     // labels are monotonically non-increasing under min-propagation, so the
     // exact label sum strictly decreases until the fixpoint — comparing it
     // round-over-round is a 1-row aggregate on the already-cached frame,
@@ -146,11 +152,11 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
         .select(col("src").as("node"), col("lbl"))
       val next = labels.union(viaNeighbor)
-        .groupBy("node").agg(min("lbl").as("lbl")).cache()
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist(blocking = false)
       labels = next
       it += 1
     }

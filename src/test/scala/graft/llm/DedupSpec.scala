@@ -63,6 +63,28 @@ class DedupSpec extends SparkSpec {
     groups shouldBe Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L, 5L -> 3L)
   }
 
+  test("connectedComponents matches a union-find oracle on seeded random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt)); if (ra != rb) parent(ra) = rb
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        v -> nodes.filter(u => find(u.toInt) == find(v.toInt)).min
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      got shouldBe expected
+    }
+  }
+
   test("minhashPairs (native banded) recovers the planted near-dups exactly") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
