@@ -91,21 +91,28 @@ object Similarity {
     call_function("hyperplane_sig", emb, lit(nBits))
   }
 
-  /** ANN top-k via banded hyperplane LSH: candidates share at least one
-    * 8-bit band of the signature; exact cosine re-rank on candidates only.
-    * Recall < 1 by construction (that's the 100 TB trade).
+  /** Top-k via banded hyperplane LSH — the same sub-quadratic 64-bit/
+    * 4×16-bit band geometry as the near-dup path (d05): candidates share
+    * at least one 16-bit band; exact cosine re-rank on candidates only.
+    *
+    * Kept as the measured negative result that justifies IVF for top-k
+    * (SCALE.md): tight bands only recall NEAR-DUP neighbors, so for
+    * moderate-similarity top-k this finds almost nothing — which is
+    * exactly the selectivity that keeps the candidate set sub-quadratic.
+    * Use [[ivfTopK]] for top-k; use this banding (via
+    * [[embeddingNearDupPairs]]) only in the near-dup regime.
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
-    val nBits = 16
-    val bands = 2 // two 8-bit bands
+    val nBits = 64
+    val bands = 4 // four 16-bit bands, matching hyperplaneCandidatePairs
     def withBands(df: DataFrame, id: String, emb: String): DataFrame = {
       val sig = hyperplaneSignature(spark, col(emb), nBits)
       df.select(col(id), col(emb), sig.as("sig"))
         .select(col(id), col(emb),
           explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"),
-              shiftright(col("sig"), b * 8).bitwiseAND(0xFFL).as("key"))): _*)).as("bk"))
+              shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
     }
     val c = withBands(corpus, idCol, embCol)
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(embCol, "emb")
