@@ -318,6 +318,77 @@ object LlmOps {
         TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id"))
 
+  /** Shared CTE for t06/t07: per-doc quality components + predicted
+    * language over the FULL documents table (the per-query twins t01/t02
+    * already hash-verify these expressions piecewise on keyed subsets).
+    */
+  private val scoredDocsSql: String =
+    """w AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS word_cnt,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS BIGINT) AS stop_cnt,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','fast'))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('data','row','query'))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('table','scan','group'))) AS BIGINT) AS s_de,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('value','join','sort'))) AS BIGINT) AS s_fr,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('window','batch','stream'))) AS BIGINT) AS s_zh
+      |  FROM documents),
+      |s AS (SELECT doc_id, word_cnt,
+      |    ROUND(LEAST(1.0, word_cnt / 100.0) * (1.0 - stop_cnt / word_cnt), 6) AS quality_score,
+      |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |         WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |         WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+      |         ELSE 'zh' END AS pred_lang
+      |  FROM w)""".stripMargin
+
+  /** Spark twin of [[scoredDocsSql]]: (doc_id, word_cnt, quality_score,
+    * pred_lang) over every document — one scan, pure codegen'd expressions.
+    */
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = documents(s, d)
+    val comps = TextAnalysis.qualityComponents(col("text"), Seq("the", "a")).toMap
+    val scores = TextAnalysis.langScores(col("text"))
+    base.select(col("doc_id"),
+      comps("word_cnt").as("word_cnt"),
+      comps("quality_score").as("quality_score"),
+      TextAnalysis.predictedLang(scores).as("pred_lang"))
+  }
+
+  /** t06 — quality filtering: the C4-style keep/drop composite every
+    * training-data pipeline runs (score thresholds + length band), as one
+    * declarative scan-shaped query. Keep rule: quality ≥ 0.5 and
+    * 5 ≤ words ≤ 1000.
+    */
+  val t06 = QSpec(
+    "t06_quality_filter",
+    Some(s"""WITH $scoredDocsSql
+            |SELECT doc_id, pred_lang, quality_score FROM s
+            |WHERE quality_score >= 0.5 AND word_cnt BETWEEN 5 AND 1000
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => scoredDocs(s, d)
+      .filter(col("quality_score") >= 0.5 && col("word_cnt").between(5, 1000))
+      .select("doc_id", "pred_lang", "quality_score")
+      .orderBy("doc_id"))
+
+  /** t07 — corpus composition report: docs/tokens/mean-quality per
+    * predicted language (the dataset card every LLM corpus ships with).
+    * Exact-decimal mean keeps the oracle deterministic.
+    */
+  val t07 = QSpec(
+    "t07_corpus_stats",
+    Some(s"""WITH $scoredDocsSql
+            |SELECT pred_lang, COUNT(*) AS n_docs,
+            |  SUM(word_cnt) AS total_tokens,
+            |  CAST(SUM(CAST(quality_score AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*) AS avg_quality
+            |FROM s GROUP BY pred_lang ORDER BY n_docs DESC, pred_lang""".stripMargin),
+    (s, d) => scoredDocs(s, d)
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("word_cnt")).as("total_tokens"),
+        (sum(col("quality_score").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("avg_quality"))
+      .orderBy(col("n_docs").desc, col("pred_lang")))
+
   /** mm01 — multimodal binary column + typed metadata (byte length, sha256). */
   val mm01 = QSpec(
     "mm01_binary_meta",
@@ -350,5 +421,5 @@ object LlmOps {
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    t01, t02, t03, t04, mm01, mm02)
+    t01, t02, t03, t04, t06, t07, mm01, mm02)
 }
