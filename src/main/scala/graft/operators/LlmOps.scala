@@ -389,6 +389,35 @@ object LlmOps {
           .cast("double") / count(lit(1))).as("avg_quality"))
       .orderBy(col("n_docs").desc, col("pred_lang")))
 
+  /** p01 — the composed cleaning pipeline end-to-end: exact-dedup keeper
+    * pass (d06's fingerprint groupBy) → quality/length filter (t06's rule)
+    * → per-language corpus stats (t07's report), as ONE declarative plan:
+    * scan → hash-agg keeper set → semi join → scan-shaped filter →
+    * partial+final agg. Proves the pipeline operators compose without
+    * driver-side glue; oracled as the same SQL chain.
+    */
+  val p01 = QSpec(
+    "p01_clean_corpus",
+    Some(s"""WITH keep AS (
+            |  SELECT MIN(doc_id) AS doc_id FROM documents
+            |  GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+            |$scoredDocsSql
+            |SELECT s.pred_lang, COUNT(*) AS n_docs, SUM(s.word_cnt) AS total_tokens
+            |FROM s JOIN keep USING (doc_id)
+            |WHERE s.quality_score >= 0.5 AND s.word_cnt BETWEEN 5 AND 1000
+            |GROUP BY s.pred_lang ORDER BY n_docs DESC, s.pred_lang""".stripMargin),
+    (s, d) => {
+      val keepers = Dedup
+        .dedupKeepFirstByFingerprint(documents(s, d), "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      scoredDocs(s, d)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("quality_score") >= 0.5 && col("word_cnt").between(5, 1000))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("word_cnt")).as("total_tokens"))
+        .orderBy(col("n_docs").desc, col("pred_lang"))
+    })
+
   /** mm01 — multimodal binary column + typed metadata (byte length, sha256). */
   val mm01 = QSpec(
     "mm01_binary_meta",
@@ -421,5 +450,5 @@ object LlmOps {
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    t01, t02, t03, t04, t06, t07, mm01, mm02)
+    t01, t02, t03, t04, t06, t07, p01, mm01, mm02)
 }
