@@ -41,13 +41,14 @@ object ExactQuantiles {
     */
   def quantilesRow(df: DataFrame, valueCol: String,
       probs: Seq[(String, Double)], nBuckets: Int = 1024): DataFrame = {
-    // cached: the frequency table feeds the bounds aggregate, the in-bucket
-    // window, and the bucket-offset aggregate — without the cache the
-    // scan+groupBy subtree evaluates once per consumer
+    // the frequency table feeds the bounds aggregate, the in-bucket window,
+    // and the bucket-offset aggregate — deliberately NOT cache()d: the
+    // shuffle exchange under it is reused across consumers anyway
+    // (ReusedExchange), and measured cache materialization cost more than
+    // it saved at every scale tried
     val freq = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("cnt"))
-      .cache()
 
     // lazy min/max/total (1-row broadcast) so bucket ids are column math
     val bounds = freq.agg(min("v").as("lo"), max("v").as("hi"), sum("cnt").as("n"))
