@@ -58,6 +58,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix matches a driver-side Pearson on random frames") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((rnd.nextDouble() * 100, rnd.nextDouble() * 50, rnd.nextInt(40).toDouble))
+    val df = rows.toDF("x", "y", "z")
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (u, v) => (u - ma) * (v - mb) }.sum
+      val (va, vb) = (a.map(u => (u - ma) * (u - ma)).sum, b.map(v => (v - mb) * (v - mb)).sum)
+      cov / math.sqrt(va * vb)
+    }
+    val cols = Map(
+      "x" -> rows.map(_._1), "y" -> rows.map(_._2), "z" -> rows.map(_._3))
+    val got = graft.analysis.Profile.corrMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Double)].collect()
+    got.length shouldBe 3
+    got.foreach { case (a, b, c) =>
+      c shouldBe pearson(cols(a), cols(b)) +- 2e-6 // decimal(…,6) moment grid
+    }
+  }
+
   test("null-policy fills are total: no nulls escape on covered columns") {
     val df = Seq(
       (Some(1.0), Some("a")), (None, Some("b")), (Some(3.0), None),
