@@ -11,6 +11,7 @@ plausible interpretation of the driver's hash compare).
 """
 import sys, json, glob, math
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -21,13 +22,26 @@ def norm(df):
     return df
 
 def cell_eq(a, b):
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
+    """Dtype-strict cell compare: no numeric coercion. A Python int from a
+    DuckDB HUGEINT must NOT silently equal a numpy int64/float64 cell the
+    way float() coercion allowed before — the driver hashes typed values,
+    so a type mismatch is a real FAIL."""
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass  # arrays/lists: fall through to value compare
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, float):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
-    return a == b
+    eq = a == b
+    try:
+        return bool(eq)
+    except ValueError:  # numpy arrays
+        return bool(getattr(eq, "all", lambda: False)())
 
 def main():
     sf, out = sys.argv[1], sys.argv[2]
@@ -66,26 +80,22 @@ def main():
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
             n_fail += 1
             continue
+        # Column dtypes must match exactly — the driver's hash is typed, so
+        # e.g. DuckDB SUM(BIGINT)->HUGEINT (object/float128 in pandas) vs
+        # Spark's int64 is a FAIL even when values are numerically equal.
+        dbad = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                if g[c].dtype != w[c].dtype]
+        if dbad:
+            c, gd, wd = dbad[0]
+            print(f"FAIL {name}: dtype col {c}: spark={gd} oracle={wd}")
+            n_fail += 1
+            continue
         bad = None
         gv, wv = g.to_numpy(), w.to_numpy()
         for i in range(len(g)):
             for j in range(len(g.columns)):
                 a, b = gv[i, j], wv[i, j]
-                try:
-                    fa = float(a) if a is not None else None
-                    fb = float(b) if b is not None else None
-                    ok = cell_eq(fa, fb) if (isinstance(fa, float) and isinstance(fb, float)) else cell_eq(a, b)
-                except (TypeError, ValueError):
-                    ok = cell_eq(a, b)
-                # pandas NaN for nulls
-                if not ok:
-                    try:
-                        import pandas as pd
-                        if pd.isna(a) and pd.isna(b):
-                            ok = True
-                    except Exception:
-                        pass
-                if not ok:
+                if not cell_eq(a, b):
                     bad = (i, g.columns[j], a, b)
                     break
             if bad:

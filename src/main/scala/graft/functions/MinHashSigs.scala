@@ -19,18 +19,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   */
 object MinHashSigsUtil {
   def sigs(shingles: ArrayData, nTables: Int): ArrayData = {
-    val mins = Array.fill(nTables)(Long.MaxValue)
     val n = shingles.numElements()
+    // HOF `array_min(transform(empty, …))` is null — mirror it rather than
+    // emitting Long.MaxValue per table, which would make every empty doc
+    // collide in every band
+    if (n == 0) return null
+    val mins = Array.fill(nTables)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      if (!shingles.isNullAt(i)) {
-        val hs = XxHash64Function.hash(shingles.getUTF8String(i), StringType, 42L)
-        var t = 0
-        while (t < nTables) {
-          val h = XxHash64Function.hash(t, IntegerType, hs)
-          if (h < mins(t)) mins(t) = h
-          t += 1
-        }
+      // a null element in SQL `xxhash64(s, lit(t))` leaves the seed
+      // untouched for s (hash skips null children), i.e. hs = 42
+      val hs =
+        if (shingles.isNullAt(i)) 42L
+        else XxHash64Function.hash(shingles.getUTF8String(i), StringType, 42L)
+      var t = 0
+      while (t < nTables) {
+        val h = XxHash64Function.hash(t, IntegerType, hs)
+        if (h < mins(t)) mins(t) = h
+        t += 1
       }
       i += 1
     }
@@ -47,6 +53,9 @@ case class MinHashSigs(child: Expression, nTables: Int)
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null for an empty shingle array (HOF array_min semantics), even when
+  // the child itself is non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sigs"
 
   override def nullSafeEval(input: Any): Any =
@@ -54,7 +63,8 @@ case class MinHashSigs(child: Expression, nTables: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSigsUtil.sigs($c, $nTables);")
+      s"""${ev.value} = graft.functions.MinHashSigsUtil.sigs($c, $nTables);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
     copy(child = newChild)

@@ -140,9 +140,13 @@ object Dedup {
     // labels are monotonically non-increasing under min-propagation, so the
     // exact label sum strictly decreases until the fixpoint — comparing it
     // round-over-round is a 1-row aggregate on the already-cached frame,
-    // not another join+shuffle (decimal: exact at any node-count × id scale)
+    // not another join+shuffle (decimal: exact at any node-count × id scale).
+    // sum over an empty frame is null → coalesce to 0 so a corpus with no
+    // qualifying pairs converges to the empty result instead of NPE-ing.
     def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .agg(coalesce(
+        sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO)))
       .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var it = 0

@@ -378,7 +378,7 @@ object LlmOps {
     "t07_corpus_stats",
     Some(s"""WITH $scoredDocsSql
             |SELECT pred_lang, COUNT(*) AS n_docs,
-            |  SUM(word_cnt) AS total_tokens,
+            |  CAST(SUM(word_cnt) AS BIGINT) AS total_tokens,
             |  CAST(SUM(CAST(quality_score AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*) AS avg_quality
             |FROM s GROUP BY pred_lang ORDER BY n_docs DESC, pred_lang""".stripMargin),
     (s, d) => scoredDocs(s, d)
@@ -402,7 +402,8 @@ object LlmOps {
             |  SELECT MIN(doc_id) AS doc_id FROM documents
             |  GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
             |$scoredDocsSql
-            |SELECT s.pred_lang, COUNT(*) AS n_docs, SUM(s.word_cnt) AS total_tokens
+            |SELECT s.pred_lang, COUNT(*) AS n_docs,
+            |  CAST(SUM(s.word_cnt) AS BIGINT) AS total_tokens
             |FROM s JOIN keep USING (doc_id)
             |WHERE s.quality_score >= 0.5 AND s.word_cnt BETWEEN 5 AND 1000
             |GROUP BY s.pred_lang ORDER BY n_docs DESC, s.pred_lang""".stripMargin),

@@ -85,6 +85,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents returns an empty frame on an empty pair graph") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    Dedup.connectedComponents(empty, "doc_a", "doc_b").count() shouldBe 0
+  }
+
+  test("minhash_sigs matches HOF semantics on empty arrays and null elements") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // empty shingle array → null signature (HOF array_min(empty) is null),
+    // so empty docs never all collide in every band
+    val r = Seq((1, Seq.empty[String]), (2, Seq("a b c")), (3, Seq("a b c", null)))
+      .toDF("id", "shingles")
+      .select(col("id"), call_function("minhash_sigs", col("shingles"), lit(4)).as("sig"))
+      .orderBy("id").collect()
+    r(0).isNullAt(1) shouldBe true
+    r(1).isNullAt(1) shouldBe false
+    // a null element contributes xxhash64(null, t) = hash(t, seed=42), the
+    // same value the HOF transform would produce — verify vs the HOF twin
+    val hof = Seq(Seq("a b c", null)).toDF("shingles")
+      .select(array((0 until 4).map(t =>
+        array_min(transform(col("shingles"), s => xxhash64(s, lit(t))))): _*).as("sig"))
+      .as[Seq[Long]].head()
+    r(2).getSeq[Long](1) shouldBe hof
+  }
+
   test("minhashPairs (native banded) recovers the planted near-dups exactly") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
