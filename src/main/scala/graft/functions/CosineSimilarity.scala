@@ -83,6 +83,18 @@ object GraftFunctions {
     WordNGrams(children(0),
       children(1).eval(null).asInstanceOf[Number].intValue())
 
+  val langQualityCountsInfo = new ExpressionInfo(
+    classOf[LangQualityCounts].getName, "lang_quality_counts")
+
+  /** lang_quality_counts(text[, stopwords]) — stopwords must be a foldable
+    * array<string> literal when present. */
+  def buildLangQualityCounts(children: Seq[Expression]): Expression =
+    if (children.size < 2) LangQualityCounts(children.head)
+    else LangQualityCounts(children.head,
+      children(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq)
+
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val cos = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
@@ -106,6 +118,10 @@ object GraftFunctions {
     val ng = org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")
     if (!registry.functionExists(ng)) {
       registry.registerFunction(ng, wordNGramsInfo, buildWordNGrams _)
+    }
+    val lq = org.apache.spark.sql.catalyst.FunctionIdentifier("lang_quality_counts")
+    if (!registry.functionExists(lq)) {
+      registry.registerFunction(lq, langQualityCountsInfo, buildLangQualityCounts _)
     }
   }
 }

@@ -31,15 +31,49 @@ object TextAnalysis {
     * token hits, pick the best with a fixed precedence order (en > es > de >
     * fr > zh) for ties. Deterministic and SQL-expressible by construction.
     */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "fast"),
-    "es" -> Seq("data", "row", "query"),
-    "de" -> Seq("table", "scan", "group"),
-    "fr" -> Seq("value", "join", "sort"),
-    "zh" -> Seq("window", "batch", "stream"))
+  val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.LangQualityUtil.defaultMarkers
 
   def langScores(text: Column): Seq[(String, Column)] =
     langMarkers.map { case (l, ms) => l -> markerCount(text, ms) }
+
+  /** Fused counting struct from the native
+    * [[graft.functions.LangQualityCounts]] kernel: ONE scan of the text
+    * yields word_cnt, char_cnt (non-space), stop_cnt, and every language
+    * marker score. This is the full-corpus scoring path — the HOF
+    * formulations above stay as the executable spec (the kernel is
+    * asserted identical in TextAnalysisSpec), but each of them re-splits
+    * the text per call with an interpreted lambda, which is the wrong
+    * constant factor for a 100 TB scan. The expression is deterministic,
+    * so projections that pull several fields evaluate it once per row via
+    * Spark's subexpression elimination.
+    */
+  def langQualityCounts(spark: org.apache.spark.sql.SparkSession,
+      text: Column,
+      stopwords: Seq[String] = graft.functions.LangQualityUtil.defaultStopwords): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    call_function("lang_quality_counts", text, array(stopwords.map(lit): _*))
+  }
+
+  /** [[langScores]] from the fused kernel — same (lang, score) shape. */
+  def langScoresFused(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Seq[(String, Column)] = {
+    val c = langQualityCounts(spark, text)
+    langMarkers.map { case (l, _) => l -> c.getField(s"s_$l") }
+  }
+
+  /** [[qualityComponents]] from the fused kernel — same (name, col) shape. */
+  def qualityComponentsFused(spark: org.apache.spark.sql.SparkSession,
+      text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val c = langQualityCounts(spark, text, stopwords)
+    val wc = c.getField("word_cnt")
+    val stopCnt = c.getField("stop_cnt")
+    Seq(
+      "word_cnt" -> wc,
+      "avg_word_len" -> round(c.getField("char_cnt") / wc, 6),
+      "stopword_ratio" -> round(stopCnt / wc, 6),
+      "quality_score" -> round(least(lit(1.0), wc / 100.0) * (lit(1.0) - stopCnt / wc), 6))
+  }
 
   def predictedLang(scores: Seq[(String, Column)]): Column = {
     // lang wins if its score >= every other score, in precedence order

@@ -263,7 +263,7 @@ object LlmOps {
            |ORDER BY doc_id""".stripMargin),
     (s, d) => {
       val base = documents(s, d).filter(col("doc_id") % 7 === 0)
-      val scores = TextAnalysis.langScores(col("text"))
+      val scores = TextAnalysis.langScoresFused(s, col("text"))
       val withScores = scores.foldLeft(base) { case (df, (l, c)) =>
         df.withColumn(s"s_$l", c)
       }
@@ -288,7 +288,7 @@ object LlmOps {
            | FROM documents WHERE doc_id % 7 = 0)
            |ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      val comps = TextAnalysis.qualityComponents(col("text"), Seq("the", "a"))
+      val comps = TextAnalysis.qualityComponentsFused(s, col("text"), Seq("the", "a"))
       documents(s, d).filter(col("doc_id") % 7 === 0)
         .select(col("doc_id") +: comps.map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")
@@ -346,8 +346,8 @@ object LlmOps {
     */
   private def scoredDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val base = documents(s, d)
-    val comps = TextAnalysis.qualityComponents(col("text"), Seq("the", "a")).toMap
-    val scores = TextAnalysis.langScores(col("text"))
+    val comps = TextAnalysis.qualityComponentsFused(s, col("text"), Seq("the", "a")).toMap
+    val scores = TextAnalysis.langScoresFused(s, col("text"))
     base.select(col("doc_id"),
       comps("word_cnt").as("word_cnt"),
       comps("quality_score").as("quality_score"),

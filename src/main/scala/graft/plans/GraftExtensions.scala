@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       GraftFunctions.wordNGramsInfo,
       GraftFunctions.buildWordNGrams _))
+    ext.injectFunction((
+      FunctionIdentifier("lang_quality_counts"),
+      GraftFunctions.langQualityCountsInfo,
+      GraftFunctions.buildLangQualityCounts _))
   }
 }

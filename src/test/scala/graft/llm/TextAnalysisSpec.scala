@@ -46,4 +46,59 @@ class TextAnalysisSpec extends SparkSpec {
     row.getAs[Double]("stopword_ratio") shouldBe 1.0
     row.getAs[Double]("quality_score") shouldBe 0.0
   }
+
+  test("fused lang_quality_counts kernel matches the HOF formulation exactly") {
+    // edge shapes: leading/trailing/double spaces, empty string, unicode
+    // chars (multi-byte UTF-8 around the single-byte space delimiter),
+    // marker words adjacent to punctuation (must NOT match), and a doc
+    // from every marker set
+    // no empty doc here: word_cnt=0 divides by zero under ANSI in BOTH
+    // formulations (asserted separately below on the raw kernel struct)
+    val texts = Seq(
+      "the quick a fast fox", " leading space", "trailing space ",
+      "double  space", "x", "the", "naïve café über tokens",
+      "data row query table scan group value join sort window batch stream",
+      "the, a. fast! punctuation-bound markers do not match",
+      "the a the a")
+    val df = texts.toDF("t")
+    val hofCols =
+      TextAnalysis.qualityComponents(col("t"), Seq("the", "a")).map {
+        case (n, c) => c.as(s"hof_$n")
+      } ++ TextAnalysis.langScores(col("t")).map { case (l, c) => c.as(s"hof_s_$l") }
+    val fusedCols =
+      TextAnalysis.qualityComponentsFused(spark, col("t"), Seq("the", "a")).map {
+        case (n, c) => c.as(s"f_$n")
+      } ++ TextAnalysis.langScoresFused(spark, col("t")).map { case (l, c) => c.as(s"f_s_$l") }
+    val rows = df.select(hofCols ++ fusedCols: _*).collect()
+    val names = Seq("word_cnt", "avg_word_len", "stopword_ratio", "quality_score",
+      "s_en", "s_es", "s_de", "s_fr", "s_zh")
+    rows.zip(texts).foreach { case (r, t) =>
+      names.foreach { n =>
+        withClue(s"text=$t col=$n: ") {
+          r.getAs[Any](s"f_$n") shouldBe r.getAs[Any](s"hof_$n")
+        }
+      }
+    }
+    // empty doc: the raw kernel struct must count zeros (the division-based
+    // quality columns are undefined at word_cnt=0 for HOF and kernel alike)
+    val z = Seq("").toDF("t")
+      .select(TextAnalysis.langQualityCounts(spark, col("t")).as("c"))
+      .select("c.word_cnt", "c.char_cnt", "c.stop_cnt", "c.s_en").head()
+    z.getLong(0) shouldBe 0L
+    z.getLong(1) shouldBe 0L
+    z.getLong(2) shouldBe 0L
+    z.getLong(3) shouldBe 0L
+  }
+
+  test("fused predictedLang over kernel scores matches the HOF path") {
+    val df = Seq("the a fast the a", "data row query data", "plain nothing",
+      "window batch stream stream").toDF("t")
+    val hof = df.select(
+      TextAnalysis.predictedLang(TextAnalysis.langScores(col("t"))).as("l"))
+      .as[String].collect()
+    val fused = df.select(
+      TextAnalysis.predictedLang(TextAnalysis.langScoresFused(spark, col("t"))).as("l"))
+      .as[String].collect()
+    fused shouldBe hof
+  }
 }
