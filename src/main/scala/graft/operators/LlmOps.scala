@@ -53,12 +53,33 @@ object LlmOps {
     (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text", 0.5)
       .orderBy("doc_a", "doc_b"))
 
-  /** d03 — SimHash near-dup (16-bit band candidates + exact hamming). */
+  /** d03 — SimHash near-dup (16-bit band candidates + exact hamming).
+    *
+    * simhash itself is not DuckDB-expressible, so the query plants exact
+    * duplicates deterministically (d05's trick): every 10th doc re-enters
+    * under id+200000 with identical text, which forces identical 64-bit
+    * signatures ⇒ identical bands ⇒ candidate ⇒ hamming 0 — recall 1 by
+    * construction, not probabilistically. The declared output pins the
+    * planted relation (doc_b = doc_a + 200000): organic near-dup pairs can
+    * sit at any hamming distance (including 0 for same-text rows), and the
+    * oracle can't rank those without computing simhash — but it CAN assert
+    * the full signature→band→join→hamming pipeline recovers every planted
+    * pair exactly. The unrestricted operator stays [[Dedup.simhashPairs]]
+    * (DedupSpec covers organic pairs).
+    */
   val d03 = QSpec(
     "d03_simhash",
-    None,
-    (s, d) => Dedup.simhashPairs(documents(s, d), "doc_id", "text", 10)
-      .orderBy("doc_a", "doc_b"))
+    Some("""SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b,
+           | CAST(0 AS INTEGER) AS hamming
+           |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a""".stripMargin),
+    (s, d) => {
+      val base = documents(s, d).select("doc_id", "text")
+      val planted = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      Dedup.simhashPairs(base.unionByName(planted), "doc_id", "text", 10)
+        .filter(col("doc_b") === col("doc_a") + 200000L)
+        .orderBy("doc_a", "doc_b")
+    })
 
   /** d04 — word-3-gram Jaccard near-dup, gram-bucketed self-join with
     * stop-gram pruning (df ≤ 10) mirrored exactly in the oracle.

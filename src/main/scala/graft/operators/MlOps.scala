@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
 /** ML-pipeline operators m01–m12 (SURVEY §2.10), declared over the testdata
   * tables. Deterministic pieces (index mappings, one-hot layout, assembly,
   * exact least-squares recovery, persistence round-trip, evaluator math)
-  * carry DuckDB oracles; stochastic trainers (RF/GBT/CV) are rows-only here
-  * and asserted in ScalaTest (metric-range checks). m05 (Bucketizer) is
-  * exercised by a09_bucket_outlier_filter.
+  * carry exact DuckDB oracles; stochastic trainers (RF/GBT/CV/importances)
+  * declare bounded booleans — the engine asserts its own fit quality and
+  * the oracle pins the bounds — with exact metric ranges in ScalaTest.
+  * m05 (Bucketizer) is exercised by a09_bucket_outlier_filter.
   */
 object MlOps {
 
@@ -111,18 +112,22 @@ object MlOps {
         countDistinct(col("c_mktsegment")).as("n_segments"))
     })
 
-  /** m06 — RandomForestRegressor (seeded; learned metrics are partition-
-    * layout dependent → rows-only, range-checked in ScalaTest).
+  /** m06 — RandomForestRegressor. Learned metrics are partition-layout
+    * dependent, so the declared output is bounded booleans (the x02/q20
+    * pattern): the engine asserts its own fit quality and the oracle pins
+    * the bounds. Exact metric ranges live in PipelineSpec. Measured r2 at
+    * sf0.001/0.01: 0.985/0.964 — the 0.9 bound has margin.
     */
   val m06 = QSpec(
     "m06_random_forest",
-    None,
+    Some("""SELECT TRUE AS r2_ge_090, TRUE AS rmse_le_10, TRUE AS mae_le_rmse"""),
     (s, d) => {
       val df = regressionFrame(s, d)
       val model = Trainer.randomForest("label", numTrees = 5, maxDepth = 5).fit(df)
-      val metrics = Trainer.evaluate(model.transform(df), "label")
+      val m = Trainer.evaluate(model.transform(df), "label")
       import s.implicits._
-      Seq((metrics.rmse, metrics.r2, metrics.mae)).toDF("rmse", "r2", "mae")
+      Seq((m.r2 >= 0.90, m.rmse <= 10.0, m.mae <= m.rmse))
+        .toDF("r2_ge_090", "rmse_le_10", "mae_le_rmse")
     })
 
   /** m07 — LinearRegression recovers y = 2x1 + 3x2 + 1 exactly (regParam 0,
@@ -141,24 +146,33 @@ object MlOps {
         math.rint(model.intercept * 1e4) / 1e4)).toDF("coef_x1", "coef_x2", "intercept")
     })
 
-  /** m08 — GBTRegressor (rows-only, seeded). */
+  /** m08 — GBTRegressor, bounded-boolean oracle like m06. Measured r2 at
+    * sf0.001/0.01: 0.989/0.987.
+    */
   val m08 = QSpec(
     "m08_gbt",
-    None,
+    Some("""SELECT TRUE AS r2_ge_090, TRUE AS rmse_le_10, TRUE AS mae_le_rmse"""),
     (s, d) => {
       val df = regressionFrame(s, d)
       val model = Trainer.gbt("label", maxDepth = 3, maxIter = 5).fit(df)
-      val metrics = Trainer.evaluate(model.transform(df), "label")
+      val m = Trainer.evaluate(model.transform(df), "label")
       import s.implicits._
-      Seq((metrics.rmse, metrics.r2, metrics.mae)).toDF("rmse", "r2", "mae")
+      Seq((m.r2 >= 0.90, m.rmse <= 10.0, m.mae <= m.rmse))
+        .toDF("r2_ge_090", "rmse_le_10", "mae_le_rmse")
     })
 
-  /** m09 — CrossValidator + ParamGridBuilder (rows-only: fold assignment is
-    * partition-dependent; best-model selection asserted in ScalaTest).
+  /** m09 — CrossValidator + ParamGridBuilder. Fold assignment is
+    * partition-dependent so avg metrics float, but the SELECTED params are
+    * stable: on exactly-linear data the least-regularized ridge point
+    * (0.1, 0.0) beats the rest of the {0.1,1.0}×{0.0,1.0} grid by ~10× in
+    * fold RMSE — so the choice itself plus a bounded RMSE boolean is the
+    * oracle.
     */
   val m09 = QSpec(
     "m09_cross_validation",
-    None,
+    Some("""SELECT CAST(0.1 AS DOUBLE) AS best_reg_param,
+           | CAST(0.0 AS DOUBLE) AS best_elastic_net,
+           | TRUE AS cv_rmse_lt_05""".stripMargin),
     (s, d) => {
       val df = regressionFrame(s, d)
       val lr = new LinearRegression().setLabelCol("label").setFeaturesCol("features")
@@ -166,8 +180,8 @@ object MlOps {
       val cv = Trainer.trainWithCV(df, lr, grid, "label", folds = 3)
       val best = cv.bestModel.asInstanceOf[LinearRegressionModel]
       import s.implicits._
-      Seq((best.getRegParam, best.getElasticNetParam, cv.avgMetrics.min))
-        .toDF("best_reg_param", "best_elastic_net", "best_cv_rmse")
+      Seq((best.getRegParam, best.getElasticNetParam, cv.avgMetrics.min < 0.5))
+        .toDF("best_reg_param", "best_elastic_net", "cv_rmse_lt_05")
     })
 
   /** m10 — RegressionEvaluator rmse/r2/mae on a deterministic prediction. */
@@ -192,21 +206,24 @@ object MlOps {
         math.rint(m.mae * 1e4) / 1e4)).toDF("rmse", "r2", "mae")
     })
 
-  /** m11 — featureImportances ranking (rows-only; x1 must dominate —
-    * asserted in ScalaTest).
+  /** m11 — featureImportances ranking: exact importance mass floats with
+    * partition layout, but the RANKING is stable — label = 2·x1 + 3·x2 + 1
+    * with x1 spanning ~50× the range of x2, so x1 must dominate (measured
+    * share 0.98/0.997 at sf0.001/0.01; 0.8 bound has margin).
     */
   val m11 = QSpec(
     "m11_feature_importances",
-    None,
+    Some("""SELECT CAST(2 AS BIGINT) AS n_features,
+           | TRUE AS x1_dominates, TRUE AS x1_share_ge_08""".stripMargin),
     (s, d) => {
       val model = new RandomForestRegressor()
         .setLabelCol("label").setFeaturesCol("features")
         .setNumTrees(5).setMaxDepth(5).setSeed(42L)
         .fit(regressionFrame(s, d))
+      val imps = model.featureImportances.toArray
       import s.implicits._
-      model.featureImportances.toArray.zipWithIndex
-        .map { case (imp, i) => (i.toLong, imp) }.toSeq
-        .toDF("feature_idx", "importance").orderBy("feature_idx")
+      Seq((imps.length.toLong, imps(0) > imps(1), imps(0) >= 0.8))
+        .toDF("n_features", "x1_dominates", "x1_share_ge_08")
     })
 
   /** m12 — model persistence: save/load must reproduce predictions exactly. */
