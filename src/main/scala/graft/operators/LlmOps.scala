@@ -453,21 +453,33 @@ object LlmOps {
         sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
       .orderBy("doc_id"))
 
-  /** mm02 — batched per-partition media feature extraction (decode stubbed,
-    * plumbing real; rows-only oracle, exactness covered by ScalaTest).
+  /** mm02 — batched per-partition media feature extraction with a REAL
+    * decoder: each doc gets an 8×8 binary-PPM (P6) image whose pixel bytes
+    * are the closed form (37·doc_id + i) mod 256, the mapPartitions batch
+    * loop parses the actual header+pixels ([[Multimodal.ppmDecode]]), and
+    * the declared output is the decoded per-channel means. The DuckDB twin
+    * recomputes the same means from the closed form — so the hash compare
+    * verifies genuine decode of planted bytes, not a stub. Channel sums are
+    * exact in a long and /64 is a power-of-two division, so the doubles are
+    * bit-deterministic on both engines.
     */
   val mm02 = QSpec(
     "mm02_media_features",
-    None,
+    Some("""WITH px AS (SELECT doc_id, (doc_id * 37) % 256 AS seed FROM documents)
+           |SELECT doc_id,
+           | CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           | ROUND(CAST(list_sum(list_transform(range(0, 64), p -> (seed + 3*p) % 256)) AS DOUBLE) / 64, 6) AS mean_r,
+           | ROUND(CAST(list_sum(list_transform(range(0, 64), p -> (seed + 3*p + 1) % 256)) AS DOUBLE) / 64, 6) AS mean_g,
+           | ROUND(CAST(list_sum(list_transform(range(0, 64), p -> (seed + 3*p + 2) % 256)) AS DOUBLE) / 64, 6) AS mean_b
+           |FROM px ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      val feats = Multimodal.extractFeatures(
-        Multimodal.asMedia(documents(s, d), "doc_id", "text"))
+      val feats = Multimodal.extractImageFeatures(
+        Multimodal.syntheticPpm(documents(s, d), "doc_id", 8, 8))
       feats.toDF()
-        .select(col("doc_id"), col("byteLen"),
-          round(element_at(col("features"), 1), 6).as("f0"),
-          round(element_at(col("features"), 2), 6).as("f1"),
-          round(element_at(col("features"), 3), 6).as("f2"),
-          round(element_at(col("features"), 4), 6).as("f3"))
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
         .orderBy("doc_id")
     })
 

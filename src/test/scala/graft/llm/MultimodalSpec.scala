@@ -30,4 +30,47 @@ class MultimodalSpec extends SparkSpec {
     val f1 = feats.filter(col("doc_id") === 1).head()
     f1.features.sum shouldBe 1.0 +- 1e-9
   }
+
+  test("ppm encode/decode round-trips pixels exactly") {
+    val bytes = Multimodal.ppmEncode(3, 2, i => (i * 7 + 5) % 256)
+    val img = Multimodal.ppmDecode(bytes)
+    img.width shouldBe 3
+    img.height shouldBe 2
+    img.maxVal shouldBe 255
+    img.pixels shouldBe Array.tabulate(18)(i => ((i * 7 + 5) % 256).toByte)
+  }
+
+  test("ppmDecode tolerates netpbm comments and mixed whitespace") {
+    val px = Array.tabulate(3)(i => (10 + i).toByte)
+    val header = "P6 # comment after magic\n# full comment line\n 1\t1 \n255\n"
+    val img = Multimodal.ppmDecode(header.getBytes("US-ASCII") ++ px)
+    (img.width, img.height) shouldBe ((1, 1))
+    img.pixels shouldBe px
+  }
+
+  test("ppmDecode rejects corrupt media instead of decoding garbage") {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.ppmDecode("P5\n1 1\n255\n...".getBytes("US-ASCII")) // wrong magic
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.ppmDecode(Multimodal.ppmEncode(2, 2, _ => 0).dropRight(1)) // truncated
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.ppmDecode("P6\n2 2\n65535\n".getBytes("US-ASCII")) // 16-bit maxval
+  }
+
+  test("extractImageFeatures decodes planted pixels to exact channel means, no shuffle") {
+    val docs = (0L to 99L).toDF("doc_id")
+    val feats = Multimodal.extractImageFeatures(
+      Multimodal.syntheticPpm(docs, "doc_id", 8, 8))
+    feats.queryExecution.executedPlan.toString should not include "Exchange"
+    val rows = feats.collect()
+    rows.length shouldBe 100
+    rows.foreach { f =>
+      val seed = ((f.doc_id * 37) % 256).toInt
+      def mean(c: Int) = (0 until 64).map(p => (seed + 3 * p + c) % 256).sum / 64.0
+      (f.width, f.height) shouldBe ((8, 8))
+      f.mean_r shouldBe mean(0)
+      f.mean_g shouldBe mean(1)
+      f.mean_b shouldBe mean(2)
+    }
+  }
 }
