@@ -43,8 +43,11 @@ object Profile {
     * every sum carried in exact decimal (see [[graft.util.Exact]]) so the
     * result is bit-deterministic across partitionings and engines; the
     * closed-form double arithmetic happens once at the end. Columns must be
-    * null-free (cast to double internally). Output long-form:
-    * (col_a, col_b, corr) per unordered pair, given-order.
+    * null-free (cast to double internally) — ENFORCED: the same aggregate
+    * pass carries count(col) per column, and any column whose non-null
+    * count trails count(*) raises a descriptive error instead of silently
+    * producing correlations computed from mismatched n.
+    * Output long-form: (col_a, col_b, corr) per unordered pair, given-order.
     */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = for {
@@ -54,6 +57,7 @@ object Profile {
     val moments: Seq[Column] =
       count(lit(1)).as("n") +:
         (cols.flatMap(c => Seq(
+          count(d(c)).as(s"cnt__$c"),
           sum(d(c).cast(DecimalType(25, 6))).cast("double").as(s"s__$c"),
           sum((d(c) * d(c)).cast(DecimalType(30, 6))).cast("double").as(s"s2__$c"))) ++
           pairs.map { case (a, b) =>
@@ -62,11 +66,15 @@ object Profile {
     val m = df.agg(moments.head, moments.tail: _*)
     val entries = array(pairs.map { case (a, b) =>
       val n = col("n")
+      val hasNulls = col(s"cnt__$a") =!= n || col(s"cnt__$b") =!= n
       val num = n * col(s"sp__${a}__$b") - col(s"s__$a") * col(s"s__$b")
       val den = sqrt((n * col(s"s2__$a") - col(s"s__$a") * col(s"s__$a")) *
         (n * col(s"s2__$b") - col(s"s__$b") * col(s"s__$b")))
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        round(num / den, 6).as("corr"))
+        when(hasNulls,
+          raise_error(lit(s"corrMatrix: nulls in $a or $b — moment sums skip " +
+            "nulls while n counts all rows; drop or impute first")))
+          .otherwise(round(num / den, 6)).as("corr"))
     }: _*)
     m.select(explode(entries).as("e")).select(col("e.col_a"), col("e.col_b"), col("e.corr"))
   }

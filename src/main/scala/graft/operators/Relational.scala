@@ -303,6 +303,16 @@ object Relational {
     * counting pass) tested against the bound (ε + 0.001 slack). The DuckDB
     * twin asserts the same rank property of its exact `quantile_cont` —
     * hash equality proves the sketch met its guarantee on the same data.
+    *
+    * Assumptions this bound leans on (revisit before retargeting the query
+    * to another column): the rank is measured as MAX-rank
+    * (count(value ≤ q̂)/n), which only approximates the GK rank interval
+    * when values are near-unique — on tie-heavy columns the max-rank can
+    * exceed the bound even though GK met its guarantee (the interval test
+    * min-rank..max-rank vs [p−ε, p+ε] would be the tie-robust form); and
+    * the fixed 0.001 slack only covers the 1/n rank discretization for
+    * n ≥ 1000. o_totalprice is near-unique and n ≥ 1500 at every declared
+    * SF, so both hold here.
     */
   val q20 = QSpec(
     "q20_approx_quantile",

@@ -79,6 +79,15 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix fails fast on null inputs instead of silently skewing") {
+    val df = Seq((Some(1.0), 2.0), (None: Option[Double], 3.0), (Some(4.0), 5.0))
+      .toDF("x", "y")
+    val e = intercept[Exception] {
+      graft.analysis.Profile.corrMatrix(df, Seq("x", "y")).collect()
+    }
+    e.getMessage should include("corrMatrix: nulls")
+  }
+
   test("null-policy fills are total: no nulls escape on covered columns") {
     val df = Seq(
       (Some(1.0), Some("a")), (None, Some("b")), (Some(3.0), None),
