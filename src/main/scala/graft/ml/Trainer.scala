@@ -66,7 +66,10 @@ object Trainer {
       .setEstimatorParamMaps(grid)
       .setNumFolds(folds)
       .setSeed(seed)
-      .setParallelism(4)
+      // grid×folds fits are independent; on tiny per-fit data the cost is
+      // job latency, so run 8 concurrently (local[32] has the slots and
+      // fold assignment is seed-determined, not thread-determined)
+      .setParallelism(8)
       .fit(df)
 
   /** rmse/r2/mae in three evaluator passes (ref: src/models/train.py:142-150). */
