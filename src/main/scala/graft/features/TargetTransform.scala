@@ -41,12 +41,15 @@ class TargetTransformer(val labelCol: String = "price") extends Serializable {
     // the Duan smearing factor. transform() still uses the guarded log,
     // as the reference does.
     val lg = when(col(labelCol) > 0, log(col(labelCol)))
+    // cast the moments to double in-plan: a decimal label column (common
+    // when the parquet was written by another engine) would otherwise
+    // surface as BigDecimal and break the typed row reads below
     val row = df.agg(
       count(col(labelCol)).as("n"),
-      avg(col(labelCol)).as("mean"),
-      stddev_samp(col(labelCol)).as("std"),
-      avg(lg).as("log_mean"),
-      stddev_samp(lg).as("log_std")).head()
+      avg(col(labelCol)).cast("double").as("mean"),
+      stddev_samp(col(labelCol)).cast("double").as("std"),
+      avg(lg).cast("double").as("log_mean"),
+      stddev_samp(lg).cast("double").as("log_std")).head()
     statsOpt = Some(TargetStats(
       row.getLong(0), row.getDouble(1), row.getDouble(2),
       row.getDouble(3), row.getDouble(4)))
