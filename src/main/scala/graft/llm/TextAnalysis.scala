@@ -107,6 +107,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Deterministic 0–99 content bucket (first 8 hex digits of the
+    * fingerprint): the basis for train/val/test splits that survive
+    * re-ingestion and keep exact duplicates in the same split.
+    */
+  def contentBucket(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 8), 16, 10).cast("long") % 100
+
+  /** Content-addressed split assignment (default 80/10/10). */
+  def contentSplit(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = contentBucket(text)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "validation")
+      .otherwise("test")
+  }
+
   /** 64-bit rolling content hash over whitespace tokens:
     * h ← rotl(h, 5) XOR xxhash64(token). Pure bitwise ops (rotate + xor), so
     * it wraps without tripping ANSI overflow checks, and it is positional

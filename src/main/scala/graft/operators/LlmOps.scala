@@ -463,6 +463,67 @@ object LlmOps {
         .orderBy(col("n_docs").desc, col("pred_lang"))
     })
 
+  /** p02 — deterministic content-hash train/validation/test split
+    * (80/10/10). Bucketing on the md5 of the whitespace-normalized text —
+    * not on doc_id or rand() — gives the two properties a training-data
+    * split needs at 100 TB: it is stable under re-ingestion/repartitioning
+    * (same doc ⇒ same split forever), and exact duplicates land in the
+    * SAME split, so dedup-surviving copies can never leak train → test.
+    * Scan-shaped: one hash + bucket per row, partial+final count agg.
+    */
+  val p02 = QSpec(
+    "p02_hash_split",
+    Some("""WITH b AS (SELECT doc_id,
+           |  CAST(('0x' || substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8)) AS BIGINT) % 100 AS bucket
+           |  FROM documents)
+           |SELECT CASE WHEN bucket < 80 THEN 'train'
+           |            WHEN bucket < 90 THEN 'validation'
+           |            ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs,
+           |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+           |FROM b GROUP BY 1 ORDER BY split""".stripMargin),
+    (s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.contentSplit(col("text")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("split")
+    })
+
+  /** p03 — train/eval contamination check: how many held-out docs share a
+    * content fingerprint with the training corpus (the overlap audit every
+    * LLM eval pipeline runs before trusting a benchmark number). Fingerprint
+    * equi-join — the shuffle carries 16-byte hashes, not documents.
+    */
+  val p03 = QSpec(
+    "p03_contamination",
+    Some("""WITH fp AS (SELECT doc_id,
+           |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents),
+           |ev AS (SELECT fp FROM fp WHERE doc_id % 10 = 7),
+           |tr AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 7)
+           |SELECT COUNT(*) AS n_eval,
+           |  CAST(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           |  ROUND(CAST(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |        / COUNT(*), 6) AS contamination_rate
+           |FROM ev LEFT JOIN tr ON ev.fp = tr.fp""".stripMargin),
+    (s, d) => {
+      val fp = documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      val ev = fp.filter(col("doc_id") % 10 === 7).select("fp")
+      val tr = fp.filter(col("doc_id") % 10 =!= 7).select("fp").distinct()
+      ev.join(tr.withColumnRenamed("fp", "tr_fp"),
+          ev("fp") === col("tr_fp"), "left")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("tr_fp").isNotNull, 1).otherwise(0)).cast("long")
+            .as("n_contaminated"),
+          round(sum(when(col("tr_fp").isNotNull, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("contamination_rate"))
+    })
+
   /** mm01 — multimodal binary column + typed metadata (byte length, sha256). */
   val mm01 = QSpec(
     "mm01_binary_meta",
@@ -507,5 +568,5 @@ object LlmOps {
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    t01, t02, t03, t04, t06, t07, p01, mm01, mm02)
+    t01, t02, t03, t04, t06, t07, p01, p02, p03, mm01, mm02)
 }

@@ -90,6 +90,45 @@ class TextAnalysisSpec extends SparkSpec {
     z.getLong(3) shouldBe 0L
   }
 
+  test("contentSplit: identical texts share a split; formatting noise doesn't move them") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the  quick brown\tfox jumps"), // same after normalization
+      (3L, "The Quick Brown FOX jumps"),   // same after lowercasing
+      (4L, "a completely different document entirely")
+    ).toDF("doc_id", "text")
+    val splits = df.select(col("doc_id"),
+      TextAnalysis.contentSplit(col("text")).as("s")).as[(Long, String)].collect().toMap
+    splits(2L) shouldBe splits(1L)
+    splits(3L) shouldBe splits(1L)
+    // all three split labels appear over enough distinct docs (80/10/10)
+    val many = (1 to 2000).map(i => s"synthetic document number $i with words").toDF("text")
+    val dist = many.select(TextAnalysis.contentSplit(col("text")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    dist.keySet shouldBe Set("train", "validation", "test")
+    dist("train").toDouble / 2000 shouldBe 0.8 +- 0.05
+  }
+
+  test("p02/p03 declared queries: split totals and planted contamination") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    // 20 docs; eval set = doc_id % 10 == 7 → {7, 17}; doc 7 duplicates
+    // doc 3's text (contaminated), doc 17 is unique
+    (0L until 20L).map { i =>
+      val text = if (i == 7L) "shared corpus document number 3"
+        else if (i == 17L) "unique holdout document"
+        else s"shared corpus document number $i"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val split = graft.SparkEntry.queries("p02_hash_split")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    split.map(_._2).sum shouldBe 20
+    val r = graft.SparkEntry.queries("p03_contamination")(spark, dir).head()
+    r.getAs[Long]("n_eval") shouldBe 2
+    r.getAs[Long]("n_contaminated") shouldBe 1
+    r.getAs[Double]("contamination_rate") shouldBe 0.5
+  }
+
   test("fused predictedLang over kernel scores matches the HOF path") {
     val df = Seq("the a fast the a", "data row query data", "plain nothing",
       "window batch stream stream").toDF("t")
