@@ -79,6 +79,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("lang_quality_counts kernel == HOF formulation on seeded random text") {
+    val rnd = new scala.util.Random(23)
+    // alphabet mixes marker words, stopwords, noise tokens, unicode
+    // (multi-byte UTF-8), punctuation-glued markers, and raw spaces (which
+    // produce empty tokens when doubled)
+    val vocab = Seq("the", "a", "fast", "data", "row", "query", "table",
+      "scan", "group", "value", "join", "sort", "window", "batch", "stream",
+      "noise", "naïve", "übermäßig", "日本語", "the,", "a.", "x1", "")
+    val texts = Seq.fill(200)(
+      Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      .filter(_.trim.nonEmpty)
+    val df = texts.toDF("t")
+    val cols =
+      graft.llm.TextAnalysis.qualityComponents(col("t"), Seq("the", "a")).map {
+        case (n, c) => c.as(s"hof_$n")
+      } ++
+      graft.llm.TextAnalysis.qualityComponentsFused(spark, col("t"), Seq("the", "a")).map {
+        case (n, c) => c.as(s"f_$n")
+      } ++
+      graft.llm.TextAnalysis.langScores(col("t")).map { case (l, c) => c.as(s"hof_s_$l") } ++
+      graft.llm.TextAnalysis.langScoresFused(spark, col("t")).map { case (l, c) => c.as(s"f_s_$l") }
+    val names = Seq("word_cnt", "avg_word_len", "stopword_ratio", "quality_score",
+      "s_en", "s_es", "s_de", "s_fr", "s_zh")
+    df.select(cols: _*).collect().zip(texts).foreach { case (r, t) =>
+      names.foreach { n =>
+        withClue(s"text=<$t> col=$n: ") {
+          r.getAs[Any](s"f_$n") shouldBe r.getAs[Any](s"hof_$n")
+        }
+      }
+    }
+  }
+
   test("corrMatrix fails fast on null inputs instead of silently skewing") {
     val df = Seq((Some(1.0), 2.0), (None: Option[Double], 3.0), (Some(4.0), 5.0))
       .toDF("x", "y")
