@@ -51,6 +51,26 @@ object Extras {
       .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first))
 
+  /** x03 — CUBE grouping sets: all four grouping combinations (full,
+    * by-priority, by-status, grand total) in one Expand pass — the
+    * dashboard-style companion to x01's ROLLUP hierarchy.
+    */
+  val x03 = QSpec(
+    "x03_cube",
+    Some(s"""SELECT o_orderpriority, o_orderstatus,
+            | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+            | COUNT(*) AS cnt,
+            | ${Exact.sqlSum("o_totalprice")} AS sum_price
+            |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    (s, d) => orders(s, d)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first))
+
   /** x02 — HLL sketch with a tolerance oracle: the sketches differ per
     * engine, so the comparable output is the exact distinct count plus a
     * boolean asserting the engine's own HLL estimate lands within 5 %
@@ -93,5 +113,5 @@ object Extras {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(50))
 
-  val specs: Seq[QSpec] = Seq(u01, x01, x02, t05)
+  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, t05)
 }

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * Scale stance: every near-dup candidate generator is a bucketed equi-join
   * (gram buckets, LSH bands) — no all-pairs crossJoin anywhere; similarity
   * top-k does map-side partial top-k so the shuffle moves O(k·partitions)
-  * rows. Approximate/hash-seeded ops (MinHash, SimHash, LSH) are rows-only
-  * for the oracle (engine-specific hashes) and verified by ScalaTest.
+  * rows. Approximate/hash-seeded ops (MinHash, SimHash, LSH, IVF) are
+  * oracle-checked via planted-data constructions (deterministic dup
+  * planting ⇒ recall 1 by construction) or bounded-boolean contracts both
+  * engines assert — every declared query here carries an oracle.
   */
 object LlmOps {
 

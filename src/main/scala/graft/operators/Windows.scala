@@ -123,5 +123,29 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     })
 
-  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04)
+  /** w05 — sliding (hopping) 2-hour window, 30-minute slide: each event
+    * lands in exactly 4 overlapping windows (Spark expands via Expand —
+    * the declarative form of the per-event window fanout). Both engines'
+    * window grids are epoch-aligned on the 30-minute boundary, so the SQL
+    * twin enumerates the same 4 window starts per event from its
+    * time_bucket.
+    */
+  val w05 = QSpec(
+    "w05_sliding_window",
+    Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
+           |w AS (SELECT t, value,
+           |        time_bucket(INTERVAL '30 minutes', t) - (k * INTERVAL '30 minutes') AS wstart
+           |      FROM e, UNNEST(range(0, 4)) AS x(k))
+           |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           | COUNT(*) AS cnt,
+           | CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+           |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => events(s, d).withColumn("ts_us", tsMicros)
+      .groupBy(window(col("ts_us"), "2 hours", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value"), 6).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("cnt"), col("sum_value"))
+      .orderBy("window_start"))
+
+  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05)
 }
