@@ -71,6 +71,31 @@ object Extras {
       .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first))
 
+  /** x04 — salted join through the correctness gate: the skew lever
+    * (util/Skew.saltedJoin — large side salted deterministically, small
+    * side replicated per salt) must be ROW-IDENTICAL to the plain join,
+    * so the oracle is the unsalted SQL join + aggregate. This is the
+    * declared-query proof that turning the skew dial never changes
+    * results, only the shuffle distribution (SkewSpec asserts the plan
+    * side: n-way key spreading).
+    */
+  val x04 = QSpec(
+    "x04_salted_join",
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+            | ${Exact.sqlSum("l_extendedprice")} AS sum_price
+            |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val l = lineitem(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val o = orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.util.Skew.saltedJoin(l, o, "l_orderkey", "l_linenumber", 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          Exact.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
   /** x02 — HLL sketch with a tolerance oracle: the sketches differ per
     * engine, so the comparable output is the exact distinct count plus a
     * boolean asserting the engine's own HLL estimate lands within 5 %
@@ -113,5 +138,5 @@ object Extras {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(50))
 
-  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, t05)
+  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05)
 }
