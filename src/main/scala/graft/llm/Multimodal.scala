@@ -15,6 +15,13 @@ final case class MediaFeatures(doc_id: Long, byteLen: Long, features: Array[Doub
 /** A decoded raster image: interleaved RGB bytes, row-major. */
 final case class PpmImage(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
 
+/** Decoded PCM audio: 16-bit signed samples, mono. */
+final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+/** Per-clip features from the real audio decode path. */
+final case class AudioFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
+    mean_amp: Double, rms: Double)
+
 /** Per-image features from the real decode path: dimensions + per-channel
   * pixel means.
   */
@@ -137,6 +144,113 @@ object Multimodal {
     require(bytes.length - pos >= need,
       s"PPM: truncated pixel data (${bytes.length - pos} of $need bytes)")
     PpmImage(w, h, maxVal, java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+  }
+
+  /** Serialize 16-bit signed mono PCM as a canonical WAV (RIFF) file:
+    * RIFF header, `fmt ` chunk (PCM, mono, 16-bit), `data` chunk.
+    */
+  def wavEncode(sampleRate: Int, sample: Int => Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { out.putShort(sample(i).toShort); i += 1 }
+    out.array()
+  }
+
+  /** REAL WAV (RIFF) decoder: walks the chunk list (tolerating extra
+    * chunks like LIST/INFO, as the spec allows), validates the PCM/16-bit/
+    * mono format against the `fmt ` chunk, and slices the `data` samples.
+    * Throws on malformed input — corrupt media must surface.
+    */
+  def wavDecode(bytes: Array[Byte]): WavAudio = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 44, "WAV: truncated header")
+    require(tag() == "RIFF", "WAV: missing RIFF magic")
+    buf.getInt() // declared riff size (unchecked: stream-written files lie)
+    require(tag() == "WAVE", "WAV: not a WAVE form")
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8) {
+      val id = tag(); val len = buf.getInt()
+      require(len >= 0 && buf.remaining() >= len, s"WAV: truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "WAV: short fmt chunk")
+          val fmtEnd = buf.position() + len
+          require(buf.getShort() == 1, "WAV: not PCM")
+          channels = buf.getShort()
+          sampleRate = buf.getInt()
+          buf.getInt(); buf.getShort() // byte rate, block align
+          bits = buf.getShort()
+          buf.position(fmtEnd)
+        case "data" =>
+          require(bits == 16 && channels == 1,
+            s"WAV: unsupported format ($channels ch, $bits bit) — fmt must precede data")
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = buf.getShort(); i += 1 }
+        case _ =>
+          buf.position(buf.position() + len + (len & 1)) // chunks are word-aligned
+      }
+    }
+    require(samples != null, "WAV: no data chunk")
+    WavAudio(sampleRate, channels, samples)
+  }
+
+  /** Synthetic WAV corpus over an id column: sample i of doc `id`'s clip
+    * is ((53·id mod 1009) + 7i) mod 2001 − 1000 — closed form for the SQL
+    * oracle, full-range signed amplitudes.
+    */
+  def syntheticWav(df: DataFrame, idCol: String,
+      nSamples: Int, sampleRate: Int): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val seed = ((id * 53) % 1009).toInt
+      val bytes = wavEncode(sampleRate, i => (seed + 7 * i) % 2001 - 1000, nSamples)
+      MediaRecord(id, bytes, MediaMeta("audio/wav", bytes.length.toLong))
+    }
+  }
+
+  /** Batched per-partition audio decode + amplitude stats — the audio twin
+    * of [[extractImageFeatures]]. Sums are exact in a long; mean divides
+    * by a power-of-two sample count in the declared query, so the doubles
+    * are bit-deterministic.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val a = wavDecode(r.content)
+          val n = a.samples.length
+          var s = 0L; var sq = 0L
+          var i = 0
+          while (i < n) {
+            val v = a.samples(i).toLong
+            s += v; sq += v * v
+            i += 1
+          }
+          AudioFeatures(r.doc_id, n, a.sampleRate,
+            s.toDouble / n, math.sqrt(sq.toDouble / n))
+        }
+      }
+    }
   }
 
   /** Synthetic PPM corpus over an id column: byte i of doc `id`'s pixel

@@ -569,6 +569,35 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** mm03 — audio twin of mm02: each doc gets a 256-sample 16 kHz WAV
+    * whose PCM samples follow the closed form ((53·doc_id mod 1009) + 7i)
+    * mod 2001 − 1000, the batch loop runs the REAL RIFF/PCM decoder
+    * ([[Multimodal.wavDecode]]), and the declared output is amplitude
+    * stats. Sample count is a power of two so the mean is exact; rms goes
+    * through one correctly-rounded sqrt on an exactly-represented double —
+    * bit-deterministic on both engines.
+    */
+  val mm03 = QSpec(
+    "mm03_audio_features",
+    Some("""WITH s AS (SELECT doc_id, (doc_id * 53) % 1009 AS seed FROM documents),
+           |a AS (SELECT doc_id,
+           |   list_transform(range(0, 256), i -> (seed + 7*i) % 2001 - 1000) AS v
+           | FROM s)
+           |SELECT doc_id,
+           | CAST(256 AS INTEGER) AS n_samples, CAST(16000 AS INTEGER) AS sample_rate,
+           | ROUND(CAST(list_sum(v) AS DOUBLE) / 256, 6) AS mean_amp,
+           | ROUND(SQRT(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) / 256), 6) AS rms
+           |FROM a ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val feats = Multimodal.extractAudioFeatures(
+        Multimodal.syntheticWav(documents(s, d), "doc_id", 256, 16000))
+      feats.toDF()
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          round(col("mean_amp"), 6).as("mean_amp"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("doc_id")
+    })
+
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    t01, t02, t03, t04, t06, t07, p01, p02, p03, mm01, mm02)
+    t01, t02, t03, t04, t06, t07, p01, p02, p03, mm01, mm02, mm03)
 }

@@ -57,6 +57,46 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ppmDecode("P6\n2 2\n65535\n".getBytes("US-ASCII")) // 16-bit maxval
   }
 
+  test("wav encode/decode round-trips samples exactly") {
+    val bytes = Multimodal.wavEncode(8000, i => i * 101 - 300, 50)
+    val a = Multimodal.wavDecode(bytes)
+    a.sampleRate shouldBe 8000
+    a.channels shouldBe 1
+    a.samples shouldBe Array.tabulate(50)(i => (i * 101 - 300).toShort)
+  }
+
+  test("wavDecode walks extra RIFF chunks and rejects corrupt media") {
+    // splice a LIST chunk (odd length → word-aligned pad) between fmt and data
+    val base = Multimodal.wavEncode(16000, _ => 7, 4)
+    val extra = java.nio.ByteBuffer.allocate(8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put(Array[Byte](1, 2, 3, 4, 5, 0)).array()
+    val spliced = base.slice(0, 36) ++ extra ++ base.slice(36, base.length)
+    // fix the RIFF size field for honesty (decoder doesn't check it anyway)
+    Multimodal.wavDecode(spliced).samples shouldBe Array.fill(4)(7.toShort)
+
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.wavDecode("RIFFxxxxNOPE".getBytes("US-ASCII")) // not WAVE
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.wavDecode(Multimodal.wavEncode(8000, _ => 0, 4).dropRight(3)) // truncated data
+  }
+
+  test("extractAudioFeatures decodes planted samples to exact amplitude stats") {
+    val docs = (0L to 49L).toDF("doc_id")
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.syntheticWav(docs, "doc_id", 256, 16000))
+    feats.queryExecution.executedPlan.toString should not include "Exchange"
+    feats.collect().foreach { f =>
+      val seed = ((f.doc_id * 53) % 1009).toInt
+      val v = (0 until 256).map(i => (seed + 7 * i) % 2001 - 1000)
+      f.n_samples shouldBe 256
+      f.sample_rate shouldBe 16000
+      f.mean_amp shouldBe v.sum.toDouble / 256
+      f.rms shouldBe math.sqrt(v.map(x => x.toLong * x).sum.toDouble / 256)
+    }
+  }
+
   test("extractImageFeatures decodes planted pixels to exact channel means, no shuffle") {
     val docs = (0L to 99L).toDF("doc_id")
     val feats = Multimodal.extractImageFeatures(
