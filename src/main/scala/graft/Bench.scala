@@ -26,6 +26,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // align Spark's whole-stage-codegen fallback with HotSpot's
+      // -XX:DontCompileHugeMethods limit (8000 bytecode bytes): a WSCG
+      // method over that limit never JIT-compiles and runs interpreted —
+      // measured 1.5-2x on deep Project chains (see BASELINE.md)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -60,6 +60,11 @@ object Main {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the FE transform chain generates one deep WSCG method; over
+      // HotSpot's 8000-byte JIT limit it runs interpreted (measured
+      // 1.5x, BASELINE.md) — make Spark fall back to per-expression
+      // codegen instead
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

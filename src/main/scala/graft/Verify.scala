@@ -17,6 +17,8 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark reads them as long
       // nanos under this flag (queries convert explicitly where needed).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench.scala: keep WSCG methods under HotSpot's JIT limit
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
