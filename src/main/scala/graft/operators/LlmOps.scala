@@ -526,6 +526,65 @@ object LlmOps {
             / count(lit(1)), 6).as("contamination_rate"))
     })
 
+  /** t08 — per-document token entropy: H = −Σ (c/n)·ln(c/n) over the
+    * doc's own token distribution — the standard repetition/diversity
+    * quality signal (template spam scores low). Keyed %7 subset +
+    * round(4): the ≤ ~60 fp additions per doc keep cross-engine sum-order
+    * error ~1e-14, far inside the rounding guard.
+    */
+  val t08 = QSpec(
+    "t08_token_entropy",
+    Some("""WITH toks AS (
+           |  SELECT doc_id, t.tok FROM documents,
+           |    UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)
+           |  WHERE doc_id % 7 = 0),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+           |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           | ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)), 4) AS entropy
+           |FROM tf JOIN n USING (doc_id) GROUP BY doc_id, n ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val toks = documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val n = tf.groupBy("doc_id").agg(sum("c").as("n"))
+      val p = col("c").cast("double") / col("n")
+      tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(round(-sum(p * log(p)), 4).as("entropy"))
+        .orderBy("doc_id")
+    })
+
+  /** t09 — 3-gram repetition ratio: 1 − distinct/total word-3-grams per
+    * doc (C4-style boilerplate signal; near-0 for natural text, high for
+    * templated spam). Integer counts + one division — exactly
+    * deterministic on both engines.
+    */
+  val t09 = QSpec(
+    "t09_repetition_ratio",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+           |           FROM documents WHERE doc_id % 7 = 0),
+           |g AS (SELECT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i))
+           |SELECT doc_id, COUNT(*) AS total_grams,
+           | COUNT(DISTINCT gram) AS distinct_grams,
+           | ROUND(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6) AS repetition
+           |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val grams = documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          explode(Dedup.wordNGramsFused(s, col("text"), 3)).as("gram"))
+      grams.groupBy("doc_id")
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("gram")).as("distinct_grams"))
+        .select(col("doc_id"), col("total_grams"), col("distinct_grams"),
+          round(lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"), 6)
+            .as("repetition"))
+        .orderBy("doc_id")
+    })
+
   /** mm01 — multimodal binary column + typed metadata (byte length, sha256). */
   val mm01 = QSpec(
     "mm01_binary_meta",
@@ -599,5 +658,5 @@ object LlmOps {
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    t01, t02, t03, t04, t06, t07, p01, p02, p03, mm01, mm02, mm03)
+    t01, t02, t03, t04, t06, t07, t08, t09, p01, p02, p03, mm01, mm02, mm03)
 }
