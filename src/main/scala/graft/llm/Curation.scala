@@ -1,0 +1,197 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization: PII redaction, text normalization,
+  * sub-document (chunk/sentence) cross-corpus dedup, sequence packing,
+  * stratified/temperature sampling, and corpus-LM scoring.
+  *
+  * Scale stance: every operator here is scan-shaped or a keyed shuffle on
+  * small keys. The one global computation (sequence packing's running
+  * token offset) is a distributed prefix sum — per-range partial sums are
+  * cumulated on a #buckets-row frame and broadcast back, so no stage ever
+  * sorts the full corpus in one partition (the naive global `Window.orderBy`
+  * would).
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- PII ---
+
+  /** Patterns valid in both Java regex (Spark) and RE2 (DuckDB oracle) —
+    * the curation analogue of C4/CCNet's scrubbing pass.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{2} \\d{3} \\d{3} \\d{3}"
+
+  /** Count of PII matches in `c` (emails + IPv4s + phone numbers).
+    * Order matters for [[redactPii]]: emails are struck first so their
+    * dotted domains can never be re-matched as IPs.
+    */
+  def piiCount(c: Column): Column =
+    (regexp_count(c, lit(EmailRe)) + regexp_count(c, lit(Ipv4Re)) +
+      regexp_count(c, lit(PhoneRe))).cast("long")
+
+  /** Replace every email/IPv4/phone occurrence with a typed placeholder —
+    * pure codegen'd scan work, no shuffle.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // ---------------------------------------------------- normalization ---
+
+  /** Aggressive lowercase/ASCII normalization: lowercase, strip everything
+    * outside [a-z0-9 ] (tabs/controls/punct become spaces), collapse runs
+    * of whitespace, trim. The canonical pre-fingerprint cleanup pass.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  // ------------------------------------------------------- chunk dedup ---
+
+  /** Non-overlapping `chunkWords`-word chunk strings of a document
+    * (sentence/paragraph proxy for corpora without line structure): the
+    * words of `textCol` (whitespace-split, empties dropped) sliced into
+    * consecutive windows, each rejoined with single spaces. Array-typed,
+    * computed without exploding (one pass over the split array); empty
+    * documents yield an empty array.
+    */
+  def wordChunks(textCol: Column, chunkWords: Int): Column = {
+    val words = filter(split(textCol, " "), w => w =!= "")
+    val nChunks = ceil(size(words) / lit(chunkWords.toDouble)).cast("int")
+    when(nChunks > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        k => array_join(slice(words, k * chunkWords + 1, lit(chunkWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Sub-document cross-corpus dedup audit (the chunk-level pass of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, done at chunk rather than suffix granularity): per doc, how
+    * many of its `chunkWords`-word chunks also appear in ANOTHER document.
+    * The join key is the 16-byte md5 of the chunk, so the shuffle carries
+    * fingerprints, not text; the shared-chunk set is a hash agg over those
+    * fingerprints.
+    */
+  def chunkDedupAudit(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    val chunks = df.select(col(idCol),
+        explode(wordChunks(col(textCol), chunkWords)).as("chunk"))
+      .select(col(idCol), md5(col("chunk")).as("fp"))
+    val shared = chunks.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("n_docs_fp"))
+      .filter(col("n_docs_fp") >= 2)
+      .select(col("fp"), lit(1).as("is_shared"))
+    chunks.join(shared, Seq("fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_shared"), lit(0))).cast("long").as("n_dup_chunks"))
+  }
+
+  // --------------------------------------------------- sequence packing ---
+
+  /** Greedy offset-based sequence packing: documents in `idCol` order are
+    * laid end-to-end by token count and cut into fixed `packTokens` bins —
+    * `pack_id = floor(cumulative_offset / packTokens)` (each doc is
+    * assigned by its START offset, the streaming-friendly rule). Returns
+    * (idCol, tokens, pack_id).
+    *
+    * The running offset is a DISTRIBUTED prefix sum, not a global-order
+    * window: docs are range-bucketed (`idCol div bucketWidth`), per-bucket
+    * token sums are cumulated on a tiny #buckets-row frame (the only
+    * single-partition window, over thousands of rows at 100 TB, not
+    * billions), bucket base offsets broadcast-join back, and the
+    * within-bucket running sum is a window PARTITIONED by bucket — so the
+    * full corpus is never sorted in one task.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+      packTokens: Long, bucketWidth: Long = 1000L): DataFrame = {
+    val base = df.select(col(idCol), tokensCol.cast("long").as("tokens"),
+      (col(idCol).cast("long") / lit(bucketWidth)).cast("long").as("bucket"))
+    // tiny frame: one row per bucket — exclusive cumulative base offset
+    val bucketBase = base.groupBy("bucket")
+      .agg(sum("tokens").as("bucket_tokens"))
+      .withColumn("bucket_base",
+        coalesce(sum(col("bucket_tokens")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "bucket_base")
+    val withinW = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bucketBase), Seq("bucket"))
+      .withColumn("offset",
+        col("bucket_base") + coalesce(sum(col("tokens")).over(withinW), lit(0L)))
+      .withColumn("pack_id", expr(s"offset div $packTokens"))
+      .select(col(idCol), col("tokens"), col("pack_id"))
+  }
+
+  // ---------------------------------------------------------- sampling ---
+
+  /** Deterministic hash bucket in [0, 100) for sampling decisions: stable
+    * under re-ingestion and independent of the p02 split hash (namespaced
+    * by `salt`). Same construction as TextAnalysis.contentSplit but keyed
+    * on the row id, which is what sampling (unlike splitting) wants.
+    */
+  def hashBucket(idCol: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100).cast("int")
+
+  /** Stratified downsampling with per-stratum keep rates: keep a row iff
+    * its hash bucket < its stratum's rate (percent). Scan-shaped — the
+    * decision is a pure function of (id, stratum), so workers sample
+    * independently with zero coordination and the result is reproducible
+    * row-for-row at any cluster size.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, ratePct: Column): Column =
+    hashBucket(col(idCol), "strat:") < ratePct
+
+  /** Temperature-sampling mixture weights over strata (the multilingual
+    * data-mixing rule, p_i ∝ n_i^(1/T) with T = 2): per stratum,
+    * weight = sqrt(n_i) / Σ_j sqrt(n_j). sqrt is correctly rounded in
+    * IEEE-754, so the per-stratum numerators are bit-exact; callers round
+    * the final ratio (the Σ is a small cross-stratum sum).
+    */
+  def temperatureWeights(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", sqrt(col("n_docs").cast("double")))
+    val total = counts.agg(sum("sq").as("sq_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(stratumCol), col("n_docs"),
+        (col("sq") / col("sq_total")).as("weight"))
+  }
+
+  // ------------------------------------------------------- LM scoring ---
+
+  /** Corpus-unigram-LM document scoring: fit a unigram distribution over
+    * the WHOLE corpus (token counts / corpus size), then score each doc by
+    * its mean token log-probability — the cheap perplexity proxy quality
+    * filters rank on (CCNet-style, with the LM fit on the corpus itself).
+    *
+    * Plan shape: one explode+agg builds the vocabulary (small — token
+    * types, not tokens), which then BROADCAST-joins back onto the token
+    * stream; the per-doc agg is partial+final. The corpus-size scalar
+    * rides the broadcast row, so nothing global is collected.
+    */
+  def unigramLogprob(docs: DataFrame, idCol: String, textCol: String,
+      scored: DataFrame): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks(docs).groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").cast("long").as("n_corpus"))
+    val lp = log(col("c").cast("double") / col("n_corpus"))
+    toks(scored)
+      .join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(lp) / count(lit(1)), 4).as("avg_logprob"))
+  }
+}

@@ -269,6 +269,143 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize (the standard preprocessing step before a
+    * vision encoder): output pixel (y, x) samples input
+    * (floor(y·h/oh), floor(x·w/ow)) — pure integer index math, no
+    * interpolation, so resized features stay closed-form oracle-able.
+    */
+  def resizeNearest(img: PpmImage, ow: Int, oh: Int): PpmImage = {
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = y * img.height / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * img.width / ow
+        val src = 3 * (sy * img.width + sx)
+        val dst = 3 * (y * ow + x)
+        out(dst) = img.pixels(src)
+        out(dst + 1) = img.pixels(src + 1)
+        out(dst + 2) = img.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(ow, oh, img.maxVal, out)
+  }
+
+  /** Batched decode → nearest-neighbor resize → per-channel means: the
+    * mm04 path. Same shuffle-free mapPartitions shape; the resize runs on
+    * the decoded raster inside the batch loop.
+    */
+  def extractResizedFeatures(media: Dataset[MediaRecord],
+      ow: Int, oh: Int): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = resizeNearest(ppmDecode(r.content), ow, oh)
+          val n = img.width * img.height
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          while (p < n) {
+            sr += img.pixels(3 * p) & 0xFF
+            sg += img.pixels(3 * p + 1) & 0xFF
+            sb += img.pixels(3 * p + 2) & 0xFF
+            p += 1
+          }
+          ImageFeatures(r.doc_id, img.width, img.height,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }
+  }
+
+  /** Serialize a frame sequence as a minimal length-prefixed container
+    * ("GVID" magic, big-endian frame count, then per frame a big-endian
+    * byte length + the encoded frame — here PPM stills).
+    */
+  def gvidEncode(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(4 + _.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+    buf.put("GVID".getBytes("US-ASCII")).putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** REAL container parse: validates the magic, walks the length-prefixed
+    * frame list, returns each frame's bytes. Throws on truncation.
+    */
+  def gvidDecode(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    require(bytes.length >= 8, "GVID: truncated header")
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "GVID: bad magic")
+    val n = buf.getInt()
+    require(n >= 0, "GVID: negative frame count")
+    (0 until n).map { i =>
+      require(buf.remaining() >= 4, s"GVID: truncated frame $i length")
+      val len = buf.getInt()
+      require(len >= 0 && buf.remaining() >= len, s"GVID: truncated frame $i")
+      val f = new Array[Byte](len); buf.get(f); f
+    }
+  }
+
+  /** Synthetic video corpus: each doc gets `nFrames` PPM frames in a GVID
+    * container; byte i of frame f's pixel stream is
+    * ((29·id mod 256) + 11·f + i) mod 256 — closed form per (doc, frame).
+    */
+  def syntheticVideo(df: DataFrame, idCol: String,
+      nFrames: Int, width: Int, height: Int): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val seed = ((id * 29) % 256).toInt
+      val bytes = gvidEncode((0 until nFrames).map { f =>
+        ppmEncode(width, height, i => (seed + 11 * f + i) % 256)
+      })
+      MediaRecord(id, bytes, MediaMeta("video/x-gvid", bytes.length.toLong))
+    }
+  }
+
+  /** Per-frame features of a decoded video. */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, n_frames: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Strided frame sampling + decode + per-frame channel means — the video
+    * analogue of mm02: parse the container, keep every `stride`-th frame
+    * (the cheap temporal subsampling every video pipeline starts with),
+    * decode only the kept frames. Shuffle-free; undecoded frames are
+    * skipped as raw byte spans, never rasterized.
+    */
+  def sampleFrameFeatures(media: Dataset[MediaRecord],
+      stride: Int): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val frames = gvidDecode(r.content)
+          frames.indices.collect { case f if f % stride == 0 =>
+            val img = ppmDecode(frames(f))
+            val n = img.width * img.height
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < n) {
+              sr += img.pixels(3 * p) & 0xFF
+              sg += img.pixels(3 * p + 1) & 0xFF
+              sb += img.pixels(3 * p + 2) & 0xFF
+              p += 1
+            }
+            FrameFeatures(r.doc_id, f, frames.length,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        }
+      }
+    }
+  }
+
   /** Batched per-partition image decode + per-channel mean extraction —
     * same shuffle-free mapPartitions shape as [[extractFeatures]], with the
     * REAL [[ppmDecode]] in the batch loop. Sums are exact (integer bytes in

@@ -1,0 +1,336 @@
+package graft.operators
+
+import graft.QSpec
+import graft.joins.TemporalJoins
+import graft.llm.{Curation, Multimodal, TextAnalysis}
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-curation + join extensions: PII redaction, text
+  * normalization, chunk-level cross-corpus dedup, distributed sequence
+  * packing, corpus-unigram LM scoring, stratified/temperature sampling,
+  * as-of + range joins, image resize, video frame sampling.
+  *
+  * Scale stance: everything here is scan-shaped, a small-key shuffle, or a
+  * distributed prefix sum (p06); the two new join shapes (j01/j02) exist
+  * precisely to avoid the naive scale-killers (global-order window for
+  * as-of, BroadcastNestedLoop for range predicates).
+  */
+object CorpusOps {
+
+  import Tables._
+
+  /** p04 — PII redaction (the C4/CCNet scrubbing pass). The word-salad
+    * corpus carries no organic PII, so each doc gets a deterministic
+    * closed-form email + IPv4 + phone appended (the planted-data trick of
+    * d03/d05/mm02) and the declared output proves the scrub: match count,
+    * fingerprint of the full redacted text, and the visible redacted tail.
+    * Pure codegen'd regexp work — scan-shaped, no shuffle.
+    */
+  val p04 = QSpec(
+    "p04_pii_redaction",
+    Some("""WITH aug AS (SELECT doc_id,
+           |  text || ' contact user' || doc_id || '@mail.example.com or 10.'
+           |       || (doc_id % 200) || '.' || (doc_id % 250) || '.' || (doc_id % 100)
+           |       || ' call +33 ' || (100 + doc_id % 900) || ' 555 '
+           |       || (100 + (doc_id * 7) % 900) AS t
+           |  FROM documents),
+           |red AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |    '\+\d{2} \d{3} \d{3} \d{3}', '<PHONE>', 'g') AS r,
+           |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           |  + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           |  + len(regexp_extract_all(t, '\+\d{2} \d{3} \d{3} \d{3}')) AS n_pii
+           |  FROM aug)
+           |SELECT doc_id, CAST(n_pii AS BIGINT) AS n_pii, md5(r) AS redacted_fp,
+           |  right(r, 60) AS tail
+           |FROM red ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 10."), (col("doc_id") % 200).cast("string"),
+        lit("."), (col("doc_id") % 250).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" call +33 "), (col("doc_id") % 900 + 100).cast("string"),
+        lit(" 555 "), ((col("doc_id") * 7) % 900 + 100).cast("string"))
+      documents(s, d)
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          Curation.piiCount(col("t")).as("n_pii"),
+          Curation.redactPii(col("t")).as("r"))
+        .select(col("doc_id"), col("n_pii"),
+          md5(col("r")).as("redacted_fp"), expr("right(r, 60)").as("tail"))
+        .orderBy("doc_id")
+    })
+
+  /** p05 — text normalization: lowercase + strip non-[a-z0-9 ] + collapse
+    * whitespace + trim, on deterministically-dirtied input (injected case,
+    * tabs, margins). `round_trip` asserts the normalized dirty text equals
+    * the normalized original — idempotence of the cleanup. Scan-shaped.
+    */
+  val p05 = QSpec(
+    "p05_text_normalize",
+    Some("""WITH m AS (SELECT doc_id,
+           |  '  ' || upper(substr(text, 1, 20)) || ' ' || chr(9) || ' '
+           |       || substr(text, 21) || '  ' AS t, text FROM documents),
+           |n AS (SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(t),
+           |       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+           |  trim(regexp_replace(regexp_replace(lower(text),
+           |       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+           |  FROM m)
+           |SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len,
+           |  md5(norm) AS norm_fp, (norm = canon) AS round_trip
+           |FROM n ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val messy = concat(lit("  "), upper(substring(col("text"), 1, 20)),
+        lit(" \t "), substring(col("text"), 21, Int.MaxValue), lit("  "))
+      val norm = Curation.normalizeText(messy)
+      val canon = Curation.normalizeText(col("text"))
+      documents(s, d)
+        .select(col("doc_id"),
+          length(norm).cast("long").as("norm_len"),
+          md5(norm).as("norm_fp"),
+          (norm === canon).as("round_trip"))
+        .orderBy("doc_id")
+    })
+
+  /** p06 — sequence packing: documents laid end-to-end in id order and cut
+    * into 2048-token packs by starting offset (the pre-tokenization batch
+    * packing every trainer runs). The Spark side computes the running
+    * offset as a DISTRIBUTED prefix sum ([[Curation.packSequences]]: range
+    * buckets + tiny cumulated bucket frame + within-bucket window) — the
+    * oracle's single global window is exactly the plan shape the
+    * implementation exists to avoid.
+    */
+  val p06 = QSpec(
+    "p06_sequence_packing",
+    Some("""WITH t AS (SELECT doc_id,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok
+           |  FROM documents),
+           |c AS (SELECT doc_id, tok,
+           |  CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           |  FROM t)
+           |SELECT CAST(off // 2048 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+           |  CAST(SUM(tok) AS BIGINT) AS pack_tokens,
+           |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).as("tok"))
+      Curation.packSequences(toks, "doc_id", col("tok"), 2048L, 100L)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tokens").as("pack_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("pack_id")
+    })
+
+  /** d08 — chunk-level cross-corpus dedup audit (sub-document granularity,
+    * the Lee et al. 2022 pass at chunk rather than suffix level): per doc,
+    * how many of its 10-word chunks appear in at least one OTHER doc. The
+    * shuffle carries 16-byte chunk md5s, never text.
+    */
+  val d08 = QSpec(
+    "d08_chunk_dedup",
+    Some("""WITH w AS (SELECT doc_id,
+           |  list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents),
+           |ch AS (SELECT doc_id,
+           |  md5(array_to_string(words[k*10+1 : k*10+10], ' ')) AS fp
+           |  FROM w, UNNEST(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS t(k)),
+           |shared AS (SELECT fp FROM ch GROUP BY fp
+           |           HAVING COUNT(DISTINCT doc_id) >= 2)
+           |SELECT doc_id, COUNT(*) AS n_chunks,
+           |  CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+           |FROM ch LEFT JOIN shared s USING (fp)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, d) => Curation.chunkDedupAudit(documents(s, d), "doc_id", "text", 10)
+      .orderBy("doc_id"))
+
+  /** t10 — corpus-unigram-LM scoring (cheap perplexity proxy): unigram
+    * distribution fit on the WHOLE corpus, each doc scored by mean token
+    * log-probability. Vocabulary (token TYPES) broadcast-joins back onto
+    * the token stream — nothing global is collected. Keyed %7 subset +
+    * round(4) per the t08 transcendental-sum precedent.
+    */
+  val t10 = QSpec(
+    "t10_unigram_logprob",
+    Some("""WITH toks AS (SELECT doc_id, t.tok FROM documents,
+           |    UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
+           |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+           |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM vocab)
+           |SELECT doc_id, COUNT(*) AS n_toks,
+           |  ROUND(SUM(LN(CAST(c AS DOUBLE) / n_corpus)) / COUNT(*), 4) AS avg_logprob
+           |FROM toks JOIN vocab USING (tok) CROSS JOIN n
+           |WHERE doc_id % 7 = 0
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d)
+      Curation.unigramLogprob(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 7 === 0))
+        .orderBy("doc_id")
+    })
+
+  /** x05 — deterministic stratified sampling: per-source keep rates
+    * (10–90 % by source index), decided by a salted per-row hash bucket —
+    * reproducible row-for-row at any cluster size, zero coordination
+    * (contrast `df.sample`, whose output depends on partitioning).
+    */
+  val x05 = QSpec(
+    "x05_stratified_sample",
+    Some("""WITH d AS (SELECT doc_id, source,
+           |  10 + (CAST(substr(source, 4) AS INTEGER) % 5) * 20 AS rate FROM documents),
+           |k AS (SELECT * FROM d
+           |  WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < rate),
+           |t AS (SELECT source, COUNT(*) AS n_total FROM d GROUP BY 1),
+           |sm AS (SELECT source, COUNT(*) AS n_sampled,
+           |       MIN(doc_id) AS min_kept, MAX(doc_id) AS max_kept FROM k GROUP BY 1)
+           |SELECT t.source, n_total,
+           |  CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled, min_kept, max_kept
+           |FROM t LEFT JOIN sm USING (source) ORDER BY source""".stripMargin),
+    (s, d) => {
+      val df = documents(s, d).withColumn("rate_pct",
+        lit(10) + (substring(col("source"), 4, 10).cast("int") % 5) * 20)
+      val kept = df.filter(Curation.stratifiedSample(df, "doc_id", col("rate_pct")))
+      val tot = df.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val smp = kept.groupBy("source").agg(count(lit(1)).as("n_sampled"),
+        min("doc_id").as("min_kept"), max("doc_id").as("max_kept"))
+      tot.join(smp, Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
+          col("min_kept"), col("max_kept"))
+        .orderBy("source")
+    })
+
+  /** x06 — temperature-sampling mixture weights (p_i ∝ n_i^(1/T), T = 2 —
+    * the multilingual data-mixing rule): per language, its sampled share
+    * of the training mix. sqrt is correctly rounded; round(6) guards the
+    * tiny cross-stratum sum.
+    */
+  val x06 = QSpec(
+    "x06_temperature_mix",
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+           |t AS (SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS st FROM c)
+           |SELECT lang, n_docs,
+           |  ROUND(SQRT(CAST(n_docs AS DOUBLE)) / st, 6) AS weight
+           |FROM c, t ORDER BY lang""".stripMargin),
+    (s, d) => Curation.temperatureWeights(documents(s, d), "lang")
+      .select(col("lang"), col("n_docs"), round(col("weight"), 6).as("weight"))
+      .orderBy("lang"))
+
+  /** j01 — as-of join (kdb aj / pandas merge_asof): every purchase event
+    * matched to the latest click at-or-before it for the same user, via
+    * the single-shuffle MERGE pattern ([[TemporalJoins.asofJoin]]). The
+    * DuckDB twin is its NATIVE ASOF LEFT JOIN — an independent
+    * implementation of the same semantics.
+    */
+  val j01 = QSpec(
+    "j01_asof_join",
+    Some("""SELECT p.event_id, p.user_id,
+           |  epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS click_ts_us,
+           |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us, c.value AS click_value
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON p.user_id = c.user_id AND p.ts >= c.ts
+           |ORDER BY p.event_id""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
+      TemporalJoins.asofJoin(purchases, clicks, "user_id", "ts_us",
+          Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("p_ts_us"), col("asof_ts").as("click_ts_us"),
+          (col("ts_us") - col("asof_ts")).as("gap_us"), col("click_value"))
+        .orderBy("event_id")
+    })
+
+  /** j02 — point-in-interval range join: orders matched to overlapping
+    * price bands (arbitrary, overlapping intervals — NOT equi-expressible)
+    * via band bucketing ([[TemporalJoins.rangeJoinBanded]]), versus the
+    * oracle's raw inequality join. Spark would otherwise plan this as
+    * BroadcastNestedLoop — O(N·M) at scale.
+    */
+  val j02 = QSpec(
+    "j02_range_join",
+    Some("""WITH bands AS (SELECT CAST(k AS INTEGER) AS band_id,
+           |  k * 7500.0 AS lo, k * 7500.0 + 12000.0 AS hi
+           |  FROM UNNEST(range(0, 80)) t(k))
+           |SELECT band_id, COUNT(*) AS n_orders,
+           |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+           |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val bands = s.range(0, 80).select(col("id").cast("int").as("band_id"),
+        (col("id") * 7500.0).as("lo"), (col("id") * 7500.0 + 12000.0).as("hi"))
+      TemporalJoins.rangeJoinBanded(
+          orders(s, d).select("o_orderkey", "o_totalprice"),
+          "o_totalprice", bands, "lo", "hi", 6000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("band_id")
+    })
+
+  /** mm04 — decode → nearest-neighbor resize (8×8 → 4×4) → per-channel
+    * means, through the REAL PPM decoder + resizer in the batched
+    * mapPartitions loop. Resized pixel q samples source pixel
+    * 16·(q÷4) + 2·(q mod 4), which the oracle recomputes closed-form.
+    */
+  val mm04 = QSpec(
+    "mm04_image_resize",
+    Some("""WITH px AS (SELECT doc_id, (doc_id * 37) % 256 AS seed FROM documents)
+           |SELECT doc_id,
+           | CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           | ROUND(CAST(list_sum(list_transform(range(0, 16),
+           |   q -> (seed + 3 * (16 * (q // 4) + 2 * (q % 4))) % 256)) AS DOUBLE) / 16, 6) AS mean_r,
+           | ROUND(CAST(list_sum(list_transform(range(0, 16),
+           |   q -> (seed + 3 * (16 * (q // 4) + 2 * (q % 4)) + 1) % 256)) AS DOUBLE) / 16, 6) AS mean_g,
+           | ROUND(CAST(list_sum(list_transform(range(0, 16),
+           |   q -> (seed + 3 * (16 * (q // 4) + 2 * (q % 4)) + 2) % 256)) AS DOUBLE) / 16, 6) AS mean_b
+           |FROM px ORDER BY doc_id""".stripMargin),
+    (s, d) => Multimodal.extractResizedFeatures(
+        Multimodal.syntheticPpm(documents(s, d), "doc_id", 8, 8), 4, 4)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy("doc_id"))
+
+  /** mm05 — video frame sampling: 4-frame GVID containers, every 2nd frame
+    * kept (temporal subsampling), kept frames decoded through the REAL
+    * container + PPM parsers, per-frame channel means out. Frame f byte i
+    * is (29·id + 11·f + i) mod 256 — closed form for the oracle.
+    */
+  val mm05 = QSpec(
+    "mm05_video_frames",
+    Some("""WITH px AS (SELECT doc_id, (doc_id * 29) % 256 AS seed FROM documents),
+           |f AS (SELECT doc_id, seed, fi FROM px, UNNEST([0, 2]) AS t(fi))
+           |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+           | CAST(4 AS INTEGER) AS n_frames,
+           | ROUND(CAST(list_sum(list_transform(range(0, 64),
+           |   p -> (seed + 11 * fi + 3 * p) % 256)) AS DOUBLE) / 64, 6) AS mean_r,
+           | ROUND(CAST(list_sum(list_transform(range(0, 64),
+           |   p -> (seed + 11 * fi + 3 * p + 1) % 256)) AS DOUBLE) / 64, 6) AS mean_g,
+           | ROUND(CAST(list_sum(list_transform(range(0, 64),
+           |   p -> (seed + 11 * fi + 3 * p + 2) % 256)) AS DOUBLE) / 64, 6) AS mean_b
+           |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
+    (s, d) => Multimodal.sampleFrameFeatures(
+        Multimodal.syntheticVideo(documents(s, d), "doc_id", 4, 8, 8), 2)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy("doc_id", "frame_idx"))
+
+  val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
+    mm04, mm05)
+}

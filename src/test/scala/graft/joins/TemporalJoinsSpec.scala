@@ -1,0 +1,96 @@
+package graft.joins
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val clicks = Seq(
+    (1L, 10L, "c10"), (1L, 20L, "c20"), (1L, 30L, "c30"),
+    (2L, 15L, "c15"),
+    (3L, 99L, "c99")).toDF("k", "ts", "v")
+
+  private val probes = Seq(
+    (1L, 25L), (1L, 20L), (1L, 5L),  // between, exactly-at, before-any
+    (2L, 1000L),                      // far after
+    (4L, 50L)                         // key with no right rows
+  ).toDF("k", "ts")
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val got = TemporalJoins.asofJoin(probes, clicks, "k", "ts", Seq("v"))
+      .select("k", "ts", "asof_ts", "v")
+      .as[(Long, Long, Option[Long], Option[String])].collect().toSet
+    got shouldBe Set(
+      (1L, 25L, Some(20L), Some("c20")),
+      (1L, 20L, Some(20L), Some("c20")), // inclusive: ts ties match
+      (1L, 5L, None, None),
+      (2L, 1000L, Some(15L), Some("c15")),
+      (4L, 50L, None, None))
+  }
+
+  test("asofJoin agrees with the brute-force max-prior join on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = (0 until 400).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "ts")
+    val r = (0 until 300).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts", "v")
+      .groupBy("k", "ts").agg(max("v").as("v")) // unique (k, ts) so brute is well-defined
+    val got = TemporalJoins.asofJoin(l, r, "k", "ts", Seq("v"))
+      .groupBy("k", "ts")
+      .agg(count(lit(1)).as("n"), max("asof_ts").as("asof_ts"))
+    val brute = l.as("l").join(r.as("r"),
+        $"l.k" === $"r.k" && $"r.ts" <= $"l.ts", "left")
+      .groupBy($"l.k".as("k"), $"l.ts".as("ts"))
+      .agg(count(lit(1)).as("n_b"), max($"r.ts").as("asof_b"))
+    val joined = got.join(brute, Seq("k", "ts"))
+    joined.count() shouldBe got.count()
+    joined.filter(!(col("asof_ts") <=> col("asof_b"))).count() shouldBe 0
+  }
+
+  test("asofJoin plans one shuffle on the key, no nested-loop join") {
+    val plan = TemporalJoins.asofJoin(probes, clicks, "k", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoop"
+    plan should not include "CartesianProduct"
+    // exactly one exchange: the union shuffled once by key for the sort
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("rangeJoinBanded equals the direct inequality join") {
+    val rnd = new scala.util.Random(11)
+    val points = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 1000))
+      .toDF("pid", "p")
+    val intervals = (0 until 40).map { i =>
+      val lo = rnd.nextDouble() * 900
+      (i.toLong, lo, lo + 5 + rnd.nextDouble() * 120) // overlapping, ragged
+    }.toDF("iid", "lo", "hi")
+    val got = TemporalJoins.rangeJoinBanded(points, "p", intervals, "lo", "hi", 37.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val brute = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    got shouldBe brute
+    brute should not be empty
+  }
+
+  test("rangeJoinBanded boundary semantics: lo inclusive, hi exclusive") {
+    val points = Seq((1L, 10.0), (2L, 20.0)).toDF("pid", "p")
+    val intervals = Seq((7L, 10.0, 20.0)).toDF("iid", "lo", "hi")
+    val got = TemporalJoins.rangeJoinBanded(points, "p", intervals, "lo", "hi", 8.0)
+      .select("pid").as[Long].collect().toSeq
+    got shouldBe Seq(1L)
+  }
+
+  test("rangeJoinBanded plans an equi-join, not a nested loop") {
+    val points = (0 until 100).map(i => (i.toLong, i * 3.7)).toDF("pid", "p")
+    val intervals = (0 until 10).map(i => (i.toLong, i * 40.0, i * 40.0 + 55.0))
+      .toDF("iid", "lo", "hi")
+    val plan = TemporalJoins
+      .rangeJoinBanded(points, "p", intervals, "lo", "hi", 25.0)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoop"
+    plan should not include "CartesianProduct"
+  }
+}

@@ -113,4 +113,46 @@ class MultimodalSpec extends SparkSpec {
       f.mean_b shouldBe mean(2)
     }
   }
+
+  test("resizeNearest samples floor(y*h/oh, x*w/ow) source pixels") {
+    // 4x2 image with pixel value = its interleaved byte index
+    val img = Multimodal.ppmDecode(Multimodal.ppmEncode(4, 2, i => i % 256))
+    val r = Multimodal.resizeNearest(img, 2, 1)
+    (r.width, r.height) shouldBe ((2, 1))
+    // out (0,0) <- in (0,0) = bytes 0,1,2 ; out (0,1) <- in (0,2) = bytes 6,7,8
+    r.pixels.map(_ & 0xFF).toSeq shouldBe Seq(0, 1, 2, 6, 7, 8)
+    // identity resize is a no-op
+    Multimodal.resizeNearest(img, 4, 2).pixels.toSeq shouldBe img.pixels.toSeq
+  }
+
+  test("gvid encode/decode round-trips frames; truncation rejected") {
+    val frames = (0 until 3).map(f => Multimodal.ppmEncode(2, 2, i => f * 50 + i))
+    val bytes = Multimodal.gvidEncode(frames)
+    val back = Multimodal.gvidDecode(bytes)
+    back.length shouldBe 3
+    back.zip(frames).foreach { case (a, b) => a.toSeq shouldBe b.toSeq }
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.gvidDecode(bytes.dropRight(1))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.gvidDecode("XVID0000".getBytes("US-ASCII"))
+  }
+
+  test("sampleFrameFeatures keeps every stride-th frame and decodes it, no shuffle") {
+    val docs = (0L to 49L).toDF("doc_id")
+    val feats = Multimodal.sampleFrameFeatures(
+      Multimodal.syntheticVideo(docs, "doc_id", 5, 8, 8), 2)
+    feats.queryExecution.executedPlan.toString should not include "Exchange"
+    val rows = feats.collect()
+    rows.length shouldBe 50 * 3 // frames 0, 2, 4
+    rows.foreach { f =>
+      f.n_frames shouldBe 5
+      Seq(0, 2, 4) should contain(f.frame_idx)
+      val seed = ((f.doc_id * 29) % 256).toInt
+      def mean(c: Int) =
+        (0 until 64).map(p => (seed + 11 * f.frame_idx + 3 * p + c) % 256).sum / 64.0
+      f.mean_r shouldBe mean(0)
+      f.mean_g shouldBe mean(1)
+      f.mean_b shouldBe mean(2)
+    }
+  }
 }
