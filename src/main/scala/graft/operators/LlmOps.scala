@@ -390,14 +390,24 @@ object LlmOps {
   /** Spark twin of [[scoredDocsSql]]: (doc_id, word_cnt, quality_score,
     * pred_lang) over every document — one scan, pure codegen'd expressions.
     */
-  private def scoredDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession, d: String,
+      barrier: Boolean = false) = {
     val base = documents(s, d)
     val comps = TextAnalysis.qualityComponentsFused(s, col("text"), Seq("the", "a")).toMap
     val scores = TextAnalysis.langScoresFused(s, col("text"))
-    base.select(col("doc_id"),
+    val out = Seq(col("doc_id"),
       comps("word_cnt").as("word_cnt"),
       comps("quality_score").as("quality_score"),
-      TextAnalysis.predictedLang(scores).as("pred_lang"))
+      TextAnalysis.predictedLang(scores).as("pred_lang")) ++
+      // Optimization barrier for consumers that FILTER on the kernel-derived
+      // columns: a non-deterministic column in the projection stops
+      // PushDownPredicates from substituting the filter condition through it
+      // (which would re-evaluate lang_quality_counts once per conjunct in
+      // the Filter on top of the Project's copy). The consumer must keep a
+      // reference alive in its filter (`__b >= 0`, always true) or column
+      // pruning removes the marker and re-enables the pushdown.
+      (if (barrier) Seq(monotonically_increasing_id().as("__b")) else Nil)
+    base.select(out: _*)
   }
 
   /** t06 — quality filtering: the C4-style keep/drop composite every
@@ -411,8 +421,9 @@ object LlmOps {
             |SELECT doc_id, pred_lang, quality_score FROM s
             |WHERE quality_score >= 0.5 AND word_cnt BETWEEN 5 AND 1000
             |ORDER BY doc_id""".stripMargin),
-    (s, d) => scoredDocs(s, d)
-      .filter(col("quality_score") >= 0.5 && col("word_cnt").between(5, 1000))
+    (s, d) => scoredDocs(s, d, barrier = true)
+      .filter(col("quality_score") >= 0.5 && col("word_cnt").between(5, 1000) &&
+        col("__b") >= 0)
       .select("doc_id", "pred_lang", "quality_score")
       .orderBy("doc_id"))
 
@@ -457,9 +468,10 @@ object LlmOps {
       val keepers = Dedup
         .dedupKeepFirstByFingerprint(documents(s, d), "text", "doc_id")
         .select(col("keeper_id").as("doc_id"))
-      scoredDocs(s, d)
+      scoredDocs(s, d, barrier = true)
         .join(keepers, Seq("doc_id"), "left_semi")
-        .filter(col("quality_score") >= 0.5 && col("word_cnt").between(5, 1000))
+        .filter(col("quality_score") >= 0.5 && col("word_cnt").between(5, 1000) &&
+          col("__b") >= 0)
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("word_cnt")).as("total_tokens"))
         .orderBy(col("n_docs").desc, col("pred_lang"))
