@@ -76,15 +76,18 @@ object Curation {
     * "Deduplicating Training Data Makes Language Models Better", Lee et
     * al. 2022, done at chunk rather than suffix granularity): per doc, how
     * many of its `chunkWords`-word chunks also appear in ANOTHER document.
-    * The join key is the 16-byte md5 of the chunk, so the shuffle carries
-    * fingerprints, not text; the shared-chunk set is a hash agg over those
-    * fingerprints.
+    * The join key is the BINARY 16-byte md5 of the chunk (`unhex` halves
+    * the shuffle vs the 32-char hex form — measured 354→~190 B/doc at 20×
+    * corpus), so the shuffle carries fingerprints, not text; the
+    * shared-chunk set is a hash agg over those fingerprints. 128-bit fps
+    * keep the collision expectation ≪ 1 even at 10¹² chunks (100 TB),
+    * where a 64-bit hash would already collide ~10⁴ times.
     */
   def chunkDedupAudit(df: DataFrame, idCol: String, textCol: String,
       chunkWords: Int): DataFrame = {
     val chunks = df.select(col(idCol),
         explode(wordChunks(col(textCol), chunkWords)).as("chunk"))
-      .select(col(idCol), md5(col("chunk")).as("fp"))
+      .select(col(idCol), unhex(md5(col("chunk"))).as("fp"))
     val shared = chunks.groupBy("fp")
       .agg(countDistinct(col(idCol)).as("n_docs_fp"))
       .filter(col("n_docs_fp") >= 2)

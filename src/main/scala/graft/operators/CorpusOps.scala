@@ -331,6 +331,51 @@ object CorpusOps {
         round(col("mean_b"), 6).as("mean_b"))
       .orderBy("doc_id", "frame_idx"))
 
+  /** q30 — semi-structured JSON column extraction (`events.props` carries
+    * JSON payloads): typed path extraction + aggregation by event type.
+    * `get_json_object` is codegen'd scan work; the agg is partial+final.
+    */
+  val q30 = QSpec(
+    "q30_json_extract",
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      events(s, d).select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    })
+
+  /** x07 — pivot (long→wide): event counts per user cohort spread across
+    * one column per event type. Spark's `pivot` with explicit values keeps
+    * the agg a single partial+final pass (no second job to discover pivot
+    * values); absent cells are zero-filled to match the conditional-agg
+    * oracle.
+    */
+  val x07 = QSpec(
+    "x07_pivot",
+    Some("""SELECT user_id % 10 AS cohort,
+           |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, d).select((col("user_id") % 10).as("cohort"), col("event_type"))
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .count()
+        .select(col("cohort") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("cohort")
+    })
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05)
+    mm04, mm05, q30, x07)
 }
