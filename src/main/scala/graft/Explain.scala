@@ -12,7 +12,9 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSet else Set(
       "q14_join_agg", "q07_projection", "q22_topk", "q17_global_stats",
       "a01_haversine", "w01_tumbling_window", "s01_cosine_topk",
-      "d04_ngram_jaccard", "t04_fingerprint")
+      "d04_ngram_jaccard", "t04_fingerprint",
+      "j01_asof_join", "j03_range_join_auto", "p06_sequence_packing",
+      "d08_chunk_dedup", "t06_quality_filter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

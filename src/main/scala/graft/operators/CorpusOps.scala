@@ -376,6 +376,77 @@ object CorpusOps {
         .orderBy("cohort")
     })
 
+  /** q31 — semi/anti join (EXISTS / NOT EXISTS): orders with and without
+    * lineitems, as LeftSemi/LeftAnti hash joins (no payload from the right
+    * side crosses the exchange — the join that answers "which rows have a
+    * match" without materializing matches).
+    */
+  val q31 = QSpec(
+    "q31_semi_anti_join",
+    Some("""SELECT
+           | (SELECT COUNT(*) FROM orders o
+           |  WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_semi,
+           | (SELECT COUNT(*) FROM orders o
+           |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_anti,
+           | (SELECT MIN(o_orderkey) FROM orders o
+           |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS first_orphan""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+      val l = lineitem(s, d).select("l_orderkey")
+      val semi = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_semi"))
+      val anti = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_anti"), min("o_orderkey").as("first_orphan"))
+      semi.crossJoin(anti)
+    })
+
+  /** x08 — exact grouped quantiles: per-priority median + p90 of order
+    * totals via the exact `percentile` aggregate (sort-based within group,
+    * linear interpolation at (n−1)·p — the same definition as DuckDB's
+    * quantile_cont, so values hash-match under a rounding guard).
+    */
+  val x08 = QSpec(
+    "x08_grouped_quantiles",
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+           |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+      .orderBy("o_orderpriority"))
+
+  /** j03 — the j02 range join written as a PLAIN SQL inequality join and
+    * left to the optimizer: [[graft.plans.RangeJoinRewrite]] (injected via
+    * SparkSessionExtensions in production, `ensureInjected` here) detects
+    * the point-in-interval shape and rewrites it to the banded equi-join —
+    * the user writes the natural predicate, the engine avoids the
+    * BroadcastNestedLoop plan. Same oracle semantics as j02.
+    */
+  val j03 = QSpec(
+    "j03_range_join_auto",
+    Some("""WITH bands AS (SELECT CAST(k AS INTEGER) AS band_id,
+           |  k * 7500.0 AS lo, k * 7500.0 + 12000.0 AS hi
+           |  FROM UNNEST(range(0, 80)) t(k))
+           |SELECT band_id, COUNT(*) AS n_orders,
+           |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+           |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      graft.plans.RangeJoinRewrite.ensureInjected(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.BandWidthConf, "6000")
+      orders(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("j03_orders")
+      s.sql("""SELECT band_id, COUNT(*) AS n_orders,
+              |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+              |FROM (SELECT CAST(id AS INT) AS band_id, id * 7500.0 AS lo,
+              |        id * 7500.0 + 12000.0 AS hi FROM range(0, 80)) b
+              |JOIN j03_orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+              |GROUP BY band_id ORDER BY band_id""".stripMargin)
+    })
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05, q30, x07)
+    mm04, mm05, q30, x07, q31, x08, j03)
 }

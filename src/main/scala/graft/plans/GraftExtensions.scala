@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lang_quality_counts"),
       GraftFunctions.langQualityCountsInfo,
       GraftFunctions.buildLangQualityCounts _))
+    // point-in-interval inequality joins → banded equi-joins (see
+    // RangeJoinRewrite; BNLJ is a scale-killer on 100 TB inputs)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }

@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = (0 until 300).map(i => (i.toLong, (i * 7.3) % 500))
+    .toDF("pid", "p")
+  private def intervals = (0 until 25).map { i =>
+    val lo = (i * 37.0) % 450
+    (i.toLong, lo, lo + 3 + (i % 7) * 19.0)
+  }.toDF("iid", "lo", "hi")
+
+  private def withRule[A](f: => A): A = {
+    RangeJoinRewrite.ensureInjected(spark)
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+  }
+
+  test("rewrites a pure range join to a banded equi-join with identical results") {
+    val joined = points.join(intervals,
+      col("p") >= col("lo") && col("p") < col("hi"))
+    val brute = joined.select("pid", "iid").as[(Long, Long)].collect().toSet
+    withRule {
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "BroadcastNestedLoop"
+      plan should not include "CartesianProduct"
+      plan should include("__graft_band")
+      joined.select("pid", "iid").as[(Long, Long)].collect().toSet shouldBe brute
+    }
+    brute should not be empty
+  }
+
+  test("bound orientation variants and SQL-written conditions all rewrite") {
+    withRule {
+      // lo <= p AND hi > p (reversed operand order)
+      val j = points.join(intervals,
+        col("lo") <= col("p") && col("hi") > col("p"))
+      j.queryExecution.executedPlan.toString should include("__graft_band")
+      val brute = points.crossJoin(intervals)
+        .filter(col("p") >= col("lo") && col("p") < col("hi")).count()
+      j.count() shouldBe brute
+    }
+  }
+
+  test("strict lower / non-strict upper bounds keep exact boundary semantics") {
+    val pts = Seq((1L, 10.0), (2L, 20.0), (3L, 15.0)).toDF("pid", "p")
+    val ivs = Seq((7L, 10.0, 20.0)).toDF("iid", "lo", "hi")
+    withRule {
+      val got = pts.join(ivs, col("p") > col("lo") && col("p") <= col("hi"))
+        .select("pid").as[Long].collect().sorted
+      got shouldBe Seq(2L, 3L) // 10.0 excluded (strict), 20.0 included
+    }
+  }
+
+  test("degenerate and null-bounded intervals match nothing instead of throwing") {
+    val pts = Seq((1L, 10.0)).toDF("pid", "p")
+    val ivs = Seq((1L, Some(50.0), Some(20.0)), // inverted: empty interval
+      (2L, None, Some(99.0)), (3L, Some(0.0), None)) // null bounds
+      .toDF("iid", "lo", "hi")
+    withRule {
+      pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+        .count() shouldBe 0L
+    }
+  }
+
+  test("joins with an equi-conjunct are left untouched") {
+    val l = Seq((1L, 5.0)).toDF("k", "p")
+    val r = Seq((1L, 0.0, 10.0)).toDF("k2", "lo", "hi")
+    withRule {
+      val j = l.join(r, col("k") === col("k2") &&
+        col("p") >= col("lo") && col("p") < col("hi"))
+      j.queryExecution.executedPlan.toString should not include "__graft_band"
+      j.count() shouldBe 1L
+    }
+  }
+
+  test("non-range inner joins and half-open conditions are left untouched") {
+    withRule {
+      // only a lower bound — not a point-in-interval shape
+      val j = points.join(intervals, col("p") >= col("lo"))
+      j.queryExecution.executedPlan.toString should not include "__graft_band"
+    }
+  }
+
+  test("band width only affects fan-out, never the result") {
+    val expected = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi")).count()
+    withRule {
+      for (w <- Seq("3", "100", "100000")) {
+        spark.conf.set(RangeJoinRewrite.BandWidthConf, w)
+        try points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+          .count() shouldBe expected
+        finally spark.conf.unset(RangeJoinRewrite.BandWidthConf)
+      }
+    }
+  }
+}
