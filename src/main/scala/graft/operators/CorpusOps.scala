@@ -447,6 +447,114 @@ object CorpusOps {
               |GROUP BY band_id ORDER BY band_id""".stripMargin)
     })
 
+  /** p07 — n-gram-level benchmark decontamination (the GPT-3 appendix-C
+    * style pass, 8-grams here): for each held-out doc, the fraction of its
+    * distinct word-8-grams that also occur anywhere in the training split.
+    * Finer-grained than p03's whole-doc fingerprints — catches partial
+    * copies. Gram equi-join; distinct-per-side keeps the join |grams|-sized.
+    */
+  val p07 = QSpec(
+    "p07_ngram_decontamination",
+    Some("""WITH w AS (SELECT doc_id,
+           |  list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id, array_to_string(words[i : i+7], ' ') AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 6)) AS t(i)),
+           |tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 7),
+           |ev AS (SELECT * FROM g WHERE doc_id % 10 = 7)
+           |SELECT doc_id, COUNT(*) AS n_grams,
+           |  CAST(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+           |  ROUND(CAST(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |        / COUNT(*), 6) AS contam_ratio
+           |FROM ev LEFT JOIN tr USING (gram)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val g = documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.llm.Dedup.wordNGramsFused(s, col("text"), 8)).as("gram"))
+        .distinct()
+      val tr = g.filter(col("doc_id") % 10 =!= 7).select("gram").distinct()
+        .withColumnRenamed("gram", "tr_gram")
+      val ev = g.filter(col("doc_id") % 10 === 7)
+      val hit = when(col("tr_gram").isNotNull, 1).otherwise(0)
+      ev.join(tr, ev("gram") === tr("tr_gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(hit).cast("long").as("n_contam"),
+          round(sum(hit).cast("double") / count(lit(1)), 6).as("contam_ratio"))
+        .orderBy("doc_id")
+    })
+
+  /** w06 — frame-bounded moving aggregates: a 5-row trailing moving
+    * average (ROWS frame, total order via the event_id tiebreaker so both
+    * engines sum the identical sequence) and a 30-minute trailing RANGE
+    * frame count + exact-decimal sum (RANGE frames are peer-inclusive, so
+    * they are deterministic under ties by construction).
+    */
+  val w06 = QSpec(
+    "w06_moving_avg",
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg5,
+           |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           |    RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS cnt30m,
+           |  CAST(SUM(CAST(value AS DECIMAL(18, 6))) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_us(ts)
+           |    RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum30m
+           |FROM events WHERE user_id % 10 = 3
+           |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rows5 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      val range30 = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-1800000000L, Window.currentRow)
+      events(s, d).filter(col("user_id") % 10 === 3)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(avg("value").over(rows5), 6).as("mavg5"),
+          count(lit(1)).over(range30).as("cnt30m"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(range30).cast("double").as("sum30m"))
+        .orderBy("event_id")
+    })
+
+  /** m13 — feature hashing (HashingTF, 1024 buckets, murmur3): the fixed-
+    * width bag-of-words every scalable text classifier starts from. The
+    * hash itself is engine-specific, so the oracle is the m06-style
+    * bounded-boolean contract on hash-invariant properties — total vector
+    * mass equals the doc's token count (collisions conserve mass), width
+    * is as configured, nnz is within [min(1, wc), min(wc, 1024)] — plus
+    * the oracle-able token count itself.
+    */
+  val m13 = QSpec(
+    "m13_hashing_tf",
+    Some("""SELECT doc_id,
+           |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS word_cnt,
+           |  TRUE AS width_ok, TRUE AS mass_ok, TRUE AS nnz_ok
+           |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.ml.feature.HashingTF
+      // explicit word array (empties dropped) so the mass invariant is
+      // exactly wordCount even for empty documents (Tokenizer would emit
+      // [""] there and break mass conservation)
+      val docs = documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"),
+          filter(split(col("text"), " "), w => w =!= "").as("words"))
+      val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+        .setNumFeatures(1024)
+      val vecs = tf.transform(docs)
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("tf"))
+      val wc = TextAnalysis.wordCount(col("text"))
+      val mass = aggregate(arr, lit(0.0d), (acc, x) => acc + x)
+      val nnz = size(filter(arr, x => x =!= 0.0d))
+      vecs.select(col("doc_id"), wc.as("word_cnt"),
+          (size(arr) === 1024).as("width_ok"),
+          (mass === wc.cast("double")).as("mass_ok"),
+          (nnz.cast("long") <= least(wc, lit(1024L)) &&
+            nnz.cast("long") >= least(wc, lit(1L))).as("nnz_ok"))
+        .orderBy("doc_id")
+    })
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05, q30, x07, q31, x08, j03)
+    mm04, mm05, q30, x07, q31, x08, j03, p07, w06, m13)
 }
