@@ -3,6 +3,7 @@ package graft.joins
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Joins Spark lacks as primitives, built as compositions of the operators
   * it executes well — the brief's preference order (a): compose existing
@@ -24,6 +25,13 @@ object TemporalJoins {
     * 100 TB on both inputs as long as single keys fit a partition's sort
     * spill (and skewed keys can be salted upstream like any other join).
     *
+    * Row atomicity: `asof_ts` and every value column travel as ONE struct
+    * through the carry-forward, so the output payload always comes from
+    * the single matched right row — a NULL value column in the latest
+    * right row stays NULL instead of being resurrected from an older row
+    * (the kdb `aj` / `merge_asof` / DuckDB ASOF JOIN contract; carrying
+    * columns independently with `last(ignoreNulls)` would break it).
+    *
     * `left`/`right` must expose `keyCol` and long-typed `tsCol`; right
     * payload columns are the remaining `valCols`. Returns every left row +
     * `asof_ts` (nullable) + the right `valCols` (nullable).
@@ -31,24 +39,28 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val payload = struct(col(tsCol).as("asof_ts") +: valCols.map(col): _*)
+    val payloadT = StructType(
+      StructField("asof_ts", right.schema(tsCol).dataType) +:
+        valCols.map(c => right.schema(c)))
     // side 1 = left (probe), side 0 = right (build): right first at ts ties
     val rTagged = right.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
-        col(tsCol).as("asof_ts")) ++ valCols.map(col) ++
+        payload.as("__graft_p")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val lTagged = left.select(
       Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
-        lit(null).cast("long").as("asof_ts")) ++
-        valCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        lit(null).cast(payloadT).as("__graft_p")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("asof_ts" +: valCols).foldLeft(rTagged.unionByName(lTagged)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("__graft_p", last(col("__graft_p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ ("asof_ts" +: valCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        (col("__graft_p").getField("asof_ts").as("asof_ts") +:
+          valCols.map(c => col("__graft_p").getField(c).as(c))): _*)
   }
 
   /** Point-in-interval range join via band bucketing: `points.pCol` joined
@@ -59,14 +71,42 @@ object TemporalJoins {
     * fan-out per interval is ceil(span/bandWidth)+1; fp division is
     * monotone, so a point satisfying lo <= p < hi always lands in a bucket
     * the interval covers — bucketing never loses matches, it only prunes.
+    *
+    * Fan-out safety (mirrors [[graft.plans.RangeJoinRewrite]]): an interval
+    * spanning more than `maxBands` buckets would otherwise materialize an
+    * unbounded `sequence()` (throws past 2^31 elements, OOMs earlier).
+    * Such intervals fall back to `overflowSalt` salted overflow keys that
+    * every point also emits exactly once — wide intervals still match
+    * through the equi-join (salt-way parallel, residual-filtered exactly)
+    * instead of failing at runtime. Each (point, interval) pair matches on
+    * exactly one path, so the fallback adds no duplicates.
     */
   def rangeJoinBanded(points: DataFrame, pCol: String, intervals: DataFrame,
-      loCol: String, hiCol: String, bandWidth: Double): DataFrame = {
-    val expanded = intervals.withColumn("__band",
-      explode(sequence(
-        floor(col(loCol) / bandWidth).cast("long"),
-        floor(col(hiCol) / bandWidth).cast("long"))))
-    points.withColumn("__band", floor(col(pCol) / bandWidth).cast("long"))
+      loCol: String, hiCol: String, bandWidth: Double,
+      maxBands: Int = 4096, overflowSalt: Int = 32): DataFrame = {
+    require(bandWidth > 0 && java.lang.Double.isFinite(bandWidth),
+      s"bandWidth must be a finite positive number, got $bandWidth")
+    require(maxBands >= 1, s"maxBands must be >= 1, got $maxBands")
+    require(overflowSalt >= 1 && overflowSalt <= 65536,
+      s"overflowSalt must be in [1, 65536], got $overflowSalt")
+    val loB = floor(col(loCol) / bandWidth).cast("long")
+    val hiB = floor(col(hiCol) / bandWidth).cast("long")
+    // span measured in doubles: immune to long overflow on absurd inputs
+    val nBands = hiB.cast("double") - loB.cast("double") + lit(1.0d)
+    val banded = transform(sequence(loB, hiB),
+      b => struct(lit(0L).as("t"), b.as("b")))
+    val sentinel = array((0 until overflowSalt).map(i =>
+      struct(lit(1L).as("t"), lit(i.toLong).as("b"))): _*)
+    val emptyArr = array().cast("array<struct<t:bigint,b:bigint>>")
+    val expanded = intervals.withColumn("__band", explode(
+      when(col(loCol).isNull || col(hiCol).isNull || loB > hiB, emptyArr)
+        .when(nBands > maxBands, sentinel)
+        .otherwise(banded)))
+    val pB = floor(col(pCol) / bandWidth).cast("long")
+    val pSalt = pmod(hash(pB), lit(overflowSalt)).cast("long")
+    points.withColumn("__band", explode(array(
+        struct(lit(0L).as("t"), pB.as("b")),
+        struct(lit(1L).as("t"), pSalt.as("b")))))
       .join(expanded, Seq("__band"))
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__band")

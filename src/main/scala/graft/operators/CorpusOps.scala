@@ -226,7 +226,11 @@ object CorpusOps {
     * matched to the latest click at-or-before it for the same user, via
     * the single-shuffle MERGE pattern ([[TemporalJoins.asofJoin]]). The
     * DuckDB twin is its NATIVE ASOF LEFT JOIN — an independent
-    * implementation of the same semantics.
+    * implementation of the same semantics. The join itself runs on the
+    * RAW nanosecond timestamps (exactly what the oracle's `p.ts >= c.ts`
+    * compares) — truncating to µs first would pick a different match
+    * whenever two same-user events share a microsecond; only the
+    * PROJECTED output is µs, to line up with DuckDB's epoch_us().
     */
   val j01 = QSpec(
     "j01_asof_join",
@@ -238,16 +242,18 @@ object CorpusOps {
            |  ON p.user_id = c.user_id AND p.ts >= c.ts
            |ORDER BY p.event_id""".stripMargin),
     (s, d) => {
-      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val ev = events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_us"))
+        .select(col("event_id"), col("user_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
-      TemporalJoins.asofJoin(purchases, clicks, "user_id", "ts_us",
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      TemporalJoins.asofJoin(purchases, clicks, "user_id", "ts",
           Seq("click_value"))
         .select(col("event_id"), col("user_id"),
-          col("ts_us").as("p_ts_us"), col("asof_ts").as("click_ts_us"),
-          (col("ts_us") - col("asof_ts")).as("gap_us"), col("click_value"))
+          expr("ts div 1000").as("p_ts_us"),
+          expr("asof_ts div 1000").as("click_ts_us"),
+          (expr("ts div 1000") - expr("asof_ts div 1000")).as("gap_us"),
+          col("click_value"))
         .orderBy("event_id")
     })
 
@@ -435,16 +441,40 @@ object CorpusOps {
            |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
            |GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, d) => {
-      graft.plans.RangeJoinRewrite.ensureInjected(s)
-      s.conf.set(graft.plans.RangeJoinRewrite.BandWidthConf, "6000")
-      orders(s, d).select("o_orderkey", "o_totalprice")
-        .createOrReplaceTempView("j03_orders")
-      s.sql("""SELECT band_id, COUNT(*) AS n_orders,
-              |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
-              |FROM (SELECT CAST(id AS INT) AS band_id, id * 7500.0 AS lo,
-              |        id * 7500.0 + 12000.0 AS hi FROM range(0, 80)) b
-              |JOIN j03_orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
-              |GROUP BY band_id ORDER BY band_id""".stripMargin)
+      import graft.plans.RangeJoinRewrite
+      // scoped session mutation: the band-width override and (if this
+      // lambda added it) the injected rule are restored after the plan is
+      // FORCED below — later queries in the same session keep their own
+      // plan shapes. Forcing executedPlan pins the optimized plan in this
+      // DataFrame's QueryExecution, so execution after restore still runs
+      // the banded rewrite built under the scoped conf.
+      val hadRule = s.experimental.extraOptimizations.contains(RangeJoinRewrite)
+      val prevW =
+        try Some(s.conf.get(RangeJoinRewrite.BandWidthConf))
+        catch { case _: java.util.NoSuchElementException => None }
+      RangeJoinRewrite.ensureInjected(s)
+      s.conf.set(RangeJoinRewrite.BandWidthConf, "6000")
+      try {
+        orders(s, d).select("o_orderkey", "o_totalprice")
+          .createOrReplaceTempView("j03_orders")
+        val df = s.sql("""SELECT band_id, COUNT(*) AS n_orders,
+                |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+                |FROM (SELECT CAST(id AS INT) AS band_id, id * 7500.0 AS lo,
+                |        id * 7500.0 + 12000.0 AS hi FROM range(0, 80)) b
+                |JOIN j03_orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+                |GROUP BY band_id ORDER BY band_id""".stripMargin)
+        df.queryExecution.executedPlan
+        df
+      } finally {
+        prevW match {
+          case Some(v) => s.conf.set(RangeJoinRewrite.BandWidthConf, v)
+          case None    => s.conf.unset(RangeJoinRewrite.BandWidthConf)
+        }
+        if (!hadRule) {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+        }
+      }
     })
 
   /** p07 — n-gram-level benchmark decontamination (the GPT-3 appendix-C
@@ -485,10 +515,12 @@ object CorpusOps {
     })
 
   /** w06 — frame-bounded moving aggregates: a 5-row trailing moving
-    * average (ROWS frame, total order via the event_id tiebreaker so both
-    * engines sum the identical sequence) and a 30-minute trailing RANGE
-    * frame count + exact-decimal sum (RANGE frames are peer-inclusive, so
-    * they are deterministic under ties by construction).
+    * average (ROWS frame, ordered by the RAW ns timestamp + event_id — the
+    * exact total order the oracle's `ORDER BY ts, event_id` uses, so a
+    * same-user same-µs collision can never reorder the frame) and a
+    * 30-minute trailing RANGE frame count + exact-decimal sum over µs
+    * (both engines order the RANGE frame by epoch_us, so peer groups are
+    * identical by construction).
     */
   val w06 = QSpec(
     "w06_moving_avg",
@@ -504,7 +536,7 @@ object CorpusOps {
            |ORDER BY event_id""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val rows5 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val rows5 = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(-4, Window.currentRow)
       val range30 = Window.partitionBy("user_id").orderBy("ts_us")
         .rangeBetween(-1800000000L, Window.currentRow)

@@ -18,9 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
   * side, and rewrites it to the [[graft.joins.TemporalJoins.rangeJoinBanded]]
   * construction inside the optimizer:
   *
-  *   point side    → Project(…, floor(p / W) AS __graft_band)
-  *   interval side → Generate(explode(sequence(floor(lo/W), floor(hi/W))))
-  *   join          → equi on band + the ORIGINAL condition as residual
+  *   point side    → Generate(explode(array((0, floor(p/W)), (1, hash(p)%S))))
+  *   interval side → Generate(explode(
+  *                     n_bands ≤ maxBands → [(0, b) for b in floor(lo/W)..floor(hi/W)]
+  *                     n_bands > maxBands → [(1, s) for s in 0..S)      — overflow
+  *                     null/inverted     → []))
+  *   join          → equi on the (tag, band) pair + the ORIGINAL condition
+  *                   as residual
   *
   * fp division and floor are monotone, so a point in [lo, hi) always lands
   * in a band the interval generates — the rewrite can only prune pairs,
@@ -28,15 +32,35 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
   * strict/non-strict bound variants and null bounds, which generate no
   * bands and match nothing, exactly like the original predicate).
   *
-  * The band width is `spark.graft.rangeJoin.bandWidth` (default 1000);
-  * width only affects candidate fan-out (ceil(span/W)+1 per interval),
-  * never correctness. The rewritten join HAS an equi-conjunct, so the rule
-  * does not re-fire on its own output.
+  * '''Fan-out safety.''' `sequence(floor(lo/W), floor(hi/W))` is unbounded
+  * in span/W: an interval wide relative to the band width (ns timestamps
+  * against the default W=1000, say) would generate millions-to-billions of
+  * elements per row — Sequence throws past 2^31 and OOMs long before. Any
+  * interval whose band count exceeds `spark.graft.rangeJoin.maxBands`
+  * (default 4096) therefore falls back to the salted OVERFLOW path: it
+  * emits the S = `spark.graft.rangeJoin.overflowSalt` (default 32) keys
+  * `(1, 0..S)`, and every point emits its own `(1, hash(band) % S)` key
+  * exactly once — so wide intervals meet every point through an equi-join
+  * that stays S-way parallel instead of a runtime failure. Each
+  * (point, interval) pair matches via exactly one path (an interval is
+  * either banded or overflow, a point holds one key per tag), so no
+  * duplicates are introduced. Cost: the point side shuffles 2 rows per
+  * point; worst case (every interval overflow-wide) degrades to the
+  * pre-rewrite O(N·M) residual work but never to an error.
+  *
+  * Width only affects candidate fan-out, never correctness. All three
+  * confs are validated: non-numeric, non-finite or non-positive values log
+  * a warning and fall back to the default instead of corrupting the floor
+  * arithmetic (a negative W breaks floor monotonicity = silently wrong
+  * results) or throwing inside the optimizer. The rewritten join HAS
+  * equi-conjuncts, so the rule does not re-fire on its own output.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BandWidthConf = "spark.graft.rangeJoin.bandWidth"
   val EnabledConf = "spark.graft.rangeJoin.enabled"
+  val MaxBandsConf = "spark.graft.rangeJoin.maxBands"
+  val OverflowSaltConf = "spark.graft.rangeJoin.overflowSalt"
 
   /** One normalized range conjunct: `point` bounded by `bound` from the
     * opposite side; `isLower` marks `p >/>= bound` vs `p </<= bound`.
@@ -93,9 +117,32 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def bandOf(e: Expression, w: Double): Expression =
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(w))), LongType)
 
+  /** (tag, band) pair — tag 0 = real band, tag 1 = salted overflow. */
+  private def tb(t: Expression, b: Expression): Expression =
+    CreateNamedStruct(Seq(Literal("t"), t, Literal("b"), b))
+
+  private def confDouble(name: String, default: Double)(
+      valid: Double => Boolean): Double = {
+    val raw = conf.getConfString(name, default.toString)
+    val parsed = try Some(raw.toDouble) catch { case _: NumberFormatException => None }
+    parsed.filter(valid).getOrElse {
+      if (raw != default.toString) {
+        logWarning(s"$name='$raw' is invalid; falling back to $default")
+      }
+      default
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(EnabledConf, "true").toBoolean) return plan
-    val w = conf.getConfString(BandWidthConf, "1000").toDouble
+    val enabled = conf.getConfString(EnabledConf, "true").toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => logWarning(s"$EnabledConf='$other' is invalid; assuming true"); true
+    }
+    if (!enabled) return plan
+    val w = confDouble(BandWidthConf, 1000.0)(v => v > 0 && java.lang.Double.isFinite(v))
+    val maxBands = confDouble(MaxBandsConf, 4096.0)(v => v >= 1 && java.lang.Double.isFinite(v)).floor
+    val salt = confDouble(OverflowSaltConf, 32.0)(v => v >= 1 && v <= 65536).toInt
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if left.resolved && right.resolved =>
@@ -113,26 +160,55 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             case Some((lo, hi)) =>
               val (pointPlan, intervalPlan) =
                 if (lo.pointIsLeft) (left, right) else (right, left)
-              val bandAlias = Alias(bandOf(lo.point, w), "__graft_band")()
-              val pointProj = Project(pointPlan.output :+ bandAlias, pointPlan)
+              // point side: the real band + this point's one overflow key
+              val pBand = bandOf(lo.point, w)
+              val pSalt = Cast(Pmod(new Murmur3Hash(Seq(pBand)),
+                Literal(salt)), LongType)
+              val pArr = CreateArray(Seq(
+                tb(Literal(0L), pBand), tb(Literal(1L), pSalt)))
+              val pOut = AttributeReference("__graft_band",
+                pArr.dataType.asInstanceOf[ArrayType].elementType,
+                nullable = false)()
+              val pGen = Generate(Explode(pArr), unrequiredChildIndex = Nil,
+                outer = false, qualifier = None,
+                generatorOutput = Seq(pOut), child = pointPlan)
+              // interval side: bands when narrow, all S overflow keys when
+              // wide, nothing when null/inverted (Sequence would throw on
+              // inverted boundaries; span is measured in doubles so it can
+              // never itself overflow)
               val loBand = bandOf(lo.bound, w)
               val hiBand = bandOf(hi.bound, w)
+              val nBands = Add(Subtract(Cast(hiBand, DoubleType),
+                Cast(loBand, DoubleType)), Literal(1.0))
+              val lv = NamedLambdaVariable("b", LongType, nullable = false)
               // Sequence is TimeZoneAwareExpression: it only resolves with
               // an explicit zone id (irrelevant for integral sequences)
               val seq = new Sequence(loBand, hiBand, Some(Literal(1L)),
                 Some(conf.sessionLocalTimeZone))
-              // degenerate (hi < lo) or null-bounded intervals produce no
-              // bands — Sequence would throw on inverted boundaries
-              val safeSeq = If(LessThanOrEqual(loBand, hiBand), seq,
-                Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
-              val genOut = AttributeReference("__graft_band_g", LongType,
+              val banded = ArrayTransform(seq,
+                LambdaFunction(tb(Literal(0L), lv), Seq(lv)))
+              val sentinel = CreateArray(
+                (0 until salt).map(i => tb(Literal(1L), Literal(i.toLong))))
+              val elemT = tb(Literal(0L), Literal(0L)).dataType
+              val emptyArr = Literal.create(Seq.empty[Any],
+                ArrayType(elemT, containsNull = false))
+              val invalid = Or(Or(IsNull(loBand), IsNull(hiBand)),
+                GreaterThan(loBand, hiBand))
+              val iArr = If(invalid, emptyArr,
+                If(GreaterThan(nBands, Literal(maxBands)), sentinel, banded))
+              val iOut = AttributeReference("__graft_band_g",
+                iArr.dataType.asInstanceOf[ArrayType].elementType,
                 nullable = false)()
-              val gen = Generate(Explode(safeSeq), unrequiredChildIndex = Nil,
+              val iGen = Generate(Explode(iArr), unrequiredChildIndex = Nil,
                 outer = false, qualifier = None,
-                generatorOutput = Seq(genOut), child = intervalPlan)
-              val bandEq = EqualTo(bandAlias.toAttribute, genOut)
+                generatorOutput = Seq(iOut), child = intervalPlan)
+              val bandEq = And(
+                EqualTo(GetStructField(pOut, 0, Some("t")),
+                  GetStructField(iOut, 0, Some("t"))),
+                EqualTo(GetStructField(pOut, 1, Some("b")),
+                  GetStructField(iOut, 1, Some("b"))))
               val (newLeft, newRight) =
-                if (lo.pointIsLeft) (pointProj, gen) else (gen, pointProj)
+                if (lo.pointIsLeft) (pGen, iGen) else (iGen, pGen)
               Project(j.output,
                 Join(newLeft, newRight, Inner, Some(And(bandEq, cond)), hint))
             case None => j

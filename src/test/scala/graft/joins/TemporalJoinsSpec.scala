@@ -58,6 +58,19 @@ class TemporalJoinsSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("asofJoin is row-atomic: a null payload column in the matched row " +
+      "stays null instead of resurrecting an older row's value") {
+    val r = Seq(
+      (1L, 10L, Some("old")), (1L, 20L, None: Option[String]),
+      (2L, 5L, Some("x"))).toDF("k", "ts", "v")
+    val l = Seq((1L, 25L), (2L, 25L)).toDF("k", "ts")
+    val got = TemporalJoins.asofJoin(l, r, "k", "ts", Seq("v"))
+      .select("k", "asof_ts", "v")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    // k=1 matches ts=20 whose v is NULL — v must be None, not "old"
+    got shouldBe Set((1L, Some(20L), None), (2L, Some(5L), Some("x")))
+  }
+
   test("rangeJoinBanded equals the direct inequality join") {
     val rnd = new scala.util.Random(11)
     val points = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 1000))
@@ -81,6 +94,39 @@ class TemporalJoinsSpec extends SparkSpec {
     val got = TemporalJoins.rangeJoinBanded(points, "p", intervals, "lo", "hi", 8.0)
       .select("pid").as[Long].collect().toSeq
     got shouldBe Seq(1L)
+  }
+
+  test("rangeJoinBanded: intervals wider than maxBands take the overflow " +
+      "path and still match exactly, narrow ones stay banded") {
+    val points = (0 until 400).map(i => (i.toLong, i * 2.5)).toDF("pid", "p")
+    val intervals = Seq(
+      (1L, 10.0, 30.0),        // narrow: 3-4 bands at W=8
+      (2L, -1e9, 1e9),         // wide: would need ~2.5e8 bands -> overflow
+      (3L, 500.0, 600.0),      // narrow
+      (4L, 0.0, 1e7)           // wide
+    ).toDF("iid", "lo", "hi")
+    val got = TemporalJoins.rangeJoinBanded(points, "p", intervals,
+        "lo", "hi", bandWidth = 8.0, maxBands = 64, overflowSalt = 8)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val brute = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    got shouldBe brute
+    // the wide intervals really did match (every point is in both)
+    got.count(_._2 == 2L) shouldBe 400
+  }
+
+  test("rangeJoinBanded rejects invalid parameters eagerly") {
+    val pts = Seq((1L, 1.0)).toDF("pid", "p")
+    val ivs = Seq((1L, 0.0, 2.0)).toDF("iid", "lo", "hi")
+    for (w <- Seq(0.0, -3.0, Double.NaN, Double.PositiveInfinity)) {
+      an[IllegalArgumentException] should be thrownBy
+        TemporalJoins.rangeJoinBanded(pts, "p", ivs, "lo", "hi", w)
+    }
+    an[IllegalArgumentException] should be thrownBy
+      TemporalJoins.rangeJoinBanded(pts, "p", ivs, "lo", "hi", 1.0, maxBands = 0)
+    an[IllegalArgumentException] should be thrownBy
+      TemporalJoins.rangeJoinBanded(pts, "p", ivs, "lo", "hi", 1.0, overflowSalt = 0)
   }
 
   test("rangeJoinBanded plans an equi-join, not a nested loop") {

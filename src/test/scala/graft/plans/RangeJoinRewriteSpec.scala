@@ -86,6 +86,49 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("intervals wider than maxBands take the salted overflow path " +
+      "instead of exploding sequence(), with identical results") {
+    val pts = points
+    val ivs = Seq(
+      (1L, 10.0, 40.0),   // narrow
+      (2L, -1e12, 1e12),  // astronomically wide: sequence() would throw/OOM
+      (3L, 200.0, 260.0)  // narrow
+    ).toDF("iid", "lo", "hi")
+    val brute = pts.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    withRule {
+      spark.conf.set(RangeJoinRewrite.MaxBandsConf, "32")
+      try {
+        val j = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+        j.queryExecution.executedPlan.toString should include("__graft_band")
+        j.select("pid", "iid").as[(Long, Long)].collect().toSet shouldBe brute
+      } finally spark.conf.unset(RangeJoinRewrite.MaxBandsConf)
+    }
+    brute.count(_._2 == 2L) shouldBe 300 // the wide interval matched all
+  }
+
+  test("invalid conf values fall back to defaults instead of throwing " +
+      "inside the optimizer or corrupting results") {
+    val expected = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi")).count()
+    withRule {
+      for ((conf, bad) <- Seq(
+          (RangeJoinRewrite.BandWidthConf, "banana"),
+          (RangeJoinRewrite.BandWidthConf, "0"),
+          (RangeJoinRewrite.BandWidthConf, "-17"),
+          (RangeJoinRewrite.BandWidthConf, "Infinity"),
+          (RangeJoinRewrite.MaxBandsConf, "NaN"),
+          (RangeJoinRewrite.OverflowSaltConf, "-1"),
+          (RangeJoinRewrite.EnabledConf, "maybe"))) {
+        spark.conf.set(conf, bad)
+        try points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+          .count() shouldBe expected
+        finally spark.conf.unset(conf)
+      }
+    }
+  }
+
   test("band width only affects fan-out, never the result") {
     val expected = points.crossJoin(intervals)
       .filter(col("p") >= col("lo") && col("p") < col("hi")).count()
