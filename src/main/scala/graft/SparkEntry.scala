@@ -15,7 +15,7 @@ object SparkEntry {
     operators.Relational.specs ++ operators.Composite.specs ++
       operators.Windows.specs ++ operators.LlmOps.specs ++
       operators.MlOps.specs ++ operators.Extras.specs ++
-      operators.CorpusOps.specs
+      operators.CorpusOps.specs ++ operators.StreamOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY §7 step-1 slice: scan + broadcast join + hash agg + sort.

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.QSpec
+import graft.util.{Exact, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming operators as DECLARED queries — not test-only.
+  *
+  * A live unbounded stream can't be hash-compared against DuckDB, but a
+  * bounded one can: `Trigger.AvailableNow` runs a REAL `StreamingQuery`
+  * (file source → stateful streaming operators → memory sink) over the
+  * testdata and terminates when the backlog is drained. The final table is
+  * then a plain batch DataFrame whose contents a SQL oracle can check —
+  * the same pattern as a production backfill through the streaming path.
+  *
+  * Scale stance: these are exactly the plans a 100 TB Kafka/file stream
+  * would run — keyed state partitioned by group, watermarks bounding
+  * state, no per-batch driver logic. The micro-batch boundary placement is
+  * the ONLY thing AvailableNow changes vs a live trigger, and the declared
+  * outputs are chosen to be invariant to it: complete-mode aggregates
+  * (st01) converge to the batch answer regardless of batch splits, and
+  * dedup-by-key (st02) keeps exactly one row per key whose payload is
+  * identical across duplicates, so batch placement can't show through.
+  *
+  * The streaming forms of session windows / custom state live in
+  * [[graft.streaming.EventStreams]] with MemoryStream ScalaTests (late
+  * data, timeouts — things a static file can't exercise).
+  */
+object StreamOps {
+
+  import Tables._
+
+  /** Events as an unbounded-style file stream: same schema as the batch
+    * table (long nanos `ts`; see Tables.events), one parquet file treated
+    * as the drainable backlog.
+    */
+  private def eventStream(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val schema = events(s, d).schema // also sets the nanosAsLong conf
+    // the file source only accepts directories; expose the single backlog
+    // file through a scratch dir (symlink — no copy) instead
+    val dir = new java.io.File(Tables.scratch(d, "stream_events_src"))
+    dir.mkdirs()
+    val link = new java.io.File(dir, "events.parquet").toPath
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    }
+    s.readStream.schema(schema).parquet(dir.getAbsolutePath)
+  }
+
+  /** Runs `q` as an AvailableNow streaming query into a memory sink and
+    * returns the drained result as a batch DataFrame. The memory-sink view
+    * name is keyed by query + sf dir so concurrent/back-to-back runs (the
+    * bench's min-of-2) never collide with an earlier registration.
+    */
+  private def drainToTable(df: DataFrame, name: String, d: String,
+      mode: String): DataFrame = {
+    val s = df.sparkSession
+    val view = s"__graft_${name}_${new java.io.File(d).getName.replace('.', '_')}"
+    s.catalog.dropTempView(view)
+    val q = df.writeStream.format("memory").queryName(view)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(view)
+  }
+
+  /** st01 — tumbling 1-hour event-time aggregation through the STREAMING
+    * engine (StateStore-backed HashAggregate, complete mode): the w01
+    * batch query and this one must converge to the identical table, which
+    * is exactly what the shared DuckDB oracle asserts. Complete-mode
+    * output is invariant to micro-batch placement, so the declared result
+    * is deterministic even though a streaming engine is free to split the
+    * backlog into any number of batches.
+    */
+  val st01 = QSpec(
+    "st01_stream_tumbling",
+    Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+            | event_type, COUNT(*) AS cnt,
+            | CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val agg = eventStream(s, d)
+        .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value"), 6).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+      drainToTable(agg, "st01", d, "complete")
+        .orderBy("hour_start", "event_type")
+    })
+
+  /** st02 — streaming exact dedup with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): the corpus-dedup primitive (d01/
+    * d06) in its streaming form, the shape that makes dedup viable on an
+    * unbounded 100 TB stream because keys older than the watermark are
+    * evicted from state. Duplicates are planted by unioning the stream
+    * with itself (every event arrives exactly twice, identical payload,
+    * same event time — always within any watermark of each other), so the
+    * deduped output must be exactly the distinct event set, which the
+    * oracle checks row-for-row.
+    */
+  val st02 = QSpec(
+    "st02_stream_dedup",
+    Some("""SELECT event_id, user_id, event_type,
+           |  epoch_us(ts) AS ts_us, value
+           |FROM events ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val src = eventStream(s, d)
+      val doubled = src.union(src)
+        .withColumn("ts_event", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts_event", "2 hours")
+      val deduped = doubled.dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+      drainToTable(deduped, "st02", d, "append")
+        .orderBy("event_id")
+    })
+
+  val specs: Seq[QSpec] = Seq(st01, st02)
+}
