@@ -111,4 +111,72 @@ object TemporalJoins {
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__band")
   }
+
+  /** Interval-overlap join: every (left, right) pair whose half-open
+    * intervals `[lo1, hi1) × [lo2, hi2)` intersect — i.e.
+    * `max(lo1, lo2) < min(hi1, hi2)` — exactly once. Spark plans the raw
+    * inequality condition as BroadcastNestedLoop (O(N·M)); here both sides
+    * explode to the width-`bandWidth` buckets they cover and meet through
+    * a bucket EQUI-join.
+    *
+    * Exactly-once dedup: two overlapping intervals share every bucket in
+    * their intersection, so banded candidates would duplicate. The pair is
+    * kept only in the bucket containing `max(lo1, lo2)` — a point both
+    * intervals cover, so that bucket is always generated by both sides,
+    * and it is unique per pair.
+    *
+    * Fan-out safety (same policy as [[rangeJoinBanded]]): an interval
+    * covering more than `maxBands` buckets is WIDE and routes through
+    * salted overflow tags instead of materializing an unbounded
+    * `sequence()`. Three disjoint match paths guarantee exactly-once:
+    *   - tag 0: narrow × narrow, banded + the dedup rule above;
+    *   - tag 1: wide-left × any-right — a wide left emits all S salt keys,
+    *     every valid right emits ONE salted tag-1 key;
+    *   - tag 2: wide-right × narrow-left — symmetric, but the left single
+    *     key is emitted only when the left interval is narrow (a wide left
+    *     already met every right through tag 1).
+    * Null or empty (`lo >= hi`) intervals emit no keys and match nothing.
+    * Join-key columns must be uniquely named across the two inputs.
+    */
+  def intervalOverlapJoin(left: DataFrame, lo1: String, hi1: String,
+      right: DataFrame, lo2: String, hi2: String, bandWidth: Double,
+      maxBands: Int = 4096, overflowSalt: Int = 32): DataFrame = {
+    require(bandWidth > 0 && java.lang.Double.isFinite(bandWidth),
+      s"bandWidth must be a finite positive number, got $bandWidth")
+    require(maxBands >= 1, s"maxBands must be >= 1, got $maxBands")
+    require(overflowSalt >= 1 && overflowSalt <= 65536,
+      s"overflowSalt must be in [1, 65536], got $overflowSalt")
+    def bandOf(c: String) = floor(col(c) / bandWidth).cast("long")
+    // left: bands+[(2,h)] when narrow, [(1,*)] when wide
+    val lK = left.withColumn("__band",
+      explode(when(col(lo1).isNull || col(hi1).isNull || col(lo1) >= col(hi1),
+          array().cast("array<struct<t:bigint,b:bigint>>"))
+        .when(bandOf(hi1).cast("double") - bandOf(lo1).cast("double") < maxBands,
+          concat(transform(sequence(bandOf(lo1), bandOf(hi1)),
+              b => struct(lit(0L).as("t"), b.as("b"))),
+            array(struct(lit(2L).as("t"),
+              pmod(hash(bandOf(lo1)), lit(overflowSalt)).cast("long").as("b")))))
+        .otherwise(array((0 until overflowSalt).map(i =>
+          struct(lit(1L).as("t"), lit(i.toLong).as("b"))): _*))))
+    // right: bands when narrow / [(2,*)] when wide, plus always [(1,h)]
+    val rK = right.withColumn("__rband",
+      explode(when(col(lo2).isNull || col(hi2).isNull || col(lo2) >= col(hi2),
+          array().cast("array<struct<t:bigint,b:bigint>>"))
+        .when(bandOf(hi2).cast("double") - bandOf(lo2).cast("double") < maxBands,
+          concat(transform(sequence(bandOf(lo2), bandOf(hi2)),
+              b => struct(lit(0L).as("t"), b.as("b"))),
+            array(struct(lit(1L).as("t"),
+              pmod(hash(bandOf(lo2)), lit(overflowSalt)).cast("long").as("b")))))
+        .otherwise(concat(
+          array((0 until overflowSalt).map(i =>
+            struct(lit(2L).as("t"), lit(i.toLong).as("b"))): _*),
+          array(struct(lit(1L).as("t"),
+            pmod(hash(bandOf(lo2)), lit(overflowSalt)).cast("long").as("b")))))))
+    val overlap = greatest(col(lo1), col(lo2)) < least(col(hi1), col(hi2))
+    val dedup = col("__band.t") =!= 0L ||
+      col("__band.b") === floor(greatest(col(lo1), col(lo2)) / bandWidth).cast("long")
+    lK.join(rK, col("__band") === col("__rband"))
+      .filter(overlap && dedup)
+      .drop("__band", "__rband")
+  }
 }

@@ -477,6 +477,44 @@ object CorpusOps {
       }
     })
 
+  /** j04 — interval-OVERLAP join (two interval sets, not point-in-interval
+    * like j02/j03): each customer's [min, max+1) order-price span joined to
+    * every fixed price band it intersects, exactly once per pair
+    * ([[TemporalJoins.intervalOverlapJoin]] — banded equi-join with the
+    * first-shared-band dedup rule). maxBands=64 at W=6000 splits the
+    * sf0.01 customers ~1050 wide (salted OVERFLOW path) / ~450 narrow
+    * (banded path), so the declared result proves banded + wide + mixed
+    * pairs all match exactly once on real data; the DuckDB twin is the
+    * raw inequality join.
+    */
+  val j04 = QSpec(
+    "j04_interval_overlap",
+    Some("""WITH cust AS (
+           |  SELECT o_custkey, MIN(o_totalprice) AS lo1,
+           |         MAX(o_totalprice) + 1.0 AS hi1
+           |  FROM orders GROUP BY o_custkey),
+           |bands AS (SELECT CAST(k AS INT) AS band_id, k * 9000.0 AS lo2,
+           |        k * 9000.0 + 15000.0 AS hi2 FROM UNNEST(range(0, 60)) t(k))
+           |SELECT band_id, COUNT(*) AS n_cust,
+           |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
+           |FROM cust JOIN bands ON lo1 < hi2 AND lo2 < hi1
+           |GROUP BY band_id ORDER BY band_id""".stripMargin),
+    (s, d) => {
+      val cust = orders(s, d).groupBy("o_custkey")
+        .agg(min("o_totalprice").as("lo1"),
+          (max("o_totalprice") + lit(1.0d)).as("hi1"))
+      val bands = s.range(0, 60).select(col("id").cast("int").as("band_id"),
+        (col("id") * 9000.0d).as("lo2"),
+        (col("id") * 9000.0d + 15000.0d).as("hi2"))
+      TemporalJoins.intervalOverlapJoin(cust, "lo1", "hi1",
+          bands, "lo2", "hi2",
+          bandWidth = 6000.0, maxBands = 64, overflowSalt = 8)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_cust"), min("o_custkey").as("min_cust"),
+          max("o_custkey").as("max_cust"))
+        .orderBy("band_id")
+    })
+
   /** p07 — n-gram-level benchmark decontamination (the GPT-3 appendix-C
     * style pass, 8-grams here): for each held-out doc, the fraction of its
     * distinct word-8-grams that also occur anywhere in the training split.
@@ -588,5 +626,5 @@ object CorpusOps {
     })
 
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05, q30, x07, q31, x08, j03, p07, w06, m13)
+    mm04, mm05, q30, x07, q31, x08, j03, j04, p07, w06, m13)
 }

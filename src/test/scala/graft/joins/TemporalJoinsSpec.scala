@@ -129,6 +129,51 @@ class TemporalJoinsSpec extends SparkSpec {
       TemporalJoins.rangeJoinBanded(pts, "p", ivs, "lo", "hi", 1.0, overflowSalt = 0)
   }
 
+  test("intervalOverlapJoin equals the direct overlap join, exactly once " +
+      "per pair, across narrow/wide/empty/null interval mixes") {
+    val rnd = new scala.util.Random(23)
+    val leftIv = (0 until 200).map { i =>
+      val lo = rnd.nextDouble() * 900
+      (i.toLong, lo, lo + rnd.nextDouble() * 80)
+    }.toDF("lid", "lo1", "hi1")
+      // a wide, an empty (lo==hi), and a null-bounded interval
+      .union(Seq((900L, -1e9, 1e9), (901L, 5.0, 5.0)).toDF("lid", "lo1", "hi1"))
+      .union(Seq((902L, Option.empty[Double], Some(9.0)))
+        .toDF("lid", "lo1", "hi1"))
+    val rightIv = (0 until 60).map { i =>
+      val lo = rnd.nextDouble() * 950
+      (i.toLong, lo, lo + rnd.nextDouble() * 60)
+    }.toDF("rid", "lo2", "hi2")
+      .union(Seq((800L, 0.0, 1e8), (801L, 42.0, 42.0)).toDF("rid", "lo2", "hi2"))
+    val got = TemporalJoins.intervalOverlapJoin(leftIv, "lo1", "hi1",
+        rightIv, "lo2", "hi2", bandWidth = 25.0, maxBands = 16, overflowSalt = 8)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    // null-strict half-open overlap (greatest/least would IGNORE nulls and
+    // treat a null bound as unbounded — not the operator's contract)
+    val brute = leftIv.crossJoin(rightIv)
+      .filter(col("lo1") < col("hi2") && col("lo2") < col("hi1") &&
+        col("lo1") < col("hi1") && col("lo2") < col("hi2"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    got.length shouldBe got.toSet.size // exactly once, no dup candidates
+    got.toSet shouldBe brute.toSet
+    // wide×wide, wide×narrow, narrow×wide pairs are all present
+    got.toSet should contain((900L, 800L))
+    brute.count(_._1 == 900L) should be > 50
+    got.count(_._1 == 900L) shouldBe brute.count(_._1 == 900L)
+  }
+
+  test("intervalOverlapJoin plans an equi-join, not a nested loop") {
+    val l = (0 until 50).map(i => (i.toLong, i * 10.0, i * 10.0 + 25.0))
+      .toDF("lid", "lo1", "hi1")
+    val r = (0 until 20).map(i => (i.toLong, i * 30.0, i * 30.0 + 45.0))
+      .toDF("rid", "lo2", "hi2")
+    val plan = TemporalJoins
+      .intervalOverlapJoin(l, "lo1", "hi1", r, "lo2", "hi2", 20.0)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoop"
+    plan should not include "CartesianProduct"
+  }
+
   test("rangeJoinBanded plans an equi-join, not a nested loop") {
     val points = (0 until 100).map(i => (i.toLong, i * 3.7)).toDF("pid", "p")
     val intervals = (0 until 10).map(i => (i.toLong, i * 40.0, i * 40.0 + 55.0))
