@@ -95,12 +95,14 @@ object Similarity {
     * 4×16-bit band geometry as the near-dup path (d05): candidates share
     * at least one 16-bit band; exact cosine re-rank on candidates only.
     *
-    * Kept as the measured negative result that justifies IVF for top-k
-    * (SCALE.md): tight bands only recall NEAR-DUP neighbors, so for
-    * moderate-similarity top-k this finds almost nothing — which is
-    * exactly the selectivity that keeps the candidate set sub-quadratic.
-    * Use [[ivfTopK]] for top-k; use this banding (via
-    * [[embeddingNearDupPairs]]) only in the near-dup regime.
+    * Regime split (SCALE.md has the measured curve): tight bands only
+    * recall NEAR-DUP neighbors (per-bit collision 1 − θ/π), so for
+    * moderate-similarity top-k this finds almost nothing — use [[ivfTopK]]
+    * there. In the near-dup regime it is the RIGHT index: collision prob
+    * → 1 as cos → 1 and positively-scaled copies collide with certainty,
+    * which is what the declared s04 duplicate-retrieval query runs ("has
+    * this incoming item been seen before?"), with the selectivity that
+    * keeps the candidate set sub-quadratic.
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {

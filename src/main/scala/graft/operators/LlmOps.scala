@@ -290,6 +290,54 @@ object LlmOps {
         .cast("double") / count(lit(1))).as("centroid_v"))
       .orderBy("label", "dim"))
 
+  /** s04 — LSH-bucketed DUPLICATE RETRIEVAL: for a batch of incoming
+    * vectors, find each one's near-duplicate source in the corpus through
+    * the banded hyperplane index ([[Similarity.lshTopK]]) — the "have we
+    * already got this item?" lookup of an ingest pipeline, sub-quadratic
+    * because candidates come only from colliding 16-bit bands. This is the
+    * regime where hyperplane banding is the RIGHT index (collision prob →
+    * 1 as cos → 1; positively-scaled copies collide with certainty), vs
+    * moderate-similarity top-k where it recalls nothing and IVF (s02)
+    * takes over — both regimes now sit in the declared surface.
+    *
+    * Probes are planted 1.5×-scaled copies (d05's trick) of every 10th
+    * corpus vector, so each probe's true nearest neighbor is its source at
+    * cos = 1, far above the organic max (~0.55). The oracle is the EXACT
+    * all-pairs top-1 in DuckDB — it does not assume the planted relation,
+    * it recomputes the true argmax, so a single banding miss or a wrong
+    * rank-1 would hash-fail.
+    */
+  val s04 = QSpec(
+    "s04_lsh_dup_retrieval",
+    Some("""WITH probes AS (
+           |  SELECT vec_id + 300000 AS p_id,
+           |    list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT)) AS p_emb
+           |  FROM embeddings WHERE vec_id % 10 = 5),
+           |sims AS (
+           |  SELECT p.p_id, e.vec_id AS neighbor_id,
+           |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+           |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.p_emb[i] AS DOUBLE)))
+           |    / (SQRT(list_sum(list_transform(range(1, len(e.embedding) + 1),
+           |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+           |       * SQRT(list_sum(list_transform(range(1, len(p.p_emb) + 1),
+           |         i -> CAST(p.p_emb[i] AS DOUBLE) * CAST(p.p_emb[i] AS DOUBLE))))) AS sim
+           |  FROM probes p CROSS JOIN embeddings e),
+           |ranked AS (
+           |  SELECT p_id, neighbor_id, sim,
+           |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM sims)
+           |SELECT p_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+           |FROM ranked WHERE rnk = 1 ORDER BY p_id""".stripMargin),
+    (s, d) => {
+      val base = embeddings(s, d).select("vec_id", "embedding")
+      val probes = base.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 300000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
+            .as("embedding"))
+      Similarity.lshTopK(s, base, probes, "vec_id", "embedding", 1)
+        .orderBy("p_id")
+    })
+
   /** t01 — language-ID heuristic (marker n-gram scores, fixed precedence). */
   val t01 = QSpec(
     "t01_langid",
@@ -670,5 +718,5 @@ object LlmOps {
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    t01, t02, t03, t04, t06, t07, t08, t09, p01, p02, p03, mm01, mm02, mm03)
+    s04, t01, t02, t03, t04, t06, t07, t08, t09, p01, p02, p03, mm01, mm02, mm03)
 }

@@ -63,6 +63,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshTopK dup-retrieval regime: every scaled copy finds its source " +
+      "at rank 1 with cos = 1 (recall 1.0 on positive-scaled duplicates)") {
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+    val got = Similarity.lshTopK(spark, corpus, probes, "vec_id", "embedding", 1)
+      .select("p_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect()
+    got.length shouldBe 40 // one rank-1 row per probe: recall 1.0
+    got.foreach { case (pId, nId, rank, sim) =>
+      nId shouldBe (pId - 1000L) // the planted source
+      rank shouldBe 1L
+      sim shouldBe 1.0 +- 1e-6
+    }
+  }
+
   test("ivfTopK finds the true nearest neighbor with sufficient nprobe") {
     val res = Similarity.ivfTopK(spark, vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", 2, nClusters = 2, nprobe = 2)
