@@ -645,6 +645,60 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** t11 — Gopher-style document quality rules (Rae et al. 2021 §A1.1:
+    * mean word length in [3, 10], symbol-to-word ratio ≤ 0.1, ≥ 80 % of
+    * words containing an alphabetic character). The word-salad corpus has
+    * no organic symbols, so symbol words ('#', '...') are planted
+    * deterministically per doc_id (the p04/p05 trick), making every rule
+    * live: docs with doc_id % 5 ∈ {3, 4} plant enough symbol words to trip
+    * the ratio. All three signals are exact integer ratios rounded at 4dp;
+    * the composite verdict is computed FROM the rounded values in both
+    * engines so the boolean can never straddle a rounding boundary.
+    */
+  val t11 = QSpec(
+    "t11_gopher_rules",
+    Some("""WITH aug AS (SELECT doc_id,
+           |  text || ' ' || repeat('# ', CAST(doc_id % 5 AS INT))
+           |       || repeat('... ', CAST(doc_id % 3 AS INT)) AS t
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |w AS (SELECT doc_id,
+           |        list_filter(string_split(t, ' '), x -> x <> '') AS words
+           |      FROM aug),
+           |m AS (SELECT doc_id,
+           |  CAST(len(words) AS BIGINT) AS n_words,
+           |  ROUND(CAST(list_sum(list_transform(words,
+           |    x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(words), 4) AS mean_word_len,
+           |  ROUND(CAST(len(list_filter(words,
+           |    x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(words), 4) AS alpha_frac,
+           |  ROUND(CAST(len(list_filter(words,
+           |    x -> NOT regexp_matches(x, '[a-z0-9]'))) AS DOUBLE) / len(words), 4) AS symbol_ratio
+           |  FROM w)
+           |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+           |  (alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+           |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS gopher_pass
+           |FROM m ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val aug = concat(col("text"), lit(" "),
+        expr("repeat('# ', CAST(doc_id % 5 AS INT))"),
+        expr("repeat('... ', CAST(doc_id % 3 AS INT))"))
+      documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          filter(split(aug, " "), w => w =!= "").as("words"))
+        .select(col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          round(aggregate(col("words"), lit(0L),
+              (acc, w) => acc + length(w).cast("long")).cast("double")
+            / size(col("words")), 4).as("mean_word_len"),
+          round(size(filter(col("words"), w => w.rlike("[a-z]"))).cast("double")
+            / size(col("words")), 4).as("alpha_frac"),
+          round(size(filter(col("words"), w => !w.rlike("[a-z0-9]"))).cast("double")
+            / size(col("words")), 4).as("symbol_ratio"))
+        .withColumn("gopher_pass",
+          col("alpha_frac") >= 0.8 && col("symbol_ratio") <= 0.1 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+        .orderBy("doc_id")
+    })
+
   /** mm01 — multimodal binary column + typed metadata (byte length, sha256). */
   val mm01 = QSpec(
     "mm01_binary_meta",
@@ -718,5 +772,6 @@ object LlmOps {
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    s04, t01, t02, t03, t04, t06, t07, t08, t09, p01, p02, p03, mm01, mm02, mm03)
+    s04, t01, t02, t03, t04, t06, t07, t08, t09, t11, p01, p02, p03, mm01, mm02,
+    mm03)
 }
