@@ -552,6 +552,65 @@ object CorpusOps {
         .orderBy("doc_id")
     })
 
+  /** p08 — LEARNED quality classifier (the fastText-style filter of the
+    * GPT-3/CCNet pipelines: score every document against a trained model
+    * instead of fixed rules). Features are the fused text-kernel signals
+    * (word count, avg word length, stopword ratio); labels are planted by
+    * a deterministic threshold on the stopword ratio (≈ the corpus median,
+    * so both classes are populated), making the task linearly separable —
+    * a correctly-plumbed logistic regression must reach AUC ≥ 0.95 and
+    * accuracy ≥ 0.9 on the held-out content-hash split (the m06/x02
+    * bounded-boolean oracle pattern). n_eval and the eval-split label
+    * balance are exact and recomputed independently by the DuckDB twin, so
+    * a wrong split or wrong planted labels hash-fail, not just a bad fit.
+    */
+  val p08 = QSpec(
+    "p08_quality_classifier",
+    Some("""WITH w AS (SELECT doc_id, text,
+           |  list_filter(string_split(text, ' '), x -> x <> '') AS words
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |  CAST(('0x' || substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8)) AS BIGINT) % 100 AS bucket,
+           |  ROUND(CAST(len(list_filter(words, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+           |        / len(words), 6) AS stop_ratio
+           |  FROM w)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           |  CAST(SUM(CASE WHEN stop_ratio >= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_eval,
+           |  TRUE AS auc_ge_095, TRUE AS acc_ge_090
+           |FROM f WHERE bucket >= 80""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+      import org.apache.spark.ml.feature.VectorAssembler
+      val comps = TextAnalysis.qualityComponentsFused(s, col("text"),
+        graft.functions.LangQualityUtil.defaultStopwords).toMap
+      val feats = documents(s, d).select(col("doc_id"),
+          TextAnalysis.contentBucket(col("text")).as("bucket"),
+          comps("word_cnt").cast("double").as("word_cnt"),
+          comps("avg_word_len").as("avg_word_len"),
+          comps("stopword_ratio").as("stopword_ratio"))
+        .withColumn("label",
+          when(col("stopword_ratio") >= 0.06, 1.0d).otherwise(0.0d))
+      val assembled = new VectorAssembler()
+        .setInputCols(Array("word_cnt", "avg_word_len", "stopword_ratio"))
+        .setOutputCol("features").transform(feats)
+      val train = assembled.filter(col("bucket") < 80).cache()
+      val eval = assembled.filter(col("bucket") >= 80)
+      val model = new LogisticRegression().setMaxIter(100).setRegParam(0.0)
+        .fit(train)
+      train.unpersist(blocking = false)
+      val scored = model.transform(eval).cache()
+      val auc = new BinaryClassificationEvaluator().setLabelCol("label")
+        .setRawPredictionCol("rawPrediction").evaluate(scored)
+      scored.agg(
+          count(lit(1)).as("n_eval"),
+          sum(when(col("label") === 1.0d, 1L).otherwise(0L)).as("n_pos_eval"),
+          (avg(when(col("prediction") === col("label"), 1.0d).otherwise(0.0d))
+            >= 0.9d).as("acc_ge_090"))
+        .withColumn("auc_ge_095", lit(auc >= 0.95))
+        .select("n_eval", "n_pos_eval", "auc_ge_095", "acc_ge_090")
+    })
+
   /** w06 — frame-bounded moving aggregates: a 5-row trailing moving
     * average (ROWS frame, ordered by the RAW ns timestamp + event_id — the
     * exact total order the oracle's `ORDER BY ts, event_id` uses, so a
@@ -626,5 +685,5 @@ object CorpusOps {
     })
 
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05, q30, x07, q31, x08, j03, j04, p07, w06, m13)
+    mm04, mm05, q30, x07, q31, x08, j03, j04, p07, p08, w06, m13)
 }
