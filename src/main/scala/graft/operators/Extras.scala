@@ -138,5 +138,48 @@ object Extras {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(50))
 
-  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05)
+  /** x09 — Count-Min Sketch heavy-hitter estimation (the second sketch
+    * family next to x02's HLL): one distributed `count_min_sketch`
+    * aggregate over all corpus words (fixed seed → deterministic), probed
+    * for a mix of frequent / mid / rare / absent words. CMS guarantees
+    * est ≥ exact always and est ≤ exact + ε·N with high probability —
+    * with the fixed seed both bounds are deterministic on this data, so
+    * they are declared as booleans, with the EXACT counts recomputed
+    * independently by DuckDB. The sketch itself is the 100 TB story: a
+    * fixed ~KB-scale summary of any number of rows, mergeable map-side.
+    */
+  val x09 = QSpec(
+    "x09_count_min",
+    Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+           |        FROM documents),
+           |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word)
+           |SELECT p.word, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS exact_cnt,
+           |  TRUE AS est_ge_exact, TRUE AS est_within_eps
+           |FROM (VALUES ('the'), ('table'), ('spark'), ('zebra')) p(word)
+           |LEFT JOIN c ON c.word = p.word
+           |ORDER BY p.word""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val probes = Seq("the", "table", "spark", "zebra")
+      val words = documents(s, d)
+        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+      val total = words.count()
+      val bytes = words
+        .selectExpr("count_min_sketch(word, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42) AS s")
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val exact = words.filter(col("word").isin(probes: _*))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      val epsSlack = math.ceil(1e-4 * total).toLong
+      probes.map { w =>
+        val ex = exact.getOrElse(w, 0L)
+        val est = cms.estimateCount(w)
+        (w, ex, est >= ex, est <= ex + epsSlack)
+      }.toDF("word", "exact_cnt", "est_ge_exact", "est_within_eps")
+        .orderBy("word")
+    })
+
+  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05, x09)
 }

@@ -245,5 +245,42 @@ object MlOps {
         sum(when(col("p1") === col("p2"), 1).otherwise(0)).cast("long").as("n_equal"))
     })
 
-  val specs: Seq[QSpec] = Seq(m01, m02, m03, m04, m06, m07, m08, m09, m10, m11, m12)
+  /** m14 — StandardScaler (withMean + withStd): the one spark.ml stage the
+    * reference imports but never calls (SURVEY §2.8 dead surface), closed
+    * out as a real operator. The scaler's internal fit merges Welford
+    * summaries (merge-order fp noise in the last ulp), so the declared
+    * output asserts every scaled value against the exact-decimal-moment
+    * formula ((x − µ)/σ via util.Exact) within 1e-9 — a bounded-boolean
+    * contract immune to shuffle-order nondeterminism — alongside the
+    * round-guarded µ/σ themselves, which DuckDB recomputes exactly.
+    */
+  val m14 = QSpec(
+    "m14_standard_scaler",
+    Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            | TRUE AS scaled_matches_exact,
+            | ROUND(${graft.util.Exact.sqlAvg("c_acctbal", 4)}, 4) AS mean_v,
+            | ROUND(${graft.util.Exact.sqlStd("c_acctbal")}, 4) AS std_v
+            |FROM customer""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.ml.feature.StandardScaler
+      val df = customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal").cast("double").as("x"))
+      val assembled = new VectorAssembler().setInputCols(Array("x"))
+        .setOutputCol("fv").transform(df)
+      val scaled = new StandardScaler().setInputCol("fv").setOutputCol("sv")
+        .setWithMean(true).setWithStd(true).fit(assembled).transform(assembled)
+        .withColumn("s_ml", vector_to_array(col("sv")).getItem(0))
+      val moments = df.agg(graft.util.Exact.davg(col("x"), 4).as("mu"),
+        graft.util.Exact.dstd(col("x")).as("sigma"))
+      scaled.crossJoin(moments)
+        .select(col("s_ml"), ((col("x") - col("mu")) / col("sigma")).as("s_ex"),
+          col("mu"), col("sigma"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max(abs(col("s_ml") - col("s_ex"))) <= 1e-9).as("scaled_matches_exact"),
+          round(first(col("mu")), 4).as("mean_v"),
+          round(first(col("sigma")), 4).as("std_v"))
+    })
+
+  val specs: Seq[QSpec] = Seq(m01, m02, m03, m04, m06, m07, m08, m09, m10,
+    m11, m12, m14)
 }
