@@ -120,5 +120,32 @@ object StreamOps {
         .orderBy("event_id")
     })
 
-  val specs: Seq[QSpec] = Seq(st01, st02)
+  /** st03 — stream-STATIC enrichment join, the third streaming operator
+    * class next to stateful aggregation (st01) and stateful dedup (st02):
+    * each streamed event is enriched against the static customer dimension
+    * (user_id = c_custkey, market segment as the tier), then aggregated
+    * per (segment, event_type). Stream-static joins are stateless on the
+    * stream side — the static side is planned per micro-batch exactly like
+    * a batch broadcast join — which is what makes enrichment viable on an
+    * unbounded stream with zero state growth. Complete-mode output again
+    * makes the declared result invariant to micro-batch placement.
+    */
+  val st03 = QSpec(
+    "st03_stream_enrich",
+    Some(s"""SELECT c.c_mktsegment AS segment, e.event_type,
+            | COUNT(*) AS cnt,
+            | CAST(SUM(CAST(e.value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+            |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val dim = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = eventStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value"), 6).as("sum_value"))
+      drainToTable(enriched, "st03", d, "complete")
+        .orderBy("segment", "event_type")
+    })
+
+  val specs: Seq[QSpec] = Seq(st01, st02, st03)
 }
