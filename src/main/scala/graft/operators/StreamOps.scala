@@ -57,13 +57,25 @@ object StreamOps {
     * bench's min-of-2) never collide with an earlier registration.
     */
   private def drainToTable(df: DataFrame, name: String, d: String,
-      mode: String): DataFrame = {
+      mode: String, statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession
     val view = s"__graft_${name}_${new java.io.File(d).getName.replace('.', '_')}"
     s.catalog.dropTempView(view)
-    val q = df.writeStream.format("memory").queryName(view)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Streaming state-store count = shuffle partitions AT QUERY START
+    // (pinned in the checkpoint thereafter) — size it to the STATE volume,
+    // not the session's scan parallelism: every partition pays a
+    // StateStore provider + maintenance + commit per micro-batch, so 32
+    // near-empty stores cost ~1.6× the whole query (measured 2.9 s → 1.8 s
+    // at 8 partitions, sf0.1). Production sizing scales this with keys,
+    // which is exactly why it is a per-query parameter. Scoped set/restore
+    // (the j03 pattern): batch queries keep the session's parallelism.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(view)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(view)
   }
 
