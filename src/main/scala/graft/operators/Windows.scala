@@ -147,5 +147,33 @@ object Windows {
         col("cnt"), col("sum_value"))
       .orderBy("window_start"))
 
-  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05)
+  /** w07 — latest-record-per-key compaction (the CDC/upsert pattern every
+    * lakehouse pipeline runs: reduce an event log to each key's current
+    * state). One shuffle on the key + per-partition sort; the total order
+    * (raw ns ts desc, event_id desc) makes the winner unique and both
+    * engines deterministic. At scale this is the same exchange as a
+    * groupBy — no global sort, no driver involvement.
+    */
+  val w07 = QSpec(
+    "w07_latest_per_key",
+    Some("""WITH r AS (SELECT user_id, event_id, event_type, value,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id
+           |                       ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events)
+           |SELECT user_id, event_id AS last_event_id,
+           |  event_type AS last_event_type, value AS last_value
+           |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    })
+
+  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07)
 }
