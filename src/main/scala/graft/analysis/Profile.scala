@@ -63,7 +63,11 @@ object Profile {
           pairs.map { case (a, b) =>
             sum((d(a) * d(b)).cast(DecimalType(30, 6))).cast("double").as(s"sp__${a}__$b")
           })
-    val m = df.agg(moments.head, moments.tail: _*)
+    // k(k+1)/2 + k wide-decimal sums per row are CPU-bound, not IO-bound:
+    // project to the k columns, then fan out so the pass parallelizes even
+    // when the scan planned few splits (Exact.fanOut is a no-op otherwise)
+    val m = Exact.fanOut(df.select(cols.map(col): _*))
+      .agg(moments.head, moments.tail: _*)
     val entries = array(pairs.map { case (a, b) =>
       val n = col("n")
       val hasNulls = col(s"cnt__$a") =!= n || col(s"cnt__$b") =!= n

@@ -240,14 +240,15 @@ object Relational {
             | ${Exact.sqlAvg("l_quantity")} AS mean_qty,
             | ROUND(${Exact.sqlStd("l_quantity")}, 4) AS std_qty
             |FROM lineitem""".stripMargin),
-    (s, d) => lineitem(s, d).agg(
-      count(lit(1)).as("n"),
-      min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"),
-      Exact.davg(col("l_extendedprice")).as("mean_price"),
-      round(Exact.dstd(col("l_extendedprice")), 4).as("std_price"),
-      min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
-      Exact.davg(col("l_quantity")).as("mean_qty"),
-      round(Exact.dstd(col("l_quantity")), 4).as("std_qty")))
+    (s, d) => Exact.fanOut(lineitem(s, d).select("l_extendedprice", "l_quantity"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"),
+        Exact.davg(col("l_extendedprice")).as("mean_price"),
+        round(Exact.dstd(col("l_extendedprice")), 4).as("std_price"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        Exact.davg(col("l_quantity")).as("mean_qty"),
+        round(Exact.dstd(col("l_quantity")), 4).as("std_qty")))
 
   /** q18 — count() actions / row-count audit (ref: notebooks/00_prepare_data.py:94). */
   val q18 = QSpec(
