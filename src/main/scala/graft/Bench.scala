@@ -75,10 +75,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // stdout capture may truncate (BENCH_r02 lost its tail to a 10 KB cap):
-    // persist the full line where the driver/judge can always read it
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // persist the full line where the driver/judge can always read it.
+    // FULL runs only — a local subset run (query-name args) must not
+    // clobber the round's full-suite evidence file.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -34,7 +34,10 @@ object TemporalJoins {
     *
     * `left`/`right` must expose `keyCol` and long-typed `tsCol`; right
     * payload columns are the remaining `valCols`. Returns every left row +
-    * `asof_ts` (nullable) + the right `valCols` (nullable).
+    * `asof_ts` (nullable) + the right `valCols` (nullable). If the right
+    * side has duplicate (key, ts) rows, the greatest (ts, valCols…) tuple
+    * wins — a documented, deterministic tie rule (kdb `aj` resolves the
+    * same case by table order, which a distributed frame doesn't have).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valCols: Seq[String]): DataFrame = {
@@ -53,7 +56,15 @@ object TemporalJoins {
       Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
         lit(null).cast(payloadT).as("__graft_p")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+    // Tie-break among DUPLICATE (key, ts) right rows: without a final sort
+    // key, `last(payload)` would pick whichever right row the partition
+    // sort happened to place last — nondeterministic across runs. Ordering
+    // by the payload struct itself makes the winner the greatest
+    // (asof_ts, valCols…) tuple, deterministically (left rows carry a null
+    // payload, which last(ignoreNulls) skips, so their relative order at a
+    // tied ts is irrelevant).
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), col("__graft_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rTagged.unionByName(lTagged)
       .withColumn("__graft_p", last(col("__graft_p"), ignoreNulls = true).over(w))

@@ -443,11 +443,16 @@ object CorpusOps {
     (s, d) => {
       import graft.plans.RangeJoinRewrite
       // scoped session mutation: the band-width override and (if this
-      // lambda added it) the injected rule are restored after the plan is
-      // FORCED below — later queries in the same session keep their own
-      // plan shapes. Forcing executedPlan pins the optimized plan in this
-      // DataFrame's QueryExecution, so execution after restore still runs
-      // the banded rewrite built under the scoped conf.
+      // lambda added it) the injected rule are restored in the finally —
+      // later queries in the same session keep their own plan shapes.
+      // CRUCIALLY, the rewritten join is EXECUTED inside the scope (via
+      // this Dataset's own pinned QueryExecution) and its rows returned as
+      // a local frame: any derived Dataset (the harness's coalesce+write)
+      // builds a NEW QueryExecution, which after the restore would
+      // silently re-plan WITHOUT the rule — the oracle would then be
+      // checking the plain BroadcastNestedLoop join, not the rewrite it
+      // exists to verify. The result is 80 aggregated rows, so
+      // materializing is free.
       val hadRule = s.experimental.extraOptimizations.contains(RangeJoinRewrite)
       val prevW =
         try Some(s.conf.get(RangeJoinRewrite.BandWidthConf))
@@ -463,8 +468,10 @@ object CorpusOps {
                 |        id * 7500.0 + 12000.0 AS hi FROM range(0, 80)) b
                 |JOIN j03_orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
                 |GROUP BY band_id ORDER BY band_id""".stripMargin)
-        df.queryExecution.executedPlan
-        df
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+          "j03: RangeJoinRewrite did not fire on the inequality join")
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       } finally {
         prevW match {
           case Some(v) => s.conf.set(RangeJoinRewrite.BandWidthConf, v)
@@ -573,7 +580,7 @@ object CorpusOps {
            |  CAST(('0x' || substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8)) AS BIGINT) % 100 AS bucket,
            |  ROUND(CAST(len(list_filter(words, x -> x = 'the' OR x = 'a')) AS DOUBLE)
            |        / len(words), 6) AS stop_ratio
-           |  FROM w)
+           |  FROM w WHERE len(words) > 0)
            |SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
            |  CAST(SUM(CASE WHEN stop_ratio >= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_eval,
            |  TRUE AS auc_ge_095, TRUE AS acc_ge_090
@@ -589,6 +596,10 @@ object CorpusOps {
           comps("word_cnt").cast("double").as("word_cnt"),
           comps("avg_word_len").as("avg_word_len"),
           comps("stopword_ratio").as("stopword_ratio"))
+        // a zero-word doc has null ratios, which VectorAssembler rejects at
+        // runtime (handleInvalid=error); drop it in BOTH engines instead —
+        // a quality classifier has nothing to learn from an empty document
+        .filter(col("word_cnt") > 0)
         .withColumn("label",
           when(col("stopword_ratio") >= 0.06, 1.0d).otherwise(0.0d))
       val assembled = new VectorAssembler()

@@ -163,10 +163,14 @@ object Extras {
       val probes = Seq("the", "table", "spark", "zebra")
       val words = documents(s, d)
         .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
-      val total = words.count()
-      val bytes = words
-        .selectExpr("count_min_sketch(word, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42) AS s")
-        .head.getAs[Array[Byte]](0)
+      // total N and the sketch come from ONE aggregation pass — a second
+      // full scan just to count would double the corpus reads at scale
+      val aggRow = words
+        .selectExpr("count(1) AS n",
+          "count_min_sketch(word, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42) AS s")
+        .head
+      val total = aggRow.getAs[Long]("n")
+      val bytes = aggRow.getAs[Array[Byte]]("s")
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(bytes))
       val exact = words.filter(col("word").isin(probes: _*))

@@ -44,9 +44,14 @@ object StreamOps {
     val dir = new java.io.File(Tables.scratch(d, "stream_events_src"))
     dir.mkdirs()
     val link = new java.io.File(dir, "events.parquet").toPath
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createSymbolicLink(
+    // NOFOLLOW: a dangling symlink must read as "present" (plain exists()
+    // follows to the missing target and then createSymbolicLink throws);
+    // the catch absorbs the create/create race of concurrent runs
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      try java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$d/events.parquet"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     s.readStream.schema(schema).parquet(dir.getAbsolutePath)
   }

@@ -51,6 +51,12 @@ object Exact {
     * shuffle carries only those; when the input already has at least the
     * session's parallelism (any real at-scale scan), this is a no-op with
     * zero added shuffle.
+    *
+    * SCAN-SHAPED INPUTS ONLY: the partition probe (`df.rdd`) forces
+    * physical planning, and under AQE that MATERIALIZES every exchange in
+    * `df`'s plan before `repartition` re-executes it — a join/aggregate
+    * input would run twice. Both call sites pass bare column projections
+    * of a file scan.
     */
   def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism

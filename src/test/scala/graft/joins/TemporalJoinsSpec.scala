@@ -71,6 +71,18 @@ class TemporalJoinsSpec extends SparkSpec {
     got shouldBe Set((1L, Some(20L), None), (2L, Some(5L), Some("x")))
   }
 
+  test("asofJoin breaks duplicate (key, ts) right-row ties deterministically: " +
+      "the greatest payload tuple wins, independent of partitioning") {
+    val r = Seq((1L, 10L, "b"), (1L, 10L, "z"), (1L, 10L, "a"))
+      .toDF("k", "ts", "v")
+    val l = Seq((1L, 15L)).toDF("k", "ts")
+    for (parts <- Seq(1, 3, 7)) {
+      val got = TemporalJoins.asofJoin(l, r.repartition(parts), "k", "ts", Seq("v"))
+        .select("asof_ts", "v").as[(Long, String)].collect().toSeq
+      got shouldBe Seq((10L, "z")) // max (ts, v) tuple, every partitioning
+    }
+  }
+
   test("rangeJoinBanded equals the direct inequality join") {
     val rnd = new scala.util.Random(11)
     val points = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 1000))
