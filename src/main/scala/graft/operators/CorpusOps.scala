@@ -522,6 +522,72 @@ object CorpusOps {
         .orderBy("band_id")
     })
 
+  /** j05 — interval-overlap join through the OPTIMIZER (the j03↔j02
+    * relationship, for j04): the same customer-span × price-band overlap
+    * join as j04, but written as plain SQL inequality conditions and
+    * auto-rewritten by [[graft.plans.RangeJoinRewrite]]'s overlap
+    * detection into the banded equi-join with first-shared-band dedup —
+    * a query author gets the scale-safe plan without knowing the banding
+    * API exists. Same scoped-rule + pinned-execution pattern as j03 (any
+    * derived Dataset would re-plan without the rule); the require()
+    * asserts the rewrite actually fired. Oracle = the raw inequality
+    * join, identical to j04's.
+    */
+  val j05 = QSpec(
+    "j05_overlap_join_auto",
+    Some("""WITH cust AS (
+           |  SELECT o_custkey, MIN(o_totalprice) AS lo1,
+           |         MAX(o_totalprice) + 1.0 AS hi1
+           |  FROM orders GROUP BY o_custkey),
+           |bands AS (SELECT CAST(k AS INT) AS band_id, k * 9000.0 AS lo2,
+           |        k * 9000.0 + 15000.0 AS hi2 FROM UNNEST(range(0, 60)) t(k))
+           |SELECT band_id, COUNT(*) AS n_cust,
+           |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
+           |FROM cust JOIN bands ON lo1 < hi2 AND lo2 < hi1
+           |GROUP BY band_id ORDER BY band_id""".stripMargin),
+    (s, d) => {
+      import graft.plans.RangeJoinRewrite
+      val hadRule = s.experimental.extraOptimizations.contains(RangeJoinRewrite)
+      val prevW =
+        try Some(s.conf.get(RangeJoinRewrite.BandWidthConf))
+        catch { case _: java.util.NoSuchElementException => None }
+      val prevM =
+        try Some(s.conf.get(RangeJoinRewrite.MaxBandsConf))
+        catch { case _: java.util.NoSuchElementException => None }
+      RangeJoinRewrite.ensureInjected(s)
+      s.conf.set(RangeJoinRewrite.BandWidthConf, "6000")
+      s.conf.set(RangeJoinRewrite.MaxBandsConf, "64")
+      try {
+        orders(s, d).groupBy("o_custkey")
+          .agg(min("o_totalprice").as("lo1"),
+            (max("o_totalprice") + lit(1.0d)).as("hi1"))
+          .createOrReplaceTempView("j05_cust")
+        val df = s.sql("""SELECT band_id, COUNT(*) AS n_cust,
+                |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
+                |FROM (SELECT CAST(id AS INT) AS band_id, id * 9000.0 AS lo2,
+                |        id * 9000.0 + 15000.0 AS hi2 FROM range(0, 60)) b
+                |JOIN j05_cust c ON c.lo1 < b.hi2 AND b.lo2 < c.hi1
+                |GROUP BY band_id ORDER BY band_id""".stripMargin)
+        require(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+          "j05: RangeJoinRewrite did not fire on the overlap join")
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally {
+        prevW match {
+          case Some(v) => s.conf.set(RangeJoinRewrite.BandWidthConf, v)
+          case None    => s.conf.unset(RangeJoinRewrite.BandWidthConf)
+        }
+        prevM match {
+          case Some(v) => s.conf.set(RangeJoinRewrite.MaxBandsConf, v)
+          case None    => s.conf.unset(RangeJoinRewrite.MaxBandsConf)
+        }
+        if (!hadRule) {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+        }
+      }
+    })
+
   /** p07 — n-gram-level benchmark decontamination (the GPT-3 appendix-C
     * style pass, 8-grams here): for each held-out doc, the fraction of its
     * distinct word-8-grams that also occur anywhere in the training split.
@@ -696,5 +762,5 @@ object CorpusOps {
     })
 
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05, q30, x07, q31, x08, j03, j04, p07, p08, w06, m13)
+    mm04, mm05, q30, x07, q31, x08, j03, j04, j05, p07, p08, w06, m13)
 }

@@ -7,16 +7,18 @@ import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan,
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
 
-/** Optimizer rule: rewrite point-in-interval inequality joins into banded
-  * equi-joins.
+/** Optimizer rule: rewrite point-in-interval AND interval-overlap
+  * inequality joins into banded equi-joins.
   *
   * Spark plans an inner join whose condition is ONLY range predicates
-  * (`p >= lo AND p < hi`) as BroadcastNestedLoopJoin — O(N·M) comparisons,
-  * a scale-killer the moment neither side is tiny. This rule detects the
-  * shape: an inner join with no equi-conjunct where one side's numeric
-  * expression `p` is bounded below and above by expressions from the other
-  * side, and rewrites it to the [[graft.joins.TemporalJoins.rangeJoinBanded]]
-  * construction inside the optimizer:
+  * (`p >= lo AND p < hi`, or the overlap shape `a.lo < b.hi AND
+  * b.lo < a.hi`) as BroadcastNestedLoopJoin — O(N·M) comparisons, a
+  * scale-killer the moment neither side is tiny. This rule detects the
+  * point shape — an inner join with no equi-conjunct where one side's
+  * numeric expression `p` is bounded below and above by expressions from
+  * the other side — and rewrites it to the
+  * [[graft.joins.TemporalJoins.rangeJoinBanded]] construction inside the
+  * optimizer:
   *
   *   point side    → Generate(explode(array((0, floor(p/W)), (1, hash(p)%S))))
   *   interval side → Generate(explode(
@@ -47,6 +49,26 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
   * duplicates are introduced. Cost: the point side shuffles 2 rows per
   * point; worst case (every interval overflow-wide) degrades to the
   * pre-rewrite O(N·M) residual work but never to an error.
+  *
+  * '''Interval overlap.''' When the point shape does not match but the
+  * condition contains one conjunct upper-bounding a LEFT expression by a
+  * RIGHT expression and another upper-bounding a RIGHT expression by a
+  * LEFT expression (`l_lo ≼ r_hi AND r_lo ≼ l_hi`, any strictness), the
+  * join is an interval-overlap join and is rewritten to the
+  * [[graft.joins.TemporalJoins.intervalOverlapJoin]] construction: both
+  * sides explode to the bands they cover, candidates meet on band
+  * equality, and each pair is kept only in the band containing
+  * `max(l_lo, r_lo)` — which both sides provably cover whenever the
+  * original condition holds — so no post-join distinct is needed. Wide
+  * intervals route through the same three-tag salted overflow scheme as
+  * the library operator (left-wide → tag 1, right-wide × narrow-left →
+  * tag 2). One subtlety the point shape does not have: an INVERTED
+  * "interval" (lo > hi) can still satisfy an overlap condition (e.g.
+  * L=[5,3], R=[2,7] satisfies 5 ≤ 7 AND 2 ≤ 3), so each side bands over
+  * `[least(lo,hi), greatest(lo,hi)]` instead of dropping inverted rows —
+  * sorted intervals still intersect whenever the condition holds
+  * (L_min ≤ l_lo ≼ r_hi ≤ R_max and symmetrically), so the canonical
+  * band argument carries over.
   *
   * Width only affects candidate fan-out, never correctness. All three
   * confs are validated: non-numeric, non-finite or non-positive values log
@@ -121,6 +143,40 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def tb(t: Expression, b: Expression): Expression =
     CreateNamedStruct(Seq(Literal("t"), t, Literal("b"), b))
 
+  private def elemT = tb(Literal(0L), Literal(0L)).dataType
+  private def emptyKeys: Expression =
+    Literal.create(Seq.empty[Any], ArrayType(elemT, containsNull = false))
+
+  /** The (tag, band) key array one OVERLAP side emits for its canonical
+    * (sorted) interval. `wideTag`: the tag this side floods with all S
+    * salt values when wide. `alwaysSingle`/`narrowSingle`: tag of the one
+    * salted key emitted unconditionally / only when narrow (None = never).
+    * Null bounds emit nothing (the original condition is null → no match).
+    */
+  private def overlapKeys(loE: Expression, hiE: Expression, w: Double,
+      maxBands: Double, salt: Int, wideTag: Long, alwaysSingle: Option[Long],
+      narrowSingle: Option[Long]): Expression = {
+    val loBand = bandOf(Least(Seq(loE, hiE)), w)
+    val hiBand = bandOf(Greatest(Seq(loE, hiE)), w)
+    val nBands = Add(Subtract(Cast(hiBand, DoubleType),
+      Cast(loBand, DoubleType)), Literal(1.0))
+    val lv = NamedLambdaVariable("b", LongType, nullable = false)
+    val seq = new Sequence(loBand, hiBand, Some(Literal(1L)),
+      Some(conf.sessionLocalTimeZone))
+    val banded = ArrayTransform(seq, LambdaFunction(tb(Literal(0L), lv), Seq(lv)))
+    def single(t: Long) = CreateArray(Seq(tb(Literal(t),
+      Cast(Pmod(new Murmur3Hash(Seq(loBand)), Literal(salt)), LongType))))
+    val flood = CreateArray(
+      (0 until salt).map(i => tb(Literal(wideTag), Literal(i.toLong))))
+    val narrowArr = (alwaysSingle ++ narrowSingle).map(single)
+      .foldLeft(banded: Expression)((acc, s) => Concat(Seq(acc, s)))
+    val wideArr = alwaysSingle.map(single)
+      .foldLeft(flood: Expression)((acc, s) => Concat(Seq(acc, s)))
+    val invalid = Or(IsNull(loBand), IsNull(hiBand))
+    If(invalid, emptyKeys,
+      If(GreaterThan(nBands, Literal(maxBands)), wideArr, narrowArr))
+  }
+
   private def confDouble(name: String, default: Double)(
       valid: Double => Boolean): Double = {
     val raw = conf.getConfString(name, default.toString)
@@ -189,12 +245,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 LambdaFunction(tb(Literal(0L), lv), Seq(lv)))
               val sentinel = CreateArray(
                 (0 until salt).map(i => tb(Literal(1L), Literal(i.toLong))))
-              val elemT = tb(Literal(0L), Literal(0L)).dataType
-              val emptyArr = Literal.create(Seq.empty[Any],
-                ArrayType(elemT, containsNull = false))
               val invalid = Or(Or(IsNull(loBand), IsNull(hiBand)),
                 GreaterThan(loBand, hiBand))
-              val iArr = If(invalid, emptyArr,
+              val iArr = If(invalid, emptyKeys,
                 If(GreaterThan(nBands, Literal(maxBands)), sentinel, banded))
               val iOut = AttributeReference("__graft_band_g",
                 iArr.dataType.asInstanceOf[ArrayType].elementType,
@@ -211,7 +264,51 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 if (lo.pointIsLeft) (pGen, iGen) else (iGen, pGen)
               Project(j.output,
                 Join(newLeft, newRight, Inner, Some(And(bandEq, cond)), hint))
-            case None => j
+            case None =>
+              // interval-OVERLAP shape: a left expr upper-bounded by a
+              // right expr AND a right expr upper-bounded by a left expr
+              val ov = (for {
+                b1 <- bounds if !b1.isLower && b1.pointIsLeft // l_lo ≼ r_hi
+                b2 <- bounds if !b2.isLower && !b2.pointIsLeft // r_lo ≼ l_hi
+              } yield (b1, b2)).headOption
+              ov match {
+                case Some((b1, b2)) =>
+                  val (lLo, rHi) = (b1.point, b1.bound)
+                  val (rLo, lHi) = (b2.point, b2.bound)
+                  val lArr = overlapKeys(lLo, lHi, w, maxBands, salt,
+                    wideTag = 1L, alwaysSingle = None, narrowSingle = Some(2L))
+                  val rArr = overlapKeys(rLo, rHi, w, maxBands, salt,
+                    wideTag = 2L, alwaysSingle = Some(1L), narrowSingle = None)
+                  val lOut = AttributeReference("__graft_band",
+                    lArr.dataType.asInstanceOf[ArrayType].elementType,
+                    nullable = false)()
+                  val rOut = AttributeReference("__graft_band_g",
+                    rArr.dataType.asInstanceOf[ArrayType].elementType,
+                    nullable = false)()
+                  val lGen = Generate(Explode(lArr), unrequiredChildIndex = Nil,
+                    outer = false, qualifier = None,
+                    generatorOutput = Seq(lOut), child = left)
+                  val rGen = Generate(Explode(rArr), unrequiredChildIndex = Nil,
+                    outer = false, qualifier = None,
+                    generatorOutput = Seq(rOut), child = right)
+                  val bandEq = And(
+                    EqualTo(GetStructField(lOut, 0, Some("t")),
+                      GetStructField(rOut, 0, Some("t"))),
+                    EqualTo(GetStructField(lOut, 1, Some("b")),
+                      GetStructField(rOut, 1, Some("b"))))
+                  // exactly-once: banded (tag 0) candidates survive only in
+                  // the band of max(l_min, r_min) — a point both CANONICAL
+                  // intervals cover whenever the original condition holds
+                  val canonical = bandOf(Greatest(Seq(
+                    Least(Seq(lLo, lHi)), Least(Seq(rLo, rHi)))), w)
+                  val dedup = Or(
+                    Not(EqualTo(GetStructField(lOut, 0, Some("t")), Literal(0L))),
+                    EqualTo(GetStructField(lOut, 1, Some("b")), canonical))
+                  Project(j.output,
+                    Join(lGen, rGen, Inner,
+                      Some(And(bandEq, And(cond, dedup))), hint))
+                case None => j
+              }
           }
         }
     }

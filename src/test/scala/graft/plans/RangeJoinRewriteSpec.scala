@@ -129,6 +129,56 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("interval-OVERLAP joins rewrite to banded equi-joins: identical " +
+      "results, exactly once per pair") {
+    val rnd = new scala.util.Random(41)
+    val lIv = (0 until 150).map { i =>
+      val lo = rnd.nextDouble() * 800
+      (i.toLong, lo, lo + rnd.nextDouble() * 90)
+    }.toDF("lid", "lo1", "hi1")
+    val rIv = (0 until 40).map { i =>
+      val lo = rnd.nextDouble() * 850
+      (i.toLong, lo, lo + rnd.nextDouble() * 70)
+    }.toDF("rid", "lo2", "hi2")
+    val brute = lIv.crossJoin(rIv)
+      .filter(col("lo1") < col("hi2") && col("lo2") < col("hi1"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    withRule {
+      val j = lIv.join(rIv, col("lo1") < col("hi2") && col("lo2") < col("hi1"))
+      j.queryExecution.executedPlan.toString should include("__graft_band")
+      val got = j.select("lid", "rid").as[(Long, Long)].collect()
+      got.length shouldBe got.toSet.size // no duplicate candidates survive
+      got.toSet shouldBe brute
+    }
+    brute should not be empty
+  }
+
+  test("overlap rewrite: inverted intervals that satisfy the condition are " +
+      "kept, null bounds match nothing, wide intervals take overflow") {
+    val lIv = Seq((1L, Some(5.0), Some(3.0)), // inverted yet satisfiable
+      (2L, Some(-1e12), Some(1e12)),          // astronomically wide
+      (3L, Option.empty[Double], Some(9.0)),  // null bound
+      (4L, Some(100.0), Some(130.0)))         // plain narrow
+      .toDF("lid", "lo1", "hi1")
+    val rIv = Seq((10L, 2.0, 7.0), (11L, 90.0, 200.0)).toDF("rid", "lo2", "hi2")
+    val cond = col("lo1") <= col("hi2") && col("lo2") <= col("hi1")
+    val brute = lIv.crossJoin(rIv).filter(cond)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    withRule {
+      spark.conf.set(RangeJoinRewrite.MaxBandsConf, "16")
+      try {
+        val j = lIv.join(rIv, cond)
+        j.queryExecution.executedPlan.toString should include("__graft_band")
+        j.select("lid", "rid").as[(Long, Long)].collect().toSet shouldBe brute
+      } finally spark.conf.unset(RangeJoinRewrite.MaxBandsConf)
+    }
+    // the inverted interval really is a match the rewrite must not lose:
+    // L=[5,3] vs R=[2,7] satisfies 5<=7 AND 2<=3
+    brute should contain((1L, 10L))
+    brute should contain((2L, 10L)) // wide matches through overflow
+    brute.exists(_._1 == 3L) shouldBe false
+  }
+
   test("band width only affects fan-out, never the result") {
     val expected = points.crossJoin(intervals)
       .filter(col("p") >= col("lo") && col("p") < col("hi")).count()
