@@ -761,6 +761,52 @@ object CorpusOps {
         .orderBy("doc_id")
     })
 
+  /** p09 — domain-mixture resampling: re-weight the corpus's source mix
+    * (the DoReMi/"data mixture" knob of every pretraining pipeline —
+    * downsample low-value domains, keep high-value ones whole). Each
+    * source gets a target rate from its domain class, and membership is
+    * decided by a deterministic Knuth-hash uniform on doc_id — no RNG, no
+    * engine hash functions, so the SAME rows are kept on any engine, any
+    * partitioning, any scale (the property that makes a sample reproducible
+    * across reruns of a 100 TB job). Fully map-side: no shuffle until the
+    * declared per-source audit aggregate.
+    */
+  val p09 = QSpec(
+    "p09_domain_mix",
+    Some("""WITH t AS (
+           |  SELECT source, doc_id,
+           |    CASE CAST(SUBSTR(source, 4) AS INT) % 4
+           |      WHEN 0 THEN CAST(1.0 AS DOUBLE) WHEN 1 THEN CAST(0.5 AS DOUBLE)
+           |      WHEN 2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END AS rate,
+           |    ((doc_id * 2654435761) % 4294967296) / CAST(4294967296 AS DOUBLE) AS u
+           |  FROM documents)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS total_cnt,
+           |  CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept_cnt,
+           |  ROUND(CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS DOUBLE)
+           |        / COUNT(*), 4) AS achieved_rate
+           |FROM t GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      // Knuth multiplicative hash: u ∈ [0,1) exact in double (numerator
+      // < 2^32). doc_id·2654435761 stays far below 2^63 for any realistic
+      // id space (overflow needs doc_id ≈ 3.5e9).
+      val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) /
+        lit(4294967296.0d)
+      val rate = col("src_num") % 4
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          substring(col("source"), 4, 10).cast("int").as("src_num"))
+        .withColumn("rate",
+          when(rate === 0, 1.0d).when(rate === 1, 0.5d)
+            .when(rate === 2, 0.25d).otherwise(0.1d))
+        .withColumn("kept", (u < col("rate")).cast("int"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_cnt"),
+          sum(col("kept")).as("kept_cnt"),
+          round(sum(col("kept")).cast("double") / count(lit(1)), 4)
+            .as("achieved_rate"))
+        .orderBy("source")
+    })
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05, q30, x07, q31, x08, j03, j04, j05, p07, p08, w06, m13)
+    mm04, mm05, q30, x07, q31, x08, j03, j04, j05, p07, p08, p09, w06, m13)
 }

@@ -185,5 +185,44 @@ object Extras {
         .orderBy("word")
     })
 
-  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05, x09)
+  /** x10 — Bloom-filter join pruning (runtime semi-join filter): the big
+    * fact side is pre-filtered by a Bloom filter built from the qualifying
+    * dimension keys BEFORE the shuffle, then exactly joined — false
+    * positives are removed by the join itself, so the result is
+    * row-identical to the plain join (the oracle). This is the shape
+    * Spark's own InjectRuntimeFilter produces for large joins (it doesn't
+    * trigger at toy scan sizes, hence the explicit form): at 100 TB a
+    * selective dimension predicate prunes ~(1−sel) of fact-side shuffle
+    * bytes for the cost of one broadcast O(KB–MB) bitmap. The filter is
+    * broadcast once, not closure-shipped per task.
+    */
+  val x10 = QSpec(
+    "x10_bloom_join",
+    Some(s"""SELECT l.l_returnflag, COUNT(*) AS cnt,
+            | ${Exact.sqlSum("l_extendedprice")} AS sum_price
+            |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |WHERE o.o_orderpriority = '1-URGENT'
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val urgent = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      // size the filter from the dim-side count (one cheap pass over the
+      // SMALL side; at scale this is a metadata-or-dimension scan, never
+      // the fact table). fpp 1% → ~9.6 bits/key.
+      val nKeys = math.max(urgent.count(), 1L)
+      val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+      lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .filter(mightContain(col("l_orderkey"))) // prunes pre-shuffle
+        .join(urgent, col("l_orderkey") === col("o_orderkey")) // exact
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          Exact.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    })
+
+  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05, x09, x10)
 }

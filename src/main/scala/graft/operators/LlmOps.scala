@@ -771,7 +771,105 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** t12 — TF-IDF top terms per document: tf per (doc, term) in one
+    * shuffle on the composite key, document frequency per term with
+    * map-side partial aggregation, corpus size as a broadcast 1-row
+    * frame. The per-doc ranking is intentionally on INTEGER keys
+    * (tf desc, df asc, term asc) — fully deterministic across engines —
+    * while the tfidf score (tf·ln((N+1)/(df+1)), the smoothed standard
+    * form) is emitted rounded. At scale the tf→df join shuffles both
+    * sides on the term (vocabulary-keyed join, Zipf-skewed — AQE skew
+    * split applies); everything else is partial-aggregated.
+    */
+  val t12 = QSpec(
+    "t12_tfidf",
+    Some("""WITH w AS (SELECT doc_id,
+           |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+           |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n FROM documents),
+           |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+           |          ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+           |      FROM tf JOIN df USING (term))
+           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           |  CAST(rank AS BIGINT) AS rank,
+           |  ROUND(tf * LN((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
+           |FROM r, n WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d)
+      val terms = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(df, "term")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"),
+          round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6)
+            .as("tfidf"))
+        .orderBy("doc_id", "rank")
+    })
+
+  /** s05 — scalar-quantized (int8) ANN: the memory-bound scale lever next
+    * to s02's compute-bound IVF. Per-dimension [min, max] is a fixed-size
+    * corpus statistic (one posexplode pass, 64 groups — the centroid-fit
+    * shape); each float32 dimension is linearly coded to 0..255, cutting
+    * vector bytes 4× (the declared `compression_x`), and search runs
+    * cosine on the DEQUANTIZED vectors. The declared contract is the
+    * bounded-boolean every quantized index is sold on: recall@10 vs the
+    * exact float baseline ≥ 0.8 per probe, computed in-plan (semi-join of
+    * exact top-k against quantized top-k) and pinned by the oracle.
+    */
+  val s05 = QSpec(
+    "s05_quantized_topk",
+    Some("""SELECT vec_id AS p_id, TRUE AS recall_ge_080,
+           | CAST(4 AS BIGINT) AS compression_x
+           |FROM embeddings WHERE vec_id < 5 ORDER BY p_id""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      // fixed-size per-dimension range stats (64 rows to the driver —
+      // index metadata, not data)
+      val rng = emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy("dim").collect()
+      val lo = rng.map(_.getAs[Float]("lo"))
+      val step = rng.map(r =>
+        math.max((r.getAs[Float]("hi") - r.getAs[Float]("lo")) / 255.0f, 1e-12f))
+      val loCol = array(lo.map(lit(_)): _*)
+      val stepCol = array(step.map(lit(_)): _*)
+      // int8 code then dequantize: arr[i] -> lo[i] + round((v-lo[i])/step[i])*step[i]
+      def dequantized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        zip_with(c, sequence(lit(0), lit(lo.length - 1)), (v, i) => {
+          val l = element_at(loCol, i + 1)
+          val st = element_at(stepCol, i + 1)
+          (l + round((v - l) / st, 0) * st).cast("float")
+        })
+      val qcorpus = emb.select(col("vec_id"), dequantized(col("embedding")).as("qemb"))
+      val qprobes = qcorpus.filter(col("vec_id") < 5)
+      val probes = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.bruteTopK(s, qcorpus, qprobes, "vec_id", "qemb", 10)
+        .select("p_id", "neighbor_id")
+      val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", 10)
+        .select("p_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("p_id", "neighbor_id"), "left_semi")
+        .groupBy("p_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("p_id").agg(count(lit(1)).as("total"))
+        .join(hits, Seq("p_id"), "left")
+        .select(col("p_id"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / col("total") >= 0.8)
+            .as("recall_ge_080"),
+          lit(4L).as("compression_x"))
+        .orderBy("p_id")
+    })
+
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    s04, t01, t02, t03, t04, t06, t07, t08, t09, t11, p01, p02, p03, mm01, mm02,
-    mm03)
+    s04, s05, t01, t02, t03, t04, t06, t07, t08, t09, t11, t12, p01, p02, p03,
+    mm01, mm02, mm03)
 }

@@ -281,6 +281,46 @@ object MlOps {
           round(first(col("sigma")), 4).as("std_v"))
     })
 
+  /** m15 — KMeans clustering over the embeddings table (the unsupervised
+    * companion to the supervised trainers, and the fit step behind s02's
+    * IVF index). The fixture's labels are NOT euclidean clusters
+    * (measured: nearest-label-centroid accuracy 0.41), so the recoverable
+    * structure is PLANTED (the d05/mm02 oracle pattern): dim 0 is shifted
+    * by label·100, making the label partition the unique well-separated
+    * clustering; seeded KMeans must then recover it, purity ≥ 0.9 —
+    * a genuine end-to-end check of the fit, not a tautology. Each Lloyd
+    * iteration is one map-side-combined aggregate over the corpus (the
+    * scale path); assignments join labels with no extra shuffle. The
+    * oracle pins k, n, and the purity bound.
+    */
+  val m15 = QSpec(
+    "m15_kmeans",
+    Some("""SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS k,
+           | CAST(COUNT(*) AS BIGINT) AS n, TRUE AS purity_ge_090
+           |FROM embeddings""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val planted = transform(col("embedding"), (v, i) =>
+        when(i === 0, v.cast("double") + col("label") * lit(100.0d))
+          .otherwise(v.cast("double")))
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          array_to_vector(planted).as("features"))
+        .cache()
+      val k = emb.agg(countDistinct(col("label"))).head.getLong(0).toInt
+      val model = new KMeans().setK(k).setSeed(42).setMaxIter(20).fit(emb)
+      val pred = model.transform(emb).select("prediction", "label")
+      val perCluster = pred.groupBy("prediction", "label").count()
+      val best = perCluster.groupBy("prediction").agg(max(col("count")).as("best"))
+      val out = best.agg(sum(col("best")).as("majority"))
+        .crossJoin(emb.agg(count(lit(1)).as("n")))
+        .select(lit(k.toLong).as("k"), col("n"),
+          (col("majority").cast("double") / col("n") >= 0.9).as("purity_ge_090"))
+      emb.unpersist(blocking = false)
+      out
+    })
+
   val specs: Seq[QSpec] = Seq(m01, m02, m03, m04, m06, m07, m08, m09, m10,
-    m11, m12, m14)
+    m11, m12, m14, m15)
 }

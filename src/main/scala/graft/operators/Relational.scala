@@ -463,8 +463,45 @@ object Relational {
         date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("order_date_str"))
       .orderBy("o_orderkey"))
 
+  /** q32 — correlated EXISTS / NOT EXISTS through the SQL front end
+    * (`spark.sql` over temp views): customers with at least one urgent
+    * order and no filled order. Catalyst decorrelates the subqueries into
+    * a left-semi + left-anti join pair on o_custkey — the same physical
+    * shape as q31's explicit semi/anti joins, proving the SQL surface and
+    * the DataFrame surface meet in one plan space. Both join smalls are
+    * broadcast at dim scale; at fact scale they hash-shuffle on the
+    * correlation key, which is exactly the hand-written plan.
+    */
+  val q32 = QSpec(
+    "q32_exists_subquery",
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_orderpriority = '1-URGENT')
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_orderstatus = 'F')
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      // per-sf view names: concurrent/back-to-back runs on different sf
+      // dirs must not read each other's registrations (the memory-sink
+      // naming pattern from StreamOps)
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val (vc, vo) = (s"graft_q32_customer_$tag", s"graft_q32_orders_$tag")
+      customer(s, d).createOrReplaceTempView(vc)
+      orders(s, d).createOrReplaceTempView(vo)
+      s.sql(s"""SELECT c_custkey, c_name FROM $vc c
+               |WHERE EXISTS (SELECT 1 FROM $vo o
+               |              WHERE o.o_custkey = c.c_custkey
+               |                AND o.o_orderpriority = '1-URGENT')
+               |  AND NOT EXISTS (SELECT 1 FROM $vo o
+               |                  WHERE o.o_custkey = c.c_custkey
+               |                    AND o.o_orderstatus = 'F')
+               |ORDER BY c_custkey""".stripMargin)
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32)
 }

@@ -164,5 +164,51 @@ object StreamOps {
         .orderBy("segment", "event_type")
     })
 
-  val specs: Seq[QSpec] = Seq(st01, st02, st03)
+  /** st04 — stream-STREAM inner join (the fourth streaming operator
+    * class: symmetric-hash join with keyed state on both sides): views
+    * joined to purchases of the same user within the following hour —
+    * the attribution query every event pipeline runs. The range compare
+    * is on the RAW ns timestamps (the j01/w06 precision rule), with
+    * event-time watermarks on both inputs; the watermark delay is set
+    * beyond the fixture's span so no state is evicted regardless of how
+    * AvailableNow slices the backlog — making the emitted pair set
+    * exactly the batch join result (inner-join pairs are emitted exactly
+    * once). Production tightens the delay to bound state; the semantics
+    * of what's emitted per pair are identical. The declared output
+    * aggregates the drained pairs per user.
+    */
+  val st04 = QSpec(
+    "st04_stream_stream_join",
+    Some("""SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS pairs,
+           |  MIN(p.event_id) AS first_purchase_id
+           |FROM events v JOIN events p
+           |  ON v.user_id = p.user_id
+           | AND p.ts >= v.ts
+           | AND epoch_ns(p.ts) <= epoch_ns(v.ts) + 3600000000000
+           |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val src = eventStream(s, d)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("ts_v"),
+          timestamp_micros(expr("ts div 1000")).as("et_v"))
+        .withWatermark("et_v", "30 days")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("ts_p"),
+          col("event_id").as("purchase_id"),
+          timestamp_micros(expr("ts div 1000")).as("et_p"))
+        .withWatermark("et_p", "30 days")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("ts_p") >= col("ts_v") &&
+          col("ts_p") <= col("ts_v") + lit(3600000000000L))
+        .select(col("v_user").as("user_id"), col("purchase_id"))
+      drainToTable(joined, "st04", d, "append")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("pairs"),
+          min(col("purchase_id")).as("first_purchase_id"))
+        .orderBy("user_id")
+    })
+
+  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04)
 }

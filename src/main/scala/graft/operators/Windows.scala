@@ -175,5 +175,42 @@ object Windows {
         .orderBy("user_id")
     })
 
-  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07)
+  /** w08 — running DISTINCT count per key (distinct event types seen so
+    * far per user at each event). `COUNT(DISTINCT) OVER` with a running
+    * frame isn't directly supported by either engine, so it's computed
+    * the portable scalable way: a first-occurrence flag (row_number = 1
+    * within (user, type)) summed over the cumulative per-user frame.
+    * Two window passes; both partition primarily by user_id, so the
+    * second exchange only coarsens the first (AQE sees ~|users| keys
+    * either way). Ordering uses the raw ns ts with event_id as the
+    * total-order tie-break, same rule as w06/w07.
+    */
+  val w08 = QSpec(
+    "w08_running_distinct",
+    Some("""WITH f AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+           |                                 ORDER BY ts, event_id) = 1
+           |         THEN 1 ELSE 0 END AS first_seen
+           |  FROM events)
+           |SELECT user_id, event_id,
+           |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+           |FROM f ORDER BY user_id, event_id""".stripMargin),
+    (s, d) => {
+      val firstW = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val cumW = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("first_seen",
+          when(row_number().over(firstW) === 1, 1).otherwise(0))
+        .select(col("user_id"), col("event_id"),
+          sum(col("first_seen")).over(cumW).cast("long")
+            .as("distinct_types_so_far"))
+        .orderBy("user_id", "event_id")
+    })
+
+  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08)
 }
