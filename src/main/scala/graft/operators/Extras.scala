@@ -224,5 +224,42 @@ object Extras {
         .orderBy("l_returnflag")
     })
 
-  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05, x09, x10)
+  /** x11 — bucketed co-located join THROUGH the correctness gate: both
+    * sides are written `bucketBy(8, key)` + sorted ([[graft.sources.Sinks]]),
+    * then joined with a MERGE hint — Catalyst plans a sort-merge join with
+    * ZERO Exchange (the `require` asserts it on the physical plan), because
+    * matching bucket layouts already co-locate equal keys. This is the
+    * write-side scale lever: at 100 TB a recurring join on a bucketed key
+    * pays its shuffle once at layout time, not per query. The hint forces
+    * SMJ so the demonstration doesn't degrade to a broadcast at toy scale;
+    * result is row-identical to the plain join (the oracle).
+    */
+  val x11 = QSpec(
+    "x11_bucketed_join",
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS cnt,
+            | ${Exact.sqlSum("o_totalprice")} AS sum_price
+            |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val (to, tc) = (s"graft_x11_orders_$tag", s"graft_x11_customer_$tag")
+      def save(df: org.apache.spark.sql.DataFrame, table: String): Unit =
+        df.write.mode("overwrite")
+          .option("path", Tables.scratch(d, table))
+          .bucketBy(8, "k").sortBy("k")
+          .saveAsTable(table)
+      save(orders(s, d).select(col("o_custkey").as("k"), col("o_totalprice")), to)
+      save(customer(s, d).select(col("c_custkey").as("k"), col("c_mktsegment")), tc)
+      val joined = s.table(to).hint("merge").join(s.table(tc), "k")
+      // the whole point: co-located buckets -> no shuffle for the join
+      // (pre-AQE physical plan; the aggregate below adds its own exchange)
+      require(!joined.queryExecution.sparkPlan.toString.contains("Exchange"),
+        "bucketed join must plan without an Exchange")
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    })
+
+  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05, x09, x10, x11)
 }

@@ -500,8 +500,42 @@ object Relational {
                |ORDER BY c_custkey""".stripMargin)
     })
 
+  /** q33 — partition-pruned scan THROUGH the correctness gate: orders is
+    * written as a Hive-style layout partitioned by o_orderpriority
+    * ([[graft.sources.Sinks.writePartitioned]] shape), and the read-back
+    * filter must prune at the DIRECTORY level — the `require` asserts the
+    * scan node carries a partition filter, i.e. four of five partitions
+    * are never opened. At 100 TB partition pruning on an ingest-date or
+    * category column is the difference between scanning the table and
+    * scanning one directory; this declares it as checkable semantics, not
+    * just a Sinks unit test.
+    */
+  val q33 = QSpec(
+    "q33_partition_pruning",
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+            | ${Exact.sqlSum("o_totalprice")} AS sum_price
+            |FROM orders WHERE o_orderpriority = '1-URGENT'
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val path = scratch(d, "q33_part")
+      orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+      val pruned = s.read.parquet(path)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val scans = pruned.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+        "priority filter must reach the scan as a partition filter")
+      pruned.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33)
 }
