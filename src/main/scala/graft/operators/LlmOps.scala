@@ -869,7 +869,67 @@ object LlmOps {
         .orderBy("p_id")
     })
 
+  /** t13 — BM25 relevance scoring (Okapi, k1=1.2, b=0.75): the retrieval
+    * scorer every RAG/dedup-adjacent pipeline runs next to t12's TF-IDF.
+    * Corpus statistics (N, avgdl) are one aggregate broadcast to the
+    * scoring join; df comes from the t12-shaped vocabulary aggregate; the
+    * probe-term filter prunes the tf side BEFORE the df join, so the
+    * shuffle carries only matching postings (at scale: the inverted-index
+    * lookup shape). Scores are emitted for every (probe term, doc)
+    * posting, rounded — no float-driven row selection, so the only
+    * cross-engine surface is the rounded value itself (ln is the t12
+    * precedent).
+    */
+  val t13 = QSpec(
+    "t13_bm25",
+    Some("""WITH w AS (SELECT doc_id,
+           |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           |       FROM w GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM w GROUP BY 1),
+           |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+           |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |             (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) /
+           |               CAST(COUNT(*) AS DOUBLE) AS avgdl
+           |      FROM documents)
+           |SELECT tf.doc_id, tf.term,
+           |  CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+           |  ROUND(LN(1 + (c.n - df.df + 0.5) / (df.df + 0.5)) *
+           |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)),
+           |    6) AS bm25
+           |FROM tf JOIN df ON tf.term = df.term
+           |        JOIN dl ON tf.doc_id = dl.doc_id, c
+           |WHERE tf.term IN ('the', 'table')
+           |ORDER BY tf.term, tf.doc_id""".stripMargin),
+    (s, d) => {
+      val probeTerms = Seq("the", "table")
+      val docs = documents(s, d)
+      val terms = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("term"))
+      val dl = terms.groupBy("doc_id")
+        .agg(count(lit(1)).cast("double").as("dl"))
+      val tfAll = terms.groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      // df must be computed over the FULL vocabulary posting counts…
+      val df = tfAll.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      // …but only probe-term postings enter the scoring join
+      val tf = tfAll.filter(col("term").isin(probeTerms: _*))
+      val c = docs.agg(count(lit(1)).cast("double").as("n"))
+        .crossJoin(dl.agg(sum(col("dl")).cast("double").as("sumdl")))
+        .select(col("n"), (col("sumdl") / col("n")).as("avgdl"))
+      val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+      val norm = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+      tf.join(df.filter(col("term").isin(probeTerms: _*)), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(c))
+        .select(col("doc_id"), col("term"),
+          col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+          round(idf * (col("tf") * 2.2) / norm, 6).as("bm25"))
+        .orderBy("term", "doc_id")
+    })
+
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    s04, s05, t01, t02, t03, t04, t06, t07, t08, t09, t11, t12, p01, p02, p03,
-    mm01, mm02, mm03)
+    s04, s05, t01, t02, t03, t04, t06, t07, t08, t09, t11, t12, t13, p01, p02,
+    p03, mm01, mm02, mm03)
 }

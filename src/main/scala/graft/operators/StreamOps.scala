@@ -210,5 +210,59 @@ object StreamOps {
         .orderBy("user_id")
     })
 
-  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04)
+  /** st05 — CUSTOM-STATE streaming sessionization as a declared query:
+    * [[graft.streaming.EventStreams.closedSessions]]
+    * (flatMapGroupsWithState, event-time timeout) drained with
+    * AvailableNow. Emission semantics are exactly reproducible in SQL:
+    * a session is emitted either when a LATER event of the same user
+    * opens the next one (gap ≥ 30 min — islands below), or when the
+    * final watermark (max event time − 2 h delay) strictly passes its
+    * event-time timeout (end + gap) — Spark fires EventTimeTimeout on
+    * `timeout < watermark`, and the no-data micro-batch that
+    * AvailableNow runs after the backlog guarantees that final flush
+    * happens. Each user's still-open last session is correctly NOT
+    * emitted. All comparisons are on ms integers (Spark's event-time
+    * stats granularity), so both engines make identical boundary
+    * decisions.
+    */
+  val st05 = QSpec(
+    "st05_stream_sessionize",
+    Some("""WITH e AS (
+           |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms FROM events
+           |), f AS (
+           |  SELECT user_id, ts, event_id, ms,
+           |    CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w >= 1800000
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), s AS (
+           |  SELECT user_id, ms,
+           |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                     ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM f
+           |), g AS (
+           |  SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+           |    CAST(COUNT(*) AS BIGINT) AS n_events,
+           |    MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+           |  FROM s GROUP BY user_id, sid
+           |), m AS (SELECT MAX(epoch_ms(ts)) AS max_ms FROM events)
+           |SELECT user_id, start_ms, end_ms, n_events
+           |FROM g, m
+           |WHERE sid < max_sid OR end_ms + 1800000 < max_ms - 7200000
+           |ORDER BY user_id, start_ms""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val typed = eventStream(s, d)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.EventRow]
+      val sessions = graft.streaming.EventStreams
+        .closedSessions(typed, gapMinutes = 30, watermark = "2 hours")
+        .toDF()
+      drainToTable(sessions, "st05", d, "append")
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .orderBy("user_id", "start_ms")
+    })
+
+  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05)
 }
