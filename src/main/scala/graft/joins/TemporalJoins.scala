@@ -190,4 +190,64 @@ object TemporalJoins {
       .filter(overlap && dedup)
       .drop("__band", "__rband")
   }
+
+  /** NEAREST as-of join with tolerance — the full `merge_asof
+    * (direction='nearest', tolerance=…)` surface on top of [[asofJoin]]'s
+    * merge pattern: for every left row, the right row (same key) with the
+    * smallest |right.ts − left.ts| ≤ `toleranceTicks`, backward winning
+    * distance ties.
+    *
+    * ONE shuffle + ONE sort for both directions: the tagged union is
+    * sorted once by (ts, side, payload) — right before left at equal ts —
+    * and two frames over the SAME ordering carry the latest-preceding
+    * payload (`last` over [unbounded, current]) and the
+    * earliest-following payload (`first` over [current, unbounded]).
+    * The following frame starting AT the left row cannot see same-ts
+    * right rows (they sort earlier) — harmless by construction, because
+    * any same-ts right is a distance-0 backward match that always wins.
+    *
+    * Deterministic tie rules (encoded identically in the j06 oracle):
+    * distance tie → backward; duplicate-(key, ts) right rows → backward
+    * matches resolve to the GREATEST (ts, valCols…) payload (asofJoin's
+    * rule: `last` over ascending payload), forward matches to the
+    * SMALLEST (`first` over the same ordering).
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valCols: Seq[String], toleranceTicks: Long): DataFrame = {
+    require(toleranceTicks >= 0, s"tolerance must be >= 0, got $toleranceTicks")
+    val leftCols = left.columns
+    val payload = struct(col(tsCol).as("asof_ts") +: valCols.map(col): _*)
+    val payloadT = StructType(
+      StructField("asof_ts", right.schema(tsCol).dataType) +:
+        valCols.map(c => right.schema(c)))
+    val rTagged = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        payload.as("__graft_p")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(payloadT).as("__graft_p")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
+    val ord = Seq(col(tsCol), col("__side"), col("__graft_p"))
+    val wb = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("__pb", last(col("__graft_p"), ignoreNulls = true).over(wb))
+      .withColumn("__pf", first(col("__graft_p"), ignoreNulls = true).over(wf))
+    val db = col(tsCol) - col("__pb").getField("asof_ts") // >= 0 when defined
+    val df = col("__pf").getField("asof_ts") - col(tsCol) // > 0 when defined
+    val bOk = col("__pb").isNotNull && db <= toleranceTicks
+    val fOk = col("__pf").isNotNull && df <= toleranceTicks
+    val chosen = when(bOk && (!fOk || db <= df), col("__pb"))
+      .when(fOk, col("__pf"))
+      .otherwise(lit(null).cast(payloadT))
+    carried.filter(col("__side") === 1)
+      .withColumn("__graft_c", chosen)
+      .select(leftCols.map(col) ++
+        (col("__graft_c").getField("asof_ts").as("asof_ts") +:
+          valCols.map(c => col("__graft_c").getField(c).as(c))): _*)
+  }
 }

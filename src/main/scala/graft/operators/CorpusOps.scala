@@ -807,6 +807,57 @@ object CorpusOps {
         .orderBy("source")
     })
 
+  /** j06 — NEAREST as-of join with tolerance (the `merge_asof
+    * (direction='nearest', tolerance=…)` surface): each click matched to
+    * the same user's closest purchase within ±10 min, backward winning
+    * distance ties. One shuffle + one sort for BOTH directions
+    * ([[TemporalJoins.asofJoinNearest]] — two frames over one ordering);
+    * the oracle brute-forces every within-tolerance pair and replicates
+    * the exact tie rules (distance → backward; duplicate-ts → greatest
+    * payload backward / smallest forward), so the match choice itself is
+    * hash-verified, not just row counts.
+    *
+    * Precision: DISTANCE comparisons can't follow the j01 raw-ns rule —
+    * DuckDB truncates TIMESTAMP(NANOS) to µs on read, and unlike j01's
+    * ordering-based match (where ns-vs-µs only differs on same-µs
+    * collisions), a distance rank flips whenever |dist_b − dist_f| < 1 µs
+    * even with no collision anywhere. Both engines therefore quantize to
+    * µs TICKS explicitly (tolerance 6·10⁸ µs): the match is deterministic
+    * at ANY scale, with µs resolution as the documented contract.
+    */
+  val j06 = QSpec(
+    "j06_asof_nearest",
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+           |          FROM events WHERE event_type = 'click'),
+           |p AS (SELECT user_id, epoch_us(ts) AS t, value
+           |      FROM events WHERE event_type = 'purchase'),
+           |j AS (SELECT c.event_id, p.t AS pt, p.value,
+           |        ROW_NUMBER() OVER (PARTITION BY c.event_id
+           |          ORDER BY ABS(p.t - c.t),
+           |            CASE WHEN p.t <= c.t THEN 0 ELSE 1 END,
+           |            CASE WHEN p.t <= c.t THEN -p.value ELSE p.value END) AS rn
+           |      FROM c JOIN p ON c.user_id = p.user_id
+           |        AND ABS(p.t - c.t) <= 600000000)
+           |SELECT c.event_id, c.user_id, c.t AS click_ts_us,
+           |  j.pt AS asof_ts, j.value AS purchase_value
+           |FROM c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+           |ORDER BY c.event_id""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("ts"),
+          col("value").as("purchase_value"))
+      TemporalJoins.asofJoinNearest(clicks, purchases, "user_id", "ts",
+          Seq("purchase_value"), 600000000L) // ±10 min in µs ticks
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts_us"),
+          col("asof_ts"), col("purchase_value"))
+        .orderBy("event_id")
+    })
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05, q30, x07, q31, x08, j03, j04, j05, p07, p08, p09, w06, m13)
+    mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, p07, p08, p09, w06,
+    m13)
 }

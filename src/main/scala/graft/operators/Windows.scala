@@ -212,5 +212,57 @@ object Windows {
         .orderBy("user_id", "event_id")
     })
 
-  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08)
+  /** w09 — SCD2 history build (slowly-changing-dimension type 2): collapse
+    * each user's event log into validity intervals of their event_type
+    * "state" — consecutive identical states merge into one interval,
+    * `valid_to` is the next interval's start (NULL while current). The
+    * lakehouse dimension-history pattern: gaps-and-islands (lag → change
+    * flag → cumulative island id) + per-island min/lead, all over ONE
+    * partitioning key, integer/timestamp arithmetic only. Total order is
+    * (raw ns ts, event_id), the w06/w07 rule.
+    */
+  val w09 = QSpec(
+    "w09_scd2_intervals",
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type, ts,
+           |    CASE WHEN LAG(event_type) OVER w IS NULL
+           |              OR event_type <> LAG(event_type) OVER w
+           |         THEN 1 ELSE 0 END AS chg
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), i AS (
+           |  SELECT user_id, event_type, ts,
+           |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                   ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM e
+           |), g AS (
+           |  SELECT user_id, island, event_type,
+           |    MIN(epoch_us(ts)) AS valid_from_us,
+           |    CAST(COUNT(*) AS BIGINT) AS n_events
+           |  FROM i GROUP BY 1, 2, 3
+           |)
+           |SELECT user_id, event_type, valid_from_us,
+           |  LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+           |    AS valid_to_us,
+           |  n_events
+           |FROM g ORDER BY user_id, valid_from_us""".stripMargin),
+    (s, d) => {
+      val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byIsland = Window.partitionBy("user_id").orderBy("island")
+      events(s, d)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(byTs).isNull ||
+            col("event_type") =!= lag(col("event_type"), 1).over(byTs), 1)
+            .otherwise(0))
+        .withColumn("island", sum(col("chg")).over(cum))
+        .groupBy("user_id", "island", "event_type")
+        .agg(min(expr("ts div 1000")).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          lead(col("valid_from_us"), 1).over(byIsland).as("valid_to_us"),
+          col("n_events"))
+        .orderBy("user_id", "valid_from_us")
+    })
+
+  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08, w09)
 }

@@ -196,4 +196,51 @@ class TemporalJoinsSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoop"
     plan should not include "CartesianProduct"
   }
+
+  test("asofJoinNearest: nearest within tolerance, backward wins ties") {
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+      (2L, 50L, "d")).toDF("k", "ts", "tag")
+    val r = Seq(
+      (1L, 90L, 9.0),   // 10 before a
+      (1L, 115L, 11.0), // 15 after a  -> a matches 90 (nearer)
+      (1L, 195L, 19.0), // 5 before b
+      (1L, 205L, 20.0), // 5 after b   -> distance TIE: backward 195 wins
+      (1L, 450L, 45.0)  // 150 after c -> outside tolerance 100
+    ).toDF("k", "ts", "v")
+    val got = TemporalJoins.asofJoinNearest(l, r, "k", "ts", Seq("v"), 100L)
+      .select("k", "ts", "asof_ts", "v")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    got shouldBe Set(
+      (1L, 100L, Some(90L), Some(9.0)),
+      (1L, 200L, Some(195L), Some(19.0)), // backward on the tie
+      (1L, 300L, Some(205L), Some(20.0)), // backward 95 away, within tol
+      (2L, 50L, None, None))
+  }
+
+  test("asofJoinNearest agrees with brute-force nearest on random data") {
+    val rnd = new scala.util.Random(13)
+    val l = (0 until 400).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "ts")
+    val r = (0 until 300).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toDouble))
+      .toDF("k", "ts", "v")
+      .groupBy("k", "ts").agg(max("v").as("v"))
+    val tol = 60L
+    val got = TemporalJoins.asofJoinNearest(l, r, "k", "ts", Seq("v"), tol)
+      .groupBy("k", "ts").agg(count(lit(1)).as("n"), max("asof_ts").as("asof_ts"))
+    // brute force: per left row, min |dt| within tol, backward on ties
+    val cand = l.as("l").join(r.as("r"),
+        $"l.k" === $"r.k" && abs($"r.ts" - $"l.ts") <= tol)
+      .select($"l.k".as("k"), $"l.ts".as("ts"), $"r.ts".as("rts"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k", "ts")
+          .orderBy(abs(col("rts") - col("ts")),
+            when(col("rts") <= col("ts"), 0).otherwise(1))))
+      .filter(col("rank") === 1)
+    val brute = l.join(cand, Seq("k", "ts"), "left")
+      .groupBy("k", "ts").agg(count(lit(1)).as("n_b"), max("rts").as("asof_b"))
+    val joined = got.join(brute, Seq("k", "ts"))
+    joined.count() shouldBe got.count()
+    joined.filter(!(col("asof_ts") <=> col("asof_b"))).count() shouldBe 0
+  }
 }
