@@ -534,8 +534,39 @@ object Relational {
         .orderBy("o_orderstatus")
     })
 
+  /** q34 — schema-evolution read (`mergeSchema`): two parquet batches of
+    * the same logical table written with DIFFERENT schemas (an early
+    * batch without a later-added column, a late batch without a dropped
+    * one) are read back as one unified frame, absent columns null-padded.
+    * This is the lakehouse reality at 100 TB — a table's schema drifts
+    * across months of ingest and the reader must reconcile per-file
+    * footers, not fail. The oracle is the explicit NULL-padded UNION.
+    */
+  val q34 = QSpec(
+    "q34_schema_merge",
+    Some("""SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |UNION ALL
+           |SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+           |FROM orders WHERE o_orderkey % 2 = 1
+           |ORDER BY o_orderkey""".stripMargin),
+    (s, d) => {
+      val path = scratch(d, "q34_merge")
+      val o = orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/batch=v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$path/batch=v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/batch=v1", s"$path/batch=v2")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34)
 }

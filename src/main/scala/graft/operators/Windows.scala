@@ -264,5 +264,49 @@ object Windows {
         .orderBy("user_id", "valid_from_us")
     })
 
-  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08, w09)
+  /** w10 — CDC changelog apply (upsert + delete): a base snapshot (each
+    * user's latest state before the cutoff) has a changelog (events at or
+    * after the cutoff, every 17th marked as a DELETE) applied to produce
+    * the new snapshot — the MERGE INTO every lakehouse table runs on each
+    * ingest cycle, expressed engine-agnostically: union snapshot +
+    * changelog, keep the latest row per key ((ts, event_id) total order),
+    * drop keys whose final row is a delete. One shuffle on the key, same
+    * exchange as w07's compaction; changelog rows always post-date base
+    * rows by construction, so "latest wins" is the apply rule.
+    */
+  val w10 = QSpec(
+    "w10_cdc_apply",
+    Some("""WITH u AS (
+           |  SELECT user_id, event_id, event_type, value, ts,
+           |    CASE WHEN ts >= TIMESTAMP '2024-01-08' AND event_id % 17 = 0
+           |         THEN 'D' ELSE 'U' END AS op
+           |  FROM events
+           |), r AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |                               ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM u)
+           |SELECT user_id, event_id AS state_event_id,
+           |  event_type AS state_type, value AS state_value
+           |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val cutoffNs = 1704672000000000000L // 2024-01-08T00:00:00Z in epoch ns
+      val ev = events(s, d)
+      // materialized as two frames (snapshot | changelog) exactly like a
+      // real apply cycle, then merged through one latest-per-key pass
+      val base = ev.filter(col("ts") < cutoffNs)
+        .withColumn("op", lit("U"))
+      val changelog = ev.filter(col("ts") >= cutoffNs)
+        .withColumn("op",
+          when(col("event_id") % 17 === 0, "D").otherwise("U"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base.unionByName(changelog)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") === "U")
+        .select(col("user_id"), col("event_id").as("state_event_id"),
+          col("event_type").as("state_type"), col("value").as("state_value"))
+        .orderBy("user_id")
+    })
+
+  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08, w09, w10)
 }
