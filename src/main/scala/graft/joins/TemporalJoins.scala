@@ -11,6 +11,32 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object TemporalJoins {
 
+  /** Shared merge-pattern scaffolding for [[asofJoin]] / [[asofJoinNearest]]:
+    * the tagged union of both sides (side 1 = left/probe, side 0 =
+    * right/build — right sorts first at ts ties) with the right payload
+    * carried as one `__graft_p` struct, plus that struct's type (for the
+    * null cast on left rows).
+    */
+  private def taggedAsofUnion(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      valCols: Seq[String]): (DataFrame, StructType) = {
+    val leftCols = left.columns
+    val payload = struct(col(tsCol).as("asof_ts") +: valCols.map(col): _*)
+    val payloadT = StructType(
+      StructField("asof_ts", right.schema(tsCol).dataType) +:
+        valCols.map(c => right.schema(c)))
+    val rTagged = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        payload.as("__graft_p")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(payloadT).as("__graft_p")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
+    (rTagged.unionByName(lTagged), payloadT)
+  }
+
   /** As-of join: for every left row, the single most recent right row with
     * `right.ts <= left.ts` on the same key (the kdb+ `aj` / pandas
     * `merge_asof` semantics, left-outer).
@@ -42,20 +68,7 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    val payload = struct(col(tsCol).as("asof_ts") +: valCols.map(col): _*)
-    val payloadT = StructType(
-      StructField("asof_ts", right.schema(tsCol).dataType) +:
-        valCols.map(c => right.schema(c)))
-    // side 1 = left (probe), side 0 = right (build): right first at ts ties
-    val rTagged = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
-        payload.as("__graft_p")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val lTagged = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
-        lit(null).cast(payloadT).as("__graft_p")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
+    val (tagged, _) = taggedAsofUnion(left, right, keyCol, tsCol, valCols)
     // Tie-break among DUPLICATE (key, ts) right rows: without a final sort
     // key, `last(payload)` would pick whichever right row the partition
     // sort happened to place last — nondeterministic across runs. Ordering
@@ -66,7 +79,7 @@ object TemporalJoins {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"), col("__graft_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rTagged.unionByName(lTagged)
+    val carried = tagged
       .withColumn("__graft_p", last(col("__graft_p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
@@ -216,25 +229,14 @@ object TemporalJoins {
       tsCol: String, valCols: Seq[String], toleranceTicks: Long): DataFrame = {
     require(toleranceTicks >= 0, s"tolerance must be >= 0, got $toleranceTicks")
     val leftCols = left.columns
-    val payload = struct(col(tsCol).as("asof_ts") +: valCols.map(col): _*)
-    val payloadT = StructType(
-      StructField("asof_ts", right.schema(tsCol).dataType) +:
-        valCols.map(c => right.schema(c)))
-    val rTagged = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
-        payload.as("__graft_p")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val lTagged = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
-        lit(null).cast(payloadT).as("__graft_p")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
+    val (tagged, payloadT) =
+      taggedAsofUnion(left, right, keyCol, tsCol, valCols)
     val ord = Seq(col(tsCol), col("__side"), col("__graft_p"))
     val wb = Window.partitionBy(keyCol).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(keyCol).orderBy(ord: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = rTagged.unionByName(lTagged)
+    val carried = tagged
       .withColumn("__pb", last(col("__graft_p"), ignoreNulls = true).over(wb))
       .withColumn("__pf", first(col("__graft_p"), ignoreNulls = true).over(wf))
     val db = col(tsCol) - col("__pb").getField("asof_ts") // >= 0 when defined

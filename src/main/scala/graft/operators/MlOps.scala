@@ -310,15 +310,18 @@ object MlOps {
         .cache()
       val k = emb.agg(countDistinct(col("label"))).head.getLong(0).toInt
       val model = new KMeans().setK(k).setSeed(42).setMaxIter(20).fit(emb)
-      val pred = model.transform(emb).select("prediction", "label")
-      val perCluster = pred.groupBy("prediction", "label").count()
-      val best = perCluster.groupBy("prediction").agg(max(col("count")).as("best"))
-      val out = best.agg(sum(col("best")).as("majority"))
-        .crossJoin(emb.agg(count(lit(1)).as("n")))
-        .select(lit(k.toLong).as("k"), col("n"),
-          (col("majority").cast("double") / col("n") >= 0.9).as("purity_ge_090"))
+      // materialize the two scalars WHILE emb is still cached — returning
+      // a lazy plan and unpersisting first would recompute the projection
+      // from parquet twice at evaluation time
+      val n = emb.count()
+      val majority = model.transform(emb).select("prediction", "label")
+        .groupBy("prediction", "label").count()
+        .groupBy("prediction").agg(max(col("count")).as("best"))
+        .agg(sum(col("best"))).head.getLong(0)
       emb.unpersist(blocking = false)
-      out
+      import s.implicits._
+      Seq((k.toLong, n, majority.toDouble / n >= 0.9))
+        .toDF("k", "n", "purity_ge_090")
     })
 
   val specs: Seq[QSpec] = Seq(m01, m02, m03, m04, m06, m07, m08, m09, m10,

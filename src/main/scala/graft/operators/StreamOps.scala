@@ -168,7 +168,11 @@ object StreamOps {
     * class: symmetric-hash join with keyed state on both sides): views
     * joined to purchases of the same user within the following hour —
     * the attribution query every event pipeline runs. The range compare
-    * is on the RAW ns timestamps (the j01/w06 precision rule), with
+    * is quantized to µs TICKS in BOTH engines (the j06 precision rule:
+    * DuckDB truncates the ns column to µs on read, and a membership
+    * predicate like `p − v ≤ 1h` can flip on sub-µs deltas with no
+    * same-key collision anywhere — raw-ns compares are only sound for
+    * ORDERING-based matches like j01), with
     * event-time watermarks on both inputs; the watermark delay is set
     * beyond the fixture's span so no state is evicted regardless of how
     * AvailableNow slices the backlog — making the emitted pair set
@@ -183,25 +187,25 @@ object StreamOps {
            |  MIN(p.event_id) AS first_purchase_id
            |FROM events v JOIN events p
            |  ON v.user_id = p.user_id
-           | AND p.ts >= v.ts
-           | AND epoch_ns(p.ts) <= epoch_ns(v.ts) + 3600000000000
+           | AND epoch_us(p.ts) >= epoch_us(v.ts)
+           | AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
            |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
            |GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, d) => {
       val src = eventStream(s, d)
       val views = src.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("ts_v"),
+        .select(col("user_id").as("v_user"), expr("ts div 1000").as("ts_v"),
           timestamp_micros(expr("ts div 1000")).as("et_v"))
         .withWatermark("et_v", "30 days")
       val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("ts_p"),
+        .select(col("user_id").as("p_user"), expr("ts div 1000").as("ts_p"),
           col("event_id").as("purchase_id"),
           timestamp_micros(expr("ts div 1000")).as("et_p"))
         .withWatermark("et_p", "30 days")
       val joined = views.join(purchases,
         col("v_user") === col("p_user") &&
           col("ts_p") >= col("ts_v") &&
-          col("ts_p") <= col("ts_v") + lit(3600000000000L))
+          col("ts_p") <= col("ts_v") + lit(3600000000L))
         .select(col("v_user").as("user_id"), col("purchase_id"))
       drainToTable(joined, "st04", d, "append")
         .groupBy("user_id")
