@@ -261,5 +261,33 @@ object Extras {
         .orderBy("c_mktsegment")
     })
 
-  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05, x09, x10, x11)
+  /** x12 — GROUPED HLL distinct counts (distinct customers per priority
+    * class): the per-segment cardinality dashboard query that exact
+    * countDistinct can't serve at 100 TB (its Expand+dedup shuffles every
+    * distinct pair). Same split-plan rule as x02 — the exact and sketch
+    * aggregates run as SEPARATE plans joined on the group key, because
+    * mixing a distinct and a sketch aggregate in one agg forces an Expand
+    * that defeats the sketch's partial aggregation. Oracle pins the exact
+    * counts and the per-group 5 % bound (5× the rsd-0.01 standard error).
+    */
+  val x12 = QSpec(
+    "x12_grouped_hll",
+    Some("""SELECT o_orderpriority,
+           |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           |  TRUE AS hll_within_5pct
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      val approx = o.groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("ad"))
+      exact.join(approx, "o_orderpriority")
+        .select(col("o_orderpriority"), col("exact_distinct"),
+          (abs(col("ad") - col("exact_distinct")) <=
+            lit(0.05) * col("exact_distinct")).as("hll_within_5pct"))
+        .orderBy("o_orderpriority")
+    })
+
+  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05, x09, x10, x11, x12)
 }

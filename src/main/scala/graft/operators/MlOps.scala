@@ -324,6 +324,76 @@ object MlOps {
         .toDF("k", "n", "purity_ge_090")
     })
 
+  /** m16 — distributed PCA over the embedding matrix: the full covariance
+    * (2,080 upper-triangle moments for 64 dims) is ONE exact-decimal
+    * aggregate pass over the corpus — O(d²) state independent of row
+    * count, the RowMatrix.computeCovariance shape made deterministic —
+    * then the 64×64 eigendecomposition runs driver-side (index metadata,
+    * not data). The oracle contract is a real conservation law: the
+    * eigenvalue SUM must equal the covariance TRACE, which DuckDB
+    * recomputes independently from per-dimension variances over the same
+    * decimal sums — tying the eigendecomposition to SQL-verifiable data —
+    * plus PSD (all λ ≥ 0) and a pinned top-8 variance share.
+    */
+  val m16 = QSpec(
+    "m16_pca",
+    Some("""WITH x AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+           |          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+           |s AS (SELECT dim,
+           |        CAST(SUM(CAST(v AS DECIMAL(25, 8))) AS DOUBLE) AS sx,
+           |        CAST(SUM(CAST(v * v AS DECIMAL(30, 8))) AS DOUBLE) AS sxx,
+           |        COUNT(*) AS n
+           |      FROM x GROUP BY dim)
+           |SELECT ROUND(SUM(sxx / n - (sx / n) * (sx / n)), 6) AS trace,
+           |  TRUE AS eig_sum_matches_trace, TRUE AS psd_all_nonneg,
+           |  TRUE AS top8_share_ge_015
+           |FROM s""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val x = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vi")))
+        .select(col("vec_id"), col("i"), col("vi").cast("double").as("vi"))
+      val firsts = x.groupBy("i")
+        .agg(sum(col("vi").cast(DecimalType(25, 8))).cast("double").as("sx"),
+          sum((col("vi") * col("vi")).cast(DecimalType(30, 8))).cast("double")
+            .as("sxx"),
+          count(lit(1)).as("n"))
+        .orderBy("i").collect()
+      val dims = firsts.length
+      val n = firsts.head.getAs[Long]("n").toDouble
+      val sx = firsts.map(_.getAs[Double]("sx"))
+      val sxx = firsts.map(_.getAs[Double]("sxx"))
+      // upper-triangle cross moments: one self-join keyed on vec_id, one
+      // partial+final decimal aggregate — 2,080 output rows at d=64
+      val y = x.select(col("vec_id").as("vid2"), col("i").as("j"),
+        col("vi").as("vj"))
+      val crossRows = x.join(y,
+          col("vec_id") === col("vid2") && col("i") < col("j"))
+        .groupBy("i", "j")
+        .agg(sum((col("vi") * col("vj")).cast(DecimalType(30, 8)))
+          .cast("double").as("sxy"))
+        .collect()
+      val cov = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)
+      for (i <- 0 until dims)
+        cov(i, i) = sxx(i) / n - (sx(i) / n) * (sx(i) / n)
+      crossRows.foreach { r =>
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        val c = r.getAs[Double]("sxy") / n - (sx(i) / n) * (sx(j) / n)
+        cov(i, j) = c; cov(j, i) = c
+      }
+      val eig = breeze.linalg.eigSym(cov).eigenvalues.toArray.sorted.reverse
+      val trace = (0 until dims).map(i => cov(i, i)).sum
+      val top8 = eig.take(8).sum
+      import s.implicits._
+      Seq((BigDecimal(trace).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        math.abs(eig.sum - trace) <= 1e-6 * math.max(1.0, math.abs(trace)),
+        eig.last >= -1e-8,
+        top8 / trace >= 0.15))
+        .toDF("trace", "eig_sum_matches_trace", "psd_all_nonneg",
+          "top8_share_ge_015")
+    })
+
   val specs: Seq[QSpec] = Seq(m01, m02, m03, m04, m06, m07, m08, m09, m10,
-    m11, m12, m14, m15)
+    m11, m12, m14, m15, m16)
 }
