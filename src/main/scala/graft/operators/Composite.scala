@@ -273,6 +273,65 @@ object Composite {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_a", "col_b"))
 
+  /** a14 — PSI drift detection (population stability index): the standard
+    * ML-ops check that a serving population still matches the training
+    * one. Reference = even order keys at their real prices; "current" =
+    * odd keys with a planted ×1.1 price shift (the d03/mm02 planted-data
+    * trick — organic halves would be identically distributed and prove
+    * nothing). Ten fixed 60k-wide bins with Laplace smoothing
+    * ((cnt+0.5)/(n+5)) so empty bins stay finite; per-bin proportions and
+    * PSI contributions are emitted rounded, plus the total. Two
+    * partial+final aggregates over a scan — no shuffle beyond 20 bin
+    * groups at any corpus size.
+    */
+  val a14 = QSpec(
+    "a14_psi_drift",
+    Some("""WITH b AS (
+           |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS side,
+           |    LEAST(CAST(FLOOR((CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+           |      ELSE o_totalprice * 1.1 END) / 60000) AS BIGINT), 9) AS bin
+           |  FROM orders),
+           |c AS (SELECT side, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+           |n AS (SELECT side, SUM(cnt) AS n FROM c GROUP BY 1),
+           |grid AS (SELECT s.side, g.bin
+           |         FROM (VALUES (0), (1)) s(side), UNNEST(range(0, 10)) g(bin)),
+           |p AS (SELECT grid.side, grid.bin,
+           |        (COALESCE(c.cnt, 0) + 0.5) / (n.n + 5.0) AS prop
+           |      FROM grid
+           |      LEFT JOIN c ON c.side = grid.side AND c.bin = grid.bin
+           |      JOIN n ON n.side = grid.side)
+           |SELECT r.bin, ROUND(r.prop, 6) AS p_ref, ROUND(cu.prop, 6) AS p_cur,
+           |  ROUND((r.prop - cu.prop) * LN(r.prop / cu.prop), 6) AS psi_term
+           |FROM p r JOIN p cu ON r.bin = cu.bin AND r.side = 0 AND cu.side = 1
+           |ORDER BY r.bin""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+      val side = when(col("o_orderkey") % 2 === 0, 0).otherwise(1)
+      val price = when(col("o_orderkey") % 2 === 0, col("o_totalprice"))
+        .otherwise(col("o_totalprice") * 1.1)
+      val binned = o.select(side.as("side"),
+        least(floor(price / 60000).cast("long"), lit(9L)).as("bin"))
+      val counts = binned.groupBy("side", "bin").agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy("side").agg(sum(col("cnt")).as("n"))
+      val grid = s.range(0, 10).select(col("id").as("bin"))
+        .crossJoin(s.range(0, 2).select(col("id").cast("int").as("side")))
+      val props = grid
+        .join(counts, Seq("side", "bin"), "left")
+        .join(totals, Seq("side"))
+        .select(col("side"), col("bin"),
+          ((coalesce(col("cnt"), lit(0L)) + 0.5) / (col("n") + 5.0)).as("prop"))
+      val ref = props.filter(col("side") === 0).select(col("bin"),
+        col("prop").as("p_ref"))
+      val cur = props.filter(col("side") === 1).select(col("bin"),
+        col("prop").as("p_cur"))
+      ref.join(cur, "bin")
+        .select(col("bin"), round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round((col("p_ref") - col("p_cur")) *
+            log(col("p_ref") / col("p_cur")), 6).as("psi_term"))
+        .orderBy("bin")
+    })
+
   val specs: Seq[QSpec] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13)
+    a11, a12, a13, a14)
 }

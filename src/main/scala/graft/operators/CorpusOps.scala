@@ -857,7 +857,48 @@ object CorpusOps {
         .orderBy("event_id")
     })
 
+  /** j07 — temporal ANTI-join: views with NO purchase by the same user in
+    * the following hour — the abandonment/no-conversion query, the
+    * negative space of st04's attribution join. Spark plans the raw
+    * `NOT EXISTS` range condition as a nested loop at scale, so it runs
+    * as a FORWARD as-of join — [[TemporalJoins.asofJoin]] under time
+    * reversal (negate both ts columns: latest-preceding on −t ≡
+    * earliest-following on t, equality stays inclusive) — then a
+    * null-or-beyond-window filter. NOT composed via j06's nearest: a
+    * closer PAST purchase would mask an in-window future one and
+    * misclassify the view as unconverted. One shuffle, the j01 exchange;
+    * µs ticks in both engines (the j06 precision rule).
+    */
+  val j07 = QSpec(
+    "j07_temporal_anti",
+    Some("""WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t
+           |          FROM events WHERE event_type = 'view'),
+           |p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           |      WHERE event_type = 'purchase')
+           |SELECT v.event_id, v.user_id, v.t AS view_ts_us
+           |FROM v WHERE NOT EXISTS (
+           |  SELECT 1 FROM p WHERE p.user_id = v.user_id
+           |    AND p.t >= v.t AND p.t <= v.t + 3600000000)
+           |ORDER BY v.event_id""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d)
+      // time-reversed inputs: backward as-of on -t = forward as-of on t
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          (-expr("ts div 1000")).as("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), (-expr("ts div 1000")).as("ts"),
+          lit(1).as("hit"))
+      // asof_ts = -(earliest purchase at-or-after the view); in-window
+      // conversion iff p - v = ts - asof_ts <= 1h (negated axis)
+      TemporalJoins.asofJoin(views, purchases, "user_id", "ts", Seq("hit"))
+        .filter(col("asof_ts").isNull ||
+          col("ts") - col("asof_ts") > 3600000000L)
+        .select(col("event_id"), col("user_id"), (-col("ts")).as("view_ts_us"))
+        .orderBy("event_id")
+    })
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, p07, p08, p09, w06,
-    m13)
+    mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
+    w06, m13)
 }
