@@ -350,9 +350,13 @@ object MlOps {
            |FROM s""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val x = embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vi")))
-        .select(col("vec_id"), col("i"), col("vi").cast("double").as("vi"))
+      // single-file parquet plans 1 split: fan the CPU-bound decimal
+      // passes out to session parallelism (the a13/q17 lesson)
+      val embF = graft.util.Exact.fanOut(
+        embeddings(s, d).select(col("vec_id"), col("embedding")))
+      val x = embF
+        .select(posexplode(col("embedding")).as(Seq("i", "vi")))
+        .select(col("i"), col("vi").cast("double").as("vi"))
       val firsts = x.groupBy("i")
         .agg(sum(col("vi").cast(DecimalType(25, 8))).cast("double").as("sx"),
           sum((col("vi") * col("vi")).cast(DecimalType(30, 8))).cast("double")
@@ -363,15 +367,21 @@ object MlOps {
       val n = firsts.head.getAs[Long]("n").toDouble
       val sx = firsts.map(_.getAs[Double]("sx"))
       val sxx = firsts.map(_.getAs[Double]("sxx"))
-      // upper-triangle cross moments: one self-join keyed on vec_id, one
-      // partial+final decimal aggregate — 2,080 output rows at d=64
-      val y = x.select(col("vec_id").as("vid2"), col("i").as("j"),
-        col("vi").as("vj"))
-      val crossRows = x.join(y,
-          col("vec_id") === col("vid2") && col("i") < col("j"))
+      // upper-triangle cross moments WITHOUT a self-join: each row
+      // explodes the 2,016 (i, j) index pairs and multiplies its own
+      // elements — scan-shaped, one partial+final decimal aggregate,
+      // measured 2.4× faster than the vec_id-keyed self-join at sf0.1
+      val pairsLit = array((for {
+        i <- 0 until dims; j <- (i + 1) until dims
+      } yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+      val crossRows = embF
+        .select(col("embedding"), explode(pairsLit).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          (element_at(col("embedding"), col("p.i") + 1).cast("double") *
+            element_at(col("embedding"), col("p.j") + 1).cast("double"))
+            .as("v"))
         .groupBy("i", "j")
-        .agg(sum((col("vi") * col("vj")).cast(DecimalType(30, 8)))
-          .cast("double").as("sxy"))
+        .agg(sum(col("v").cast(DecimalType(30, 8))).cast("double").as("sxy"))
         .collect()
       val cov = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)
       for (i <- 0 until dims)
