@@ -14,7 +14,10 @@ object Explain {
       "a01_haversine", "w01_tumbling_window", "s01_cosine_topk",
       "d04_ngram_jaccard", "t04_fingerprint",
       "j01_asof_join", "j03_range_join_auto", "p06_sequence_packing",
-      "d08_chunk_dedup", "t06_quality_filter")
+      "d08_chunk_dedup", "t06_quality_filter",
+      "x10_bloom_join", "x11_bucketed_join", "q33_partition_pruning",
+      "t12_tfidf", "j06_asof_nearest", "w08_running_distinct",
+      "p09_domain_mix", "m16_pca")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
