@@ -185,6 +185,29 @@ object Extras {
         .orderBy("word")
     })
 
+  /** u02 — BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    * u01's distinct-set twins keep multiplicities — the semantics SQL
+    * auditing queries actually need ("how many duplicate rows survive").
+    * Spark plans these as aggregate+generate over a count column (no
+    * row-by-row anti-semantics), same partial-agg scale shape as a
+    * groupBy. Output is the raw multiset, hash-compared after sort.
+    */
+  val u02 = QSpec(
+    "u02_multiset_ops",
+    Some("""SELECT seg FROM (
+           |  (SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal > 3000)
+           |  INTERSECT ALL
+           |  (SELECT c_mktsegment AS seg FROM customer WHERE c_custkey % 3 = 0)
+           |) ORDER BY seg""".stripMargin),
+    (s, d) => {
+      val cust = customer(s, d)
+      val a = cust.filter(col("c_acctbal") > 3000)
+        .select(col("c_mktsegment").as("seg"))
+      val b = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_mktsegment").as("seg"))
+      a.intersectAll(b).orderBy("seg")
+    })
+
   /** x10 — Bloom-filter join pruning (runtime semi-join filter): the big
     * fact side is pre-filtered by a Bloom filter built from the qualifying
     * dimension keys BEFORE the shuffle, then exactly joined — false
@@ -289,5 +312,6 @@ object Extras {
         .orderBy("o_orderpriority")
     })
 
-  val specs: Seq[QSpec] = Seq(u01, x01, x02, x03, x04, t05, x09, x10, x11, x12)
+  val specs: Seq[QSpec] = Seq(u01, u02, x01, x02, x03, x04, t05, x09, x10,
+    x11, x12)
 }

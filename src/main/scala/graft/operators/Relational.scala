@@ -565,8 +565,42 @@ object Relational {
         .orderBy("o_orderkey")
     })
 
+  /** q35 — NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): customers
+    * bucketed by a nullable key (negative balances → NULL) joined to a
+    * dimension that includes a NULL row — plain `=` would silently drop
+    * every NULL-keyed row, the classic audit-table bug. `<=>` remains a
+    * HASHABLE equi-condition (SortMergeJoin/HashJoin, not a nested loop),
+    * which is exactly why it exists instead of `(a = b OR (a IS NULL AND
+    * b IS NULL))`.
+    */
+  val q35 = QSpec(
+    "q35_null_safe_join",
+    Some("""WITH c AS (SELECT c_custkey,
+           |    CASE WHEN c_acctbal < 0 THEN NULL
+           |         ELSE CAST(FLOOR(c_acctbal / 2500) AS BIGINT) END AS bal_band
+           |  FROM customer),
+           |dim AS (SELECT CAST(band AS BIGINT) AS bal_band, label FROM (VALUES
+           |  (0, 'low'), (1, 'mid'), (2, 'high'), (3, 'top'),
+           |  (NULL, 'delinquent')) d(band, label))
+           |SELECT d.label, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_cust
+           |FROM c JOIN dim d ON c.bal_band IS NOT DISTINCT FROM d.bal_band
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val c = customer(s, d).select(col("c_custkey"),
+        when(col("c_acctbal") < 0, lit(null))
+          .otherwise(floor(col("c_acctbal") / 2500)).cast("long").as("bal_band"))
+      val dim = Seq((Some(0L), "low"), (Some(1L), "mid"), (Some(2L), "high"),
+        (Some(3L), "top"), (Option.empty[Long], "delinquent"))
+        .toDF("bal_band", "label")
+      c.join(dim, c("bal_band") <=> dim("bal_band"))
+        .groupBy("label")
+        .agg(count(col("c_custkey")).as("n_cust"))
+        .orderBy("label")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35)
 }
