@@ -599,8 +599,27 @@ object Relational {
         .orderBy("label")
     })
 
+  /** q36 — ORC source/sink round-trip: the third columnar format next to
+    * parquet (q02/q04) and CSV (q01/q05). ORC scans vectorize and take
+    * predicate pushdown exactly like parquet in Spark — declared so the
+    * format surface is oracle-checked, not assumed. The read-back filter
+    * lands in the ORC reader's pushed filters.
+    */
+  val q36 = QSpec(
+    "q36_orc_roundtrip",
+    Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+           |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin),
+    (s, d) => {
+      val p = scratch(d, "q36_orc")
+      nation(s, d).write.mode("overwrite").orc(p)
+      s.read.orc(p)
+        .filter(col("n_regionkey") =!= 2)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35, q36)
 }
