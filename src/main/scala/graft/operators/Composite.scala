@@ -309,26 +309,34 @@ object Composite {
       val side = when(col("o_orderkey") % 2 === 0, 0).otherwise(1)
       val price = when(col("o_orderkey") % 2 === 0, col("o_totalprice"))
         .otherwise(col("o_totalprice") * 1.1)
-      val binned = o.select(side.as("side"),
-        least(floor(price / 60000).cast("long"), lit(9L)).as("bin"))
-      val counts = binned.groupBy("side", "bin").agg(count(lit(1)).as("cnt"))
-      val totals = counts.groupBy("side").agg(sum(col("cnt")).as("n"))
-      val grid = s.range(0, 10).select(col("id").as("bin"))
-        .crossJoin(s.range(0, 2).select(col("id").cast("int").as("side")))
-      val props = grid
-        .join(counts, Seq("side", "bin"), "left")
-        .join(totals, Seq("side"))
-        .select(col("side"), col("bin"),
-          ((coalesce(col("cnt"), lit(0L)) + 0.5) / (col("n") + 5.0)).as("prop"))
-      val ref = props.filter(col("side") === 0).select(col("bin"),
-        col("prop").as("p_ref"))
-      val cur = props.filter(col("side") === 1).select(col("bin"),
-        col("prop").as("p_cur"))
-      ref.join(cur, "bin")
-        .select(col("bin"), round(col("p_ref"), 6).as("p_ref"),
-          round(col("p_cur"), 6).as("p_cur"),
-          round((col("p_ref") - col("p_cur")) *
-            log(col("p_ref") / col("p_cur")), 6).as("psi_term"))
+      // ONE scan: both sides' histograms come from conditional sums in a
+      // single partial+final aggregate (a filter-per-side formulation
+      // duplicates the whole scan subtree — verified in the plan)
+      val counts = o.select(side.as("side"),
+          least(floor(price / 60000).cast("long"), lit(9L)).as("bin"))
+        .groupBy("bin")
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("cnt_cur"))
+      // totals via an unpartitioned window over the ≤10-row counts frame:
+      // reusing `counts` in a second aggregate would re-plan (and re-scan)
+      // the whole subtree; the window keeps the plan at ONE fact scan
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val withTotals = s.range(0, 10).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .select(col("bin"),
+          coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+          coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+        .withColumn("n_ref", sum(col("cnt_ref")).over(all))
+        .withColumn("n_cur", sum(col("cnt_cur")).over(all))
+      val pRef = (col("cnt_ref") + 0.5) / (col("n_ref") + 5.0)
+      val pCur = (col("cnt_cur") + 0.5) / (col("n_cur") + 5.0)
+      withTotals
+        .select(col("bin"), round(pRef, 6).as("p_ref"),
+          round(pCur, 6).as("p_cur"),
+          round((pRef - pCur) * log(pRef / pCur), 6).as("psi_term"))
         .orderBy("bin")
     })
 
