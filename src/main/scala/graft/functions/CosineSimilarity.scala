@@ -123,5 +123,9 @@ object GraftFunctions {
     if (!registry.functionExists(lq)) {
       registry.registerFunction(lq, langQualityCountsInfo, buildLangQualityCounts _)
     }
+    val tk = org.apache.spark.sql.catalyst.FunctionIdentifier("topk_sim")
+    if (!registry.functionExists(tk)) {
+      registry.registerFunction(tk, TopKSim.info, TopKSim.build _)
+    }
   }
 }

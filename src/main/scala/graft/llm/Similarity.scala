@@ -1,9 +1,7 @@
 package graft.llm
 
 import graft.functions.{CosineSimilarity, GraftFunctions}
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Row, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
@@ -26,44 +24,21 @@ object Similarity {
     call_function("cosine_sim", a, b)
   }
 
-  /** Bounded top-k accumulator ordered by (score desc, id asc). Holds at
-    * most k entries at every stage, so partial aggregation is O(k) memory
-    * and the merge tree never materializes full partitions.
-    */
-  class TopKAggregator(k: Int)
-      extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
-
-    private def better(x: (Double, Long), y: (Double, Long)): Boolean =
-      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
-
-    private def insert(l: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] = {
-      val (pre, post) = l.span(better(_, v))
-      pre ::: v :: post
-    }
-
-    override def zero: List[(Double, Long)] = Nil
-    override def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
-      if (a._1.isNaN) b // NaN compares false both ways → would land at rank 1
-      else insert(b, a).take(k)
-    override def merge(x: List[(Double, Long)], y: List[(Double, Long)]): List[(Double, Long)] =
-      y.foldLeft(x)((acc, v) => insert(acc, v)).take(k)
-    override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r
-    override def bufferEncoder: Encoder[List[(Double, Long)]] = ExpressionEncoder()
-    override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
-  }
-
   /** Shared finishing stage: (p_id, neighbor_id, sim) candidates → ranked
-    * top-k per probe via the bounded aggregator.
+    * top-k per probe via the bounded primitive-array aggregate
+    * [[graft.functions.TopKSim]] — partial aggregation is O(k) memory per
+    * group, the buffer is a raw JVM object (no per-merge encoder
+    * round-trip), and the merge tree never materializes full partitions.
     */
   private def finishTopK(cand: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new TopKAggregator(k))
+    GraftFunctions.ensureRegistered(cand.sparkSession)
     cand.groupBy("p_id")
-      .agg(topk(col("sim"), col("neighbor_id")).as("top"))
+      .agg(call_function("topk_sim", col("sim"), col("neighbor_id"), lit(k)).as("top"))
       .select(col("p_id"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("p_id"),
-        col("entry._2").as("neighbor_id"),
+        col("entry.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"),
-        round(col("entry._1"), 6).as("sim"))
+        round(col("entry.sim"), 6).as("sim"))
       .orderBy("p_id", "rank")
   }
 

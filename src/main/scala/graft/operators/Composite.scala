@@ -280,7 +280,8 @@ object Composite {
     * trick — organic halves would be identically distributed and prove
     * nothing). Ten fixed 60k-wide bins with Laplace smoothing
     * ((cnt+0.5)/(n+5)) so empty bins stay finite; per-bin proportions and
-    * PSI contributions are emitted rounded, plus the total. Two
+    * PSI contributions are emitted rounded (total PSI = sum over the 10
+    * emitted psi_term rows, left to the caller). Two
     * partial+final aggregates over a scan — no shuffle beyond 20 bin
     * groups at any corpus size.
     */

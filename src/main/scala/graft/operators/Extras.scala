@@ -227,24 +227,35 @@ object Extras {
             |WHERE o.o_orderpriority = '1-URGENT'
             |GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, d) => {
+      // cache the qualifying dim keys: sizing count, bloom build, and the
+      // join build side all read the SAME materialized projection, so the
+      // dimension parquet is scanned exactly once per run (it used to be
+      // three scans — count, stat.bloomFilter, join). At 100 TB pinning
+      // the filtered dim keys is standard runtime-filter practice.
       val urgent = orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey")
-      // size the filter from the dim-side count (one cheap pass over the
-      // SMALL side; at scale this is a metadata-or-dimension scan, never
-      // the fact table). fpp 1% → ~9.6 bits/key.
-      val nKeys = math.max(urgent.count(), 1L)
+        .cache()
+      // fpp 1% → ~9.6 bits/key.
+      val nKeys = math.max(urgent.count(), 1L) // materializes the cache
       val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
       val bloomBc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
-      lineitem(s, d)
+      val out = lineitem(s, d)
         .select("l_orderkey", "l_returnflag", "l_extendedprice")
-        .filter(mightContain(col("l_orderkey"))) // prunes pre-shuffle
+        // prunes pre-shuffle via the native codegen'd probe — a ScalaUDF
+        // here would break whole-stage codegen on the fact scan
+        .filter(graft.functions.BloomMightContainLong(bloomBc, col("l_orderkey")))
         .join(urgent, col("l_orderkey") === col("o_orderkey")) // exact
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"),
           Exact.dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
+      // the operator's whole point is a codegen-friendly fact-side filter:
+      // assert nothing smuggled a Scala UDF back into the plan
+      require(!out.queryExecution.analyzed.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))),
+        "x10 fact-side filter must not contain a ScalaUDF")
+      out
     })
 
   /** x11 — bucketed co-located join THROUGH the correctness gate: both

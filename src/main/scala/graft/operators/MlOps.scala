@@ -325,9 +325,11 @@ object MlOps {
     })
 
   /** m16 — distributed PCA over the embedding matrix: the full covariance
-    * (2,080 upper-triangle moments for 64 dims) is ONE exact-decimal
-    * aggregate pass over the corpus — O(d²) state independent of row
-    * count, the RowMatrix.computeCovariance shape made deterministic —
+    * (2,145 upper-triangle moments of the sentinel-augmented vector for 64
+    * dims — cross products, squares, first moments, and count in one
+    * group) is ONE exact-decimal aggregate pass over the corpus — O(d²)
+    * state independent of row count, the RowMatrix.computeCovariance
+    * shape made deterministic —
     * then the 64×64 eigendecomposition runs driver-side (index metadata,
     * not data). The oracle contract is a real conservation law: the
     * eigenvalue SUM must equal the covariance TRACE, which DuckDB
@@ -344,7 +346,9 @@ object MlOps {
            |        CAST(SUM(CAST(v * v AS DECIMAL(30, 8))) AS DOUBLE) AS sxx,
            |        COUNT(*) AS n
            |      FROM x GROUP BY dim)
-           |SELECT ROUND(SUM(sxx / n - (sx / n) * (sx / n)), 6) AS trace,
+           |SELECT ROUND(CAST(SUM(
+           |    CAST(sxx / n - (sx / n) * (sx / n) AS DECIMAL(30, 12))
+           |  ) AS DOUBLE), 6) AS trace,
            |  TRUE AS eig_sum_matches_trace, TRUE AS psd_all_nonneg,
            |  TRUE AS top8_share_ge_015
            |FROM s""".stripMargin),
@@ -354,46 +358,46 @@ object MlOps {
       // passes out to session parallelism (the a13/q17 lesson)
       val embF = graft.util.Exact.fanOut(
         embeddings(s, d).select(col("vec_id"), col("embedding")))
-      val x = embF
-        .select(posexplode(col("embedding")).as(Seq("i", "vi")))
-        .select(col("i"), col("vi").cast("double").as("vi"))
-      val firsts = x.groupBy("i")
-        .agg(sum(col("vi").cast(DecimalType(25, 8))).cast("double").as("sx"),
-          sum((col("vi") * col("vi")).cast(DecimalType(30, 8))).cast("double")
-            .as("sxx"),
-          count(lit(1)).as("n"))
-        .orderBy("i").collect()
-      val dims = firsts.length
-      val n = firsts.head.getAs[Long]("n").toDouble
-      val sx = firsts.map(_.getAs[Double]("sx"))
-      val sxx = firsts.map(_.getAs[Double]("sxx"))
-      // upper-triangle cross moments WITHOUT a self-join: nested
-      // generators — outer posexplode yields (i, vi), inner posexplode
-      // over slice(embedding, i+2, d) yields every j > i — so each row
-      // multiplies its own elements, scan-shaped, one partial+final
-      // decimal aggregate. Measured 0.1–0.6 s at sf0.1 vs 3.6 s for the
-      // vec_id-keyed self-join and ≥30 s for a 2,016-element literal
-      // index array (whose giant expression tree is a codegen/optimizer
-      // pathology, not a plan).
-      val crossRows = embF
-        .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "vi")))
-        .select(col("i"), col("vi").cast("double").as("vi"),
-          posexplode(expr(s"slice(embedding, i + 2, $dims)")).as(Seq("p", "vj")))
-        .select(col("i"), (col("i") + 1 + col("p")).as("j"),
-          (col("vi") * col("vj").cast("double")).as("v"))
+      // ONE corpus scan for ALL moments: augment each vector with a
+      // sentinel 1.0 element, then the upper-triangle self-products of the
+      // augmented vector contain every statistic — (i,j) with j<d the
+      // cross moments, (i,i) the squares, (i,d) the first moments (vi·1),
+      // and (d,d) the row count (1·1). Nested generators keep it
+      // scan-shaped (each row multiplies its own elements, no self-join);
+      // one partial+final decimal aggregate with O(d²) state ships
+      // (d+1)(d+2)/2 = 2,145 rows to the driver. Previous shape ran the
+      // diagonal and cross moments as two separate actions — two corpus
+      // scans, 2× the dominant stage at 100 TB.
+      val momentRows = embF
+        .select(concat(col("embedding").cast("array<double>"),
+          array(lit(1.0d))).as("e"))
+        .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
+        .select(col("i"), col("vi"),
+          posexplode(expr("slice(e, i + 1, size(e))")).as(Seq("p", "vj")))
+        .select(col("i"), (col("i") + col("p")).as("j"),
+          (col("vi") * col("vj")).as("v"))
         .groupBy("i", "j")
-        .agg(sum(col("v").cast(DecimalType(30, 8))).cast("double").as("sxy"))
+        .agg(sum(col("v").cast(DecimalType(30, 8))).cast("double").as("sv"))
         .collect()
+      val m = momentRows.map(r =>
+        (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Double]("sv")).toMap
+      val dims = m.keys.map(_._2).max // sentinel index d == real dim count
+      val n = m((dims, dims))
+      val sx = Array.tabulate(dims)(i => m((i, dims)))
       val cov = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)
-      for (i <- 0 until dims)
-        cov(i, i) = sxx(i) / n - (sx(i) / n) * (sx(i) / n)
-      crossRows.foreach { r =>
-        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-        val c = r.getAs[Double]("sxy") / n - (sx(i) / n) * (sx(j) / n)
+      for (i <- 0 until dims; j <- i until dims) {
+        val c = m((i, j)) / n - (sx(i) / n) * (sx(j) / n)
         cov(i, j) = c; cov(j, i) = c
       }
       val eig = breeze.linalg.eigSym(cov).eigenvalues.toArray.sorted.reverse
-      val trace = (0 until dims).map(i => cov(i, i)).sum
+      // order-independent trace: quantize each per-dim variance to a
+      // 12-dp decimal before summing, mirroring the oracle's
+      // SUM(CAST(.. AS DECIMAL(30,12))) — a raw double sum would make the
+      // 6-dp rounding input depend on summation order on a knife-edge
+      val trace = (0 until dims)
+        .map(i => BigDecimal(cov(i, i))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
       val top8 = eig.take(8).sum
       import s.implicits._
       Seq((BigDecimal(trace).setScale(6, BigDecimal.RoundingMode.HALF_UP)

@@ -150,7 +150,7 @@ object Windows {
   /** w07 — latest-record-per-key compaction (the CDC/upsert pattern every
     * lakehouse pipeline runs: reduce an event log to each key's current
     * state). One shuffle on the key + per-partition sort; the total order
-    * (raw ns ts desc, event_id desc) makes the winner unique and both
+    * (µs-tick ts desc, event_id desc) makes the winner unique and both
     * engines deterministic. At scale this is the same exchange as a
     * groupBy — no global sort, no driver involvement.
     */
@@ -164,8 +164,12 @@ object Windows {
            |  event_type AS last_event_type, value AS last_value
            |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin),
     (s, d) => {
+      // µs-tick ordering (the j06 precision rule): DuckDB truncates the ns
+      // timestamps to µs on read, so ordering by raw ns could flip which
+      // row wins rn=1 on a same-user same-µs collision; event_id DESC then
+      // makes the order total in both engines
       val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
+        .orderBy(expr("ts div 1000").desc, col("event_id").desc)
       events(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -182,8 +186,8 @@ object Windows {
     * within (user, type)) summed over the cumulative per-user frame.
     * Two window passes; both partition primarily by user_id, so the
     * second exchange only coarsens the first (AQE sees ~|users| keys
-    * either way). Ordering uses the raw ns ts with event_id as the
-    * total-order tie-break, same rule as w06/w07.
+    * either way). Ordering uses µs-tick ts with event_id as the
+    * total-order tie-break, same rule as w07.
     */
   val w08 = QSpec(
     "w08_running_distinct",
@@ -198,10 +202,13 @@ object Windows {
            |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
            |FROM f ORDER BY user_id, event_id""".stripMargin),
     (s, d) => {
+      // µs-tick ordering in both windows (j06 rule): a same-µs ns-order
+      // disagreement with the event_id order would attach running counts
+      // to different rows per engine, not just reorder equal contributions
       val firstW = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
       val cumW = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
         .withColumn("first_seen",
@@ -246,7 +253,10 @@ object Windows {
            |  n_events
            |FROM g ORDER BY user_id, valid_from_us""".stripMargin),
     (s, d) => {
-      val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // µs-tick ordering (j06 rule): island assignment via lag() must see
+      // the same row order as the µs-truncated oracle
+      val byTs = Window.partitionBy("user_id")
+        .orderBy(expr("ts div 1000"), col("event_id"))
       val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val byIsland = Window.partitionBy("user_id").orderBy("island")
       events(s, d)
@@ -298,8 +308,11 @@ object Windows {
       val changelog = ev.filter(col("ts") >= cutoffNs)
         .withColumn("op",
           when(col("event_id") % 17 === 0, "D").otherwise("U"))
+      // rn ordering at µs ticks (the j06 precision rule, same fix as w07):
+      // raw-ns ordering could flip which state row survives rn=1 on a
+      // same-user same-µs collision; event_id DESC makes the order total
       val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
+        .orderBy(expr("ts div 1000").desc, col("event_id").desc)
       base.unionByName(changelog)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("op") === "U")

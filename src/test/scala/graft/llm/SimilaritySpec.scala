@@ -42,12 +42,25 @@ class SimilaritySpec extends SparkSpec {
     res.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L)
   }
 
-  test("TopKAggregator bounds the buffer and merges correctly") {
-    val agg = new Similarity.TopKAggregator(2)
-    val b1 = agg.reduce(agg.reduce(agg.zero, (0.5, 1L)), (0.9, 2L))
-    val b2 = agg.reduce(agg.reduce(agg.zero, (0.7, 3L)), (0.1, 4L))
+  test("TopKBuffer bounds the buffer, merges, NaN-guards, and round-trips bytes") {
+    val agg = graft.functions.TopKSim(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), 2)
+    val b1 = new graft.functions.TopKBuffer(2)
+    b1.insert(0.5, 1L); b1.insert(0.9, 2L); b1.insert(Double.NaN, 9L)
+    val b2 = new graft.functions.TopKBuffer(2)
+    b2.insert(0.7, 3L); b2.insert(0.1, 4L)
     val merged = agg.merge(b1, b2)
-    merged shouldBe List((0.9, 2L), (0.7, 3L))
+    merged.size shouldBe 2
+    (merged.scores(0), merged.ids(0)) shouldBe ((0.9, 2L))
+    (merged.scores(1), merged.ids(1)) shouldBe ((0.7, 3L))
+    // tie on score → lower id wins
+    merged.insert(0.9, 1L)
+    (merged.scores(0), merged.ids(0)) shouldBe ((0.9, 1L))
+    val rt = agg.deserialize(agg.serialize(merged))
+    rt.size shouldBe 2
+    (rt.scores(0), rt.ids(0), rt.scores(1), rt.ids(1)) shouldBe
+      ((0.9, 1L, 0.9, 2L))
   }
 
   test("lshTopK results are a subset of brute-force candidates with exact sims") {
