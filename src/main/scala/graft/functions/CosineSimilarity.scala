@@ -86,6 +86,16 @@ object GraftFunctions {
   val langQualityCountsInfo = new ExpressionInfo(
     classOf[LangQualityCounts].getName, "lang_quality_counts")
 
+  val bpeCountsInfo = new ExpressionInfo(classOf[BpeCounts].getName, "bpe_counts")
+
+  /** bpe_counts(text, merges) — merges must be a foldable array<string>
+    * literal of "left right" entries. */
+  def buildBpeCounts(children: Seq[Expression]): Expression =
+    BpeCounts(children.head,
+      children(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq)
+
   /** lang_quality_counts(text[, stopwords]) — stopwords must be a foldable
     * array<string> literal when present. */
   def buildLangQualityCounts(children: Seq[Expression]): Expression =
@@ -126,6 +136,10 @@ object GraftFunctions {
     val tk = org.apache.spark.sql.catalyst.FunctionIdentifier("topk_sim")
     if (!registry.functionExists(tk)) {
       registry.registerFunction(tk, TopKSim.info, TopKSim.build _)
+    }
+    val bpe = org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_counts")
+    if (!registry.functionExists(bpe)) {
+      registry.registerFunction(bpe, bpeCountsInfo, buildBpeCounts _)
     }
   }
 }

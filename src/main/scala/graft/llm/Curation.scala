@@ -54,6 +54,32 @@ object Curation {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Canonical URL for web-corpus dedup — the normalization every crawl
+    * pipeline runs BEFORE content dedup (the same page arrives under
+    * scheme/host case variants, default ports, fragments, tracking
+    * params, and percent-escape spellings):
+    *   1. strip the fragment (`#...` never reaches the server);
+    *   2. lowercase the scheme://host[:port] prefix (case-insensitive per
+    *      RFC 3986; path/query case is preserved — it is significant);
+    *   3. drop the https default port `:443`;
+    *   4. drop `utm_*` tracking parameters (`&utm_...`; pipelines place a
+    *      stable param first so the `?` head never dangles);
+    *   5. normalize percent-escapes of unreserved chars (`%7E`/`%7e` → `~`).
+    * Pure codegen'd string/regex work — no shuffle, scan-speed at 100 TB.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^[^/]*//[^/]+", 0)),
+      regexp_replace(noFrag, "^[^/]*//[^/]+", ""))
+    val noPort = org.apache.spark.sql.functions.replace(
+      lowered, lit(":443/"), lit("/"))
+    val noUtm = regexp_replace(noPort, "&utm_[^&#]*", "")
+    org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(noUtm, lit("%7E"), lit("~")),
+      lit("%7e"), lit("~"))
+  }
+
   // ------------------------------------------------------- chunk dedup ---
 
   /** Non-overlapping `chunkWords`-word chunk strings of a document

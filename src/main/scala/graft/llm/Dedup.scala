@@ -254,6 +254,58 @@ object Dedup {
     call_function("simhash64", split(text, " "))
   }
 
+  /** Long-substring exact dedup — the granularity between chunk-level
+    * (d08: fixed windows) and whole-document Jaccard (d04): document pairs
+    * sharing an EXACT run of ≥ `minSpan` consecutive tokens, the
+    * RefinedWeb / "Deduplicating Training Data Makes Language Models
+    * Better" suffix-array pattern re-expressed as bucketed relational
+    * algebra (no suffix array, no all-pairs):
+    *
+    *  1. n-token shingles WITH positions (one generate per doc — the
+    *     fused [[wordNGramsFused]] kernel + posexplode);
+    *  2. stop-gram pruning: shingles present in more than `maxDocFreq`
+    *     distinct docs are dropped before the self-join (a shingle's pair
+    *     fanout is O(df²), so the cap bounds the worst bucket — d04's
+    *     lever at the span granularity);
+    *  3. candidates = equi-join on the shingle (bucketed: pairs only ever
+    *     meet inside a shared-shingle bucket);
+    *  4. span recovery WITHOUT re-touching the texts: a match of shingle
+    *     positions (i, j) lies on diagonal i−j; consecutive matches on a
+    *     diagonal are one run (island id = i − row_number over the
+    *     diagonal), and a run of R shingles covers R + n − 1 tokens.
+    *
+    * Only (doc, pos, shingle) rows enter the shuffle — production keys the
+    * join on a 64-bit shingle hash; the gram string is kept here so the
+    * DuckDB oracle can reproduce the buckets byte-for-byte.
+    *
+    * Output: (doc_a, doc_b, max_span_tokens) for pairs with a shared run
+    * of at least `minSpan` tokens.
+    */
+  def longSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minSpan: Int = 12, maxDocFreq: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol).as("doc"),
+      posexplode(wordNGramsFused(df.sparkSession, col(textCol), n))
+        .as(Seq("pos", "gram")))
+    val rare = grams.groupBy("gram")
+      .agg(countDistinct(col("doc")).as("df"))
+      .filter(col("df") <= maxDocFreq).select("gram")
+    val kept = grams.join(rare, "gram")
+    val matches = kept.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.pos").as("i"), col("b.pos").as("j"))
+    val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
+    matches
+      .withColumn("diag", col("i") - col("j"))
+      .withColumn("isl", col("i") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max(col("run")) + lit(n - 1)).cast("long").as("max_span_tokens"))
+      .filter(col("max_span_tokens") >= minSpan)
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),

@@ -55,6 +55,19 @@ object TextAnalysis {
     call_function("lang_quality_counts", text, array(stopwords.map(lit): _*))
   }
 
+  /** Deterministic greedy-merge (BPE-style) tokenizer counts over a
+    * fixture merge table, via the fused [[graft.functions.BpeCounts]]
+    * kernel: struct(bpe_tokens, token_chars, ws_words) from one scan.
+    * `merges` entries are "left right" pairs, rank = list position —
+    * the merge list IS the tokenizer (GPT-2 bpe() application), so token
+    * budgets computed with it are reproducible anywhere the list ships.
+    */
+  def bpeCounts(spark: org.apache.spark.sql.SparkSession,
+      text: Column, merges: Seq[String]): Column = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    call_function("bpe_counts", text, array(merges.map(lit): _*))
+  }
+
   /** [[langScores]] from the fused kernel — same (lang, score) shape. */
   def langScoresFused(spark: org.apache.spark.sql.SparkSession,
       text: Column): Seq[(String, Column)] = {

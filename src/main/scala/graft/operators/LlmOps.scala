@@ -199,6 +199,60 @@ object LlmOps {
       "doc_a", "doc_b")
       .orderBy("doc_id"))
 
+  /** d09 — long-substring exact dedup: pairs sharing an exact run of ≥ 12
+    * consecutive tokens, via positioned 8-token shingles + diagonal run
+    * recovery ([[Dedup.longSubstringPairs]]) — the dedup granularity
+    * between d08's fixed chunks and d04's whole-doc Jaccard. The organic
+    * corpus shares no 12-token spans (31-word vocab ⇒ ~10⁻³ expected
+    * repeats at 8 grams), so the query plants them deterministically
+    * (d03/d05's trick): every 50th doc re-enters under id+100000 with a
+    * 12-token span copied from tokens 5–16 of its source, wrapped in
+    * doc-unique filler so the span neither extends nor cross-matches.
+    * The oracle rebuilds the same augmented corpus and replays shingle →
+    * df-cap → bucket join → diagonal islands in SQL, so the hash compare
+    * pins every planted (src, src+100000, 12) row AND that no phantom
+    * span survives.
+    */
+  val d09 = QSpec(
+    "d09_long_substring",
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000,
+           |    'zzp' || doc_id || ' zzq' || doc_id || ' ' ||
+           |    array_to_string(string_split(text, ' ')[5:16], ' ') ||
+           |    ' zzr' || doc_id
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+           |g0 AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
+           |       FROM w, UNNEST(range(1, len(toks) - 6)) t(i)),
+           |rare AS (SELECT gram FROM g0 GROUP BY gram
+           |         HAVING COUNT(DISTINCT doc_id) <= 32),
+           |g AS (SELECT g0.* FROM g0 JOIN rare USING (gram)),
+           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS i, b.i AS j
+           |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+           |r AS (SELECT doc_a, doc_b, i,
+           |        i - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, i - j
+           |                               ORDER BY i) AS isl,
+           |        i - j AS diag
+           |      FROM m),
+           |runs AS (SELECT doc_a, doc_b, COUNT(*) AS run
+           |         FROM r GROUP BY doc_a, doc_b, diag, isl)
+           |SELECT doc_a, doc_b, CAST(MAX(run) + 7 AS BIGINT) AS max_span_tokens
+           |FROM runs GROUP BY 1, 2 HAVING MAX(run) + 7 >= 12
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => {
+      val base = documents(s, d).select("doc_id", "text")
+      val planted = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("zzp"), col("doc_id"), lit(" zzq"), col("doc_id"),
+            lit(" "), array_join(slice(split(col("text"), " "), 5, 12), " "),
+            lit(" zzr"), col("doc_id")).as("text"))
+      Dedup.longSubstringPairs(base.unionByName(planted), "doc_id", "text",
+        n = 8, minSpan = 12, maxDocFreq = 32)
+        .orderBy("doc_a", "doc_b")
+    })
+
   /** s01 — brute-force cosine top-k (the exact baseline; oracle mirrors the
     * fused dot/norm loop of graft.functions.CosineSimilarity).
     */
@@ -929,7 +983,144 @@ object LlmOps {
         .orderBy("term", "doc_id")
     })
 
-  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    s04, s05, t01, t02, t03, t04, t06, t07, t08, t09, t11, t12, t13, p01, p02,
-    p03, mm01, mm02, mm03)
+  /** t14 — deterministic greedy-merge (BPE-style) tokenizer over a fixture
+    * merge table ([[graft.functions.BpeCounts]]), feeding token-budget
+    * accounting — the first question any training-data owner asks. Two
+    * surfaces in one declared output:
+    *   - a planted mini-corpus over the {a,b,c} alphabet whose greedy-merge
+    *     tokenizations are hand-derived closed forms (merge table
+    *     ["a b","ab c","b c","c a"], rank = index) — the oracle pins the
+    *     exact BPE token count per planted doc, i.e. the merge mechanics
+    *     themselves;
+    *   - the REAL documents corpus as one aggregate row: summed token
+    *     chars must equal DuckDB's independently computed non-space char
+    *     total (conservation — BPE tokens partition each word), and summed
+    *     ws_words is exactly t03's whitespace token count recomputed by
+    *     the oracle (the t03 cross-check), with the corpus BPE total
+    *     bounds-checked between words and chars in-plan.
+    * One fused-kernel scan for the corpus row — no token arrays
+    * materialized, scan-speed at 100 TB.
+    */
+  val t14 = QSpec(
+    "t14_bpe_tokens",
+    Some("""WITH planted(doc_id, bpe_tokens, token_chars, ws_words) AS (
+           |  VALUES (1, 5, 9, 3), (2, 6, 10, 2), (3, 3, 6, 3),
+           |         (4, 5, 9, 2), (5, 7, 10, 3), (6, 3, 3, 3)),
+           |corpus AS (
+           |  SELECT CAST(-1 AS BIGINT) AS doc_id,
+           |    CAST(NULL AS BIGINT) AS bpe_tokens,
+           |    CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS token_chars,
+           |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS ws_words
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           |  CAST(token_chars AS BIGINT) AS token_chars,
+           |  CAST(ws_words AS BIGINT) AS ws_words, TRUE AS bounds_ok
+           |FROM planted
+           |UNION ALL
+           |SELECT doc_id, bpe_tokens, token_chars, ws_words, TRUE FROM corpus
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val merges = Seq("a b", "ab c", "b c", "c a")
+      // hand-derived: abc→1 bca→2 cab→2 | abab→2 aabbcc→4 | ab,bc,ca→1 each
+      // | abcabc→2 cba→3 | ccc→3 baca→3 abc→1 | single chars→1 each
+      val planted = Seq(
+        (1L, "abc bca cab"), (2L, "abab aabbcc"), (3L, "ab bc ca"),
+        (4L, "abcabc cba"), (5L, "ccc baca abc"), (6L, "a b c"))
+        .toDF("doc_id", "text")
+      val pc = planted
+        .select(col("doc_id"),
+          TextAnalysis.bpeCounts(s, col("text"), merges).as("c"))
+        .select(col("doc_id"), col("c.bpe_tokens").as("bpe_tokens"),
+          col("c.token_chars").as("token_chars"),
+          col("c.ws_words").as("ws_words"))
+        .withColumn("bounds_ok",
+          col("bpe_tokens") >= col("ws_words") &&
+            col("bpe_tokens") <= col("token_chars"))
+      val corpus = documents(s, d)
+        .select(TextAnalysis.bpeCounts(s, col("text"), merges).as("c"))
+        .agg(sum(col("c.bpe_tokens")).as("bpe_total"),
+          sum(col("c.token_chars")).as("token_chars"),
+          sum(col("c.ws_words")).as("ws_words"))
+        .select(lit(-1L).as("doc_id"),
+          lit(null).cast("long").as("bpe_tokens"),
+          col("token_chars"), col("ws_words"),
+          (col("bpe_total") >= col("ws_words") &&
+            col("bpe_total") <= col("token_chars")).as("bounds_ok"))
+      pc.unionByName(corpus).orderBy("doc_id")
+    })
+
+  /** d10 — URL canonicalization + host-level keep-first dedup: web-corpus
+    * pipelines dedup by canonical URL before touching content. The
+    * documents table carries no url column, so one is derived
+    * deterministically from doc_id with planted variant classes — scheme/
+    * host case, https default port, fragments, utm_* tracking params, and
+    * %7E/%7e percent-escape spellings — such that the 500 raw URLs
+    * collapse to exactly 100 canonical groups of 5
+    * ([[Curation.canonicalizeUrl]]). The oracle rebuilds the same raw
+    * URLs and replays each canonicalization step in SQL, pinning both the
+    * canonical strings and the keep-first/count assignment. Pure scan
+    * work + one groupBy on the canonical key (production would dedup by
+    * (canonical-host, canonical-url) exactly like this, with the groupBy
+    * shuffling canonical keys only).
+    */
+  val d10 = QSpec(
+    "d10_url_dedup",
+    Some("""WITH raw AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0
+           |         THEN 'HTTPS://WWW.EXAMPLE' || (doc_id % 5) || '.COM'
+           |         ELSE 'https://www.example' || (doc_id % 5) || '.com' END ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+           |    '/p' ||
+           |    CASE WHEN doc_id % 6 = 0 THEN '%7E'
+           |         WHEN doc_id % 6 = 3 THEN '%7e' ELSE '~' END ||
+           |    '/' || (doc_id % 100) ||
+           |    '?id=' || (doc_id % 100) ||
+           |    '&utm_source=s' || doc_id || '&utm_campaign=c' || (doc_id % 7) ||
+           |    CASE WHEN doc_id % 4 = 0 THEN '#sec' || doc_id ELSE '' END AS url
+           |  FROM documents),
+           |defrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+           |canon AS (
+           |  SELECT doc_id,
+           |    replace(replace(
+           |      regexp_replace(
+           |        replace(
+           |          lower(regexp_extract(u, '^[^/]*//[^/]+'))
+           |            || regexp_replace(u, '^[^/]*//[^/]+', ''),
+           |          ':443/', '/'),
+           |        '&utm_[^&#]*', '', 'g'),
+           |      '%7E', '~'), '%7e', '~') AS canon_url
+           |  FROM defrag)
+           |SELECT canon_url, MIN(doc_id) AS first_doc,
+           |  CAST(COUNT(*) AS BIGINT) AS n_raw
+           |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val did = col("doc_id")
+      val raw = documents(s, d).select(did,
+        concat(
+          when(did % 2 === 0,
+            concat(lit("HTTPS://WWW.EXAMPLE"), did % 5, lit(".COM")))
+            .otherwise(
+              concat(lit("https://www.example"), did % 5, lit(".com"))),
+          when(did % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p"),
+          when(did % 6 === 0, lit("%7E"))
+            .when(did % 6 === 3, lit("%7e")).otherwise(lit("~")),
+          lit("/"), did % 100,
+          lit("?id="), did % 100,
+          lit("&utm_source=s"), did,
+          lit("&utm_campaign=c"), did % 7,
+          when(did % 4 === 0, concat(lit("#sec"), did)).otherwise(lit("")))
+          .as("url"))
+      raw.select(did, graft.llm.Curation.canonicalizeUrl(col("url")).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(min(did).as("first_doc"), count(lit(1)).as("n_raw"))
+        .orderBy("canon_url")
+    })
+
+  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10,
+    s01, s02, s03, s04, s05, t01, t02, t03, t04, t06, t07, t08, t09, t11,
+    t12, t13, t14, p01, p02, p03, mm01, mm02, mm03)
 }

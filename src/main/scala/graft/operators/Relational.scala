@@ -618,8 +618,50 @@ object Relational {
         .orderBy("n_nationkey")
     })
 
+  /** q37 — JSONL (newline-delimited JSON) source: the de-facto corpus
+    * interchange format (every open dataset ships as .jsonl.zst). Documents
+    * round-trip through `.write.json` with a NESTED object column, then
+    * read back BOTH ways a corpus user would: schema inference over the
+    * files (even doc_ids) and an explicit schema that skips the inference
+    * pass entirely (odd doc_ids — the 100 TB path: inference reads every
+    * byte once before the real scan even starts). Inference fidelity is
+    * part of the contract: JSON integers must come back as bigint and the
+    * nested object as a struct, or the oracle's types won't match.
+    * (Analogue of q01's CSV-inference pattern,
+    * ref: notebooks/00_prepare_data.py:43-53.)
+    */
+  val q37 = QSpec(
+    "q37_jsonl_scan",
+    Some("""SELECT doc_id, lang, source, n_chars,
+           | lang || ':' || source AS meta_tag
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val p = scratch(d, "q37_jsonl")
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          struct(col("lang"), col("source")).as("meta"))
+        .write.mode("overwrite").json(p)
+      val inferred = s.read.json(p)
+      val explicitSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("lang", StringType),
+          StructField("source", StringType))))))
+      val explicit = s.read.schema(explicitSchema).json(p)
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("doc_id"), col("lang"), col("meta.source").as("source"),
+        col("n_chars"),
+        concat(col("lang"), lit(":"), col("meta.source")).as("meta_tag"))
+      shape(inferred.filter(col("doc_id") % 2 === 0))
+        .unionByName(shape(explicit.filter(col("doc_id") % 2 =!= 0)))
+        .orderBy("doc_id")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35, q36)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35, q36,
+    q37)
 }

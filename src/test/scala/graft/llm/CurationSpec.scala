@@ -122,4 +122,25 @@ class CurationSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
     m(2L)._1 shouldBe 2L
   }
+
+  test("canonicalizeUrl collapses every planted variant class") {
+    val variants = Seq(
+      "HTTPS://WWW.EXAMPLE0.COM/p~/7?id=7&utm_source=a",          // case
+      "https://www.example0.com:443/p~/7?id=7",                   // default port
+      "https://www.example0.com/p%7E/7?id=7#section-3",           // escape+frag
+      "https://www.example0.com/p%7e/7?id=7&utm_campaign=x&utm_medium=y")
+      .toDF("u")
+    val canon = variants.select(Curation.canonicalizeUrl(col("u")))
+      .as[String].collect().toSet
+    canon shouldBe Set("https://www.example0.com/p~/7?id=7")
+  }
+
+  test("canonicalizeUrl preserves path/query case and real ports") {
+    val got = Seq(
+      "http://Host.COM:8080/CaseSensitive/Path?Q=Vv",
+      "https://a.b/x%7Ey?k=v#f").toDF("u")
+      .select(Curation.canonicalizeUrl(col("u"))).as[String].collect()
+    got(0) shouldBe "http://host.com:8080/CaseSensitive/Path?Q=Vv"
+    got(1) shouldBe "https://a.b/x~y?k=v"
+  }
 }

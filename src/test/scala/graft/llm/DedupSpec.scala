@@ -136,4 +136,44 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
     pairs.find(p => p._1 == 1L && p._2 == 4L).map(_._3) shouldBe Some(0)
   }
+
+  test("longSubstringPairs recovers exact span lengths on planted overlaps") {
+    // 20-token base; doc 11 copies tokens 3..14 (12 tokens) of doc 10 with
+    // unique filler; doc 12 copies only 9 tokens (below minSpan); doc 13
+    // shares nothing
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val span12 = (3 to 14).map(i => s"w$i").mkString(" ")
+    val span9 = (3 to 11).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (10L, base),
+      (11L, s"fa fb $span12 fc"),
+      (12L, s"ga gb $span9 gc"),
+      (13L, "ha hb hc hd he hf hg hh hi hj hk hl hm hn")).toDF("doc_id", "text")
+    val got = Dedup.longSubstringPairs(corpus, "doc_id", "text",
+      n = 8, minSpan = 12, maxDocFreq = 32)
+      .select("doc_a", "doc_b", "max_span_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    // the 11↔12 pair also shares tokens w3..w11 (9 < minSpan) → excluded
+    got shouldBe Set((10L, 11L, 12L))
+  }
+
+  test("longSubstringPairs: whole-doc duplicate reports the full length") {
+    val t = (1 to 15).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val got = Dedup.longSubstringPairs(corpus, "doc_id", "text",
+      n = 8, minSpan = 12, maxDocFreq = 32)
+      .as[(Long, Long, Long)].collect()
+    got.toSeq shouldBe Seq((1L, 2L, 15L))
+  }
+
+  test("longSubstringPairs stop-gram cap drops high-df shingles") {
+    // the same 12-token span in 5 docs: df of every span shingle is 5,
+    // so maxDocFreq = 4 must suppress all pairs
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val corpus = (1L to 5L).map(i => (i, s"u$i $span z$i")).toDF("doc_id", "text")
+    Dedup.longSubstringPairs(corpus, "doc_id", "text",
+      n = 8, minSpan = 12, maxDocFreq = 4).count() shouldBe 0L
+    Dedup.longSubstringPairs(corpus, "doc_id", "text",
+      n = 8, minSpan = 12, maxDocFreq = 5).count() shouldBe 10L // all C(5,2)
+  }
 }

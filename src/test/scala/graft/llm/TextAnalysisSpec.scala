@@ -140,4 +140,51 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect()
     fused shouldBe hof
   }
+
+  test("bpeCounts applies greedy lowest-rank merges to fixpoint") {
+    val merges = Seq("a b", "ab c", "b c", "c a")
+    // hand-derived merge traces:
+    //  abc    : ab(0) → [ab,c]; (ab,c)=1 → [abc]              = 1 token
+    //  bca    : bc(2) → [bc,a]                                 = 2
+    //  abcabc : ab both → [ab,c,ab,c]; (ab,c) both → [abc,abc] = 2
+    //  aabbcc : ab → [a,ab,b,c,c]; bc → [a,ab,bc,c]            = 4
+    //  baca   : ca(3) → [b,a,ca]                               = 3
+    //  ccc    : no pair in table                               = 3
+    val df = Seq("abc", "bca", "abcabc", "aabbcc", "baca", "ccc",
+      "abc bca ccc").toDF("t")
+    val got = df.select(TextAnalysis.bpeCounts(spark, col("t"), merges).as("c"))
+      .select(col("c.bpe_tokens"), col("c.token_chars"), col("c.ws_words"))
+      .as[(Long, Long, Long)].collect()
+    got(0) shouldBe ((1L, 3L, 1L))
+    got(1) shouldBe ((2L, 3L, 1L))
+    got(2) shouldBe ((2L, 6L, 1L))
+    got(3) shouldBe ((4L, 6L, 1L))
+    got(4) shouldBe ((3L, 4L, 1L))
+    got(5) shouldBe ((3L, 3L, 1L))
+    // multi-word doc: per-word sums, chars exclude spaces
+    got(6) shouldBe ((1L + 2L + 3L, 9L, 3L))
+  }
+
+  test("bpeCounts rank order decides contested merges") {
+    // "abc" under ranks [b c, a b]: bc wins (rank 0) → [a,bc] = 2 tokens,
+    // the OPPOSITE of the [a b, ab c] table where abc collapses to 1
+    val df = Seq("abc").toDF("t")
+    val bcFirst = df.select(
+      TextAnalysis.bpeCounts(spark, col("t"), Seq("b c", "a b")).as("c"))
+      .select(col("c.bpe_tokens")).as[Long].head()
+    bcFirst shouldBe 2L
+  }
+
+  test("bpeCounts conservation: token chars always equal non-space chars") {
+    val dir = "/root/testdata/sf0.001"
+    val merges = Seq("a b", "ab c", "b c", "c a")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bad = docs.select(
+        TextAnalysis.bpeCounts(spark, col("text"), merges).as("c"),
+        org.apache.spark.sql.functions.length(
+          regexp_replace(col("text"), " ", "")).cast("long").as("nsc"))
+      .filter(col("c.token_chars") =!= col("nsc"))
+      .count()
+    bad shouldBe 0L
+  }
 }
