@@ -17,8 +17,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark reads them as long
       // nanos under this flag (queries convert explicitly where needed).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // see Bench.scala: keep WSCG methods under HotSpot's JIT limit
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // see Bench.scala: Spark's default WSCG size limit — the 8000 JIT
+      // alignment made the wide-decimal moment passes fall back to the
+      // ~10x-slower interpreted path at scale (round-7 sf1 measurement)
+      .config("spark.sql.codegen.hugeMethodLimit", "65535")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -141,5 +141,10 @@ object GraftFunctions {
     if (!registry.functionExists(bpe)) {
       registry.registerFunction(bpe, bpeCountsInfo, buildBpeCounts _)
     }
+    val rep = org.apache.spark.sql.catalyst.FunctionIdentifier("repetition_stats")
+    if (!registry.functionExists(rep)) {
+      registry.registerFunction(rep, RepetitionStats.info,
+        (children: Seq[Expression]) => RepetitionStats(children.head))
+    }
   }
 }

@@ -249,4 +249,26 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Semantic dedup (the SemDeDup pattern): drop every row whose embedding
+    * is cosine-≥`threshold` to a kept representative. Near-dup pairs come
+    * from the banded hyperplane LSH (never all-pairs), pairs link into
+    * groups via min-label propagation, and the minimum id per group
+    * survives; rows in no group pass through untouched.
+    *
+    * Scale shape: the LSH candidate join shuffles 8-byte band keys, the
+    * component loop runs on the (tiny) duplicate-edge graph only, and the
+    * final membership join keys on ids — the corpus' embedding payloads
+    * never ride any of these shuffles.
+    */
+  def semanticDedupSurvivors(spark: SparkSession, df: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupPairs(spark, df, idCol, embCol, threshold)
+      .select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("doc_id").as(idCol), col("group_id"))
+    df.join(comp, Seq(idCol), "left")
+      .filter(col("group_id").isNull || col(idCol) === col("group_id"))
+      .drop("group_id")
+  }
 }

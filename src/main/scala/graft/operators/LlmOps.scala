@@ -1120,7 +1120,124 @@ object LlmOps {
         .orderBy("canon_url")
     })
 
-  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10,
+  /** d11 — semantic dedup (SemDeDup): drop every embedding cosine-≥0.9 to
+    * a kept representative, survivors = min id per near-dup group plus all
+    * ungrouped rows. Reuses d05's planted augmentation (every 10th vector
+    * re-enters ×1.25-scaled under id+100000 — cosine exactly 1 with its
+    * original, so each planted pair MUST collapse with the original as
+    * keeper) and d07's min-label component semantics; the oracle rebuilds
+    * the same pairs exhaustively and walks them with recursive SQL, so the
+    * hash compare pins candidate recall, grouping, and keeper choice at
+    * once. Scale: LSH band keys through the self-join, component loop on
+    * the duplicate-edge graph only, id-keyed survivor join — embeddings
+    * never ride a shuffle ([[Similarity.semanticDedupSurvivors]]).
+    */
+  val d11 = QSpec(
+    "d11_semantic_dedup",
+    Some("""WITH RECURSIVE
+           |aug AS (
+           |  SELECT vec_id, embedding, label FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |         list_transform(embedding, x -> CAST(x * CAST(1.25 AS FLOAT) AS FLOAT)),
+           |         label
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+           |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+           |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |    / (SQRT(list_sum(list_transform(range(1, len(a.embedding) + 1),
+           |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           |       * SQRT(list_sum(list_transform(range(1, len(b.embedding) + 1),
+           |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+           |    >= 0.9),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+           |comp AS (SELECT a AS vec_id, MIN(b) AS group_id FROM reach GROUP BY a)
+           |SELECT aug.vec_id, aug.label
+           |FROM aug LEFT JOIN comp USING (vec_id)
+           |WHERE comp.group_id IS NULL OR aug.vec_id = comp.group_id
+           |ORDER BY vec_id""".stripMargin),
+    (s, d) => {
+      val base = embeddings(s, d).select("vec_id", "embedding", "label")
+      val planted = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.25f)).cast("float"))
+            .as("embedding"),
+          col("label"))
+      Similarity.semanticDedupSurvivors(s, base.unionByName(planted),
+        "vec_id", "embedding", 0.9)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    })
+
+  /** t15 — repetition-based quality signals (the Gopher/C4 rules): per-doc
+    * top-word dominance, distinct-word ratio, longest identical-word run,
+    * and duplicate-bigram fraction, from ONE fused kernel scan
+    * ([[graft.functions.RepetitionStats]]). The oracle recomputes all four
+    * the expensive way — unnest to token rows, count/window per doc — which
+    * is also exactly the shuffle-heavy shape the kernel exists to avoid:
+    * per-token rows are ~50× the corpus row count and the stats are
+    * per-row facts, so at 100 TB the kernel keeps them inside the scan's
+    * codegen stage while the naive form shuffles the tokenized corpus
+    * twice.
+    */
+  val t15 = QSpec(
+    "t15_repetition",
+    Some("""WITH w AS (
+           |  SELECT doc_id, words[i] AS w, i
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |       UNNEST(range(1, len(words) + 1)) AS t(i)
+           |  WHERE words[i] <> ''),
+           |wc AS (
+           |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+           |         CAST(COUNT(*) AS BIGINT) AS dn, CAST(MAX(cnt) AS BIGINT) AS top
+           |  FROM (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |runs AS (
+           |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_run FROM (
+           |    SELECT doc_id, grp, COUNT(*) AS cnt FROM (
+           |      SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           |      FROM (SELECT doc_id, i,
+           |              CASE WHEN w = lag(w) OVER (PARTITION BY doc_id ORDER BY i)
+           |                   THEN 0 ELSE 1 END AS brk
+           |            FROM w))
+           |    GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |bc AS (
+           |  SELECT doc_id, COUNT(*) AS nb, COUNT(*) - COUNT(DISTINCT bg) AS dup
+           |  FROM (SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+           |        FROM w)
+           |  WHERE bg IS NOT NULL GROUP BY 1)
+           |SELECT wc.doc_id, wc.n AS word_cnt,
+           |  ROUND(wc.dn / CAST(wc.n AS DOUBLE), 6) AS distinct_ratio,
+           |  ROUND(wc.top / CAST(wc.n AS DOUBLE), 6) AS top_word_ratio,
+           |  runs.max_run AS max_run,
+           |  ROUND(COALESCE(bc.dup / CAST(bc.nb AS DOUBLE), 0), 6) AS dup_bigram_ratio
+           |FROM wc JOIN runs USING (doc_id) LEFT JOIN bc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      documents(s, d)
+        .select(col("doc_id"), call_function("repetition_stats", col("text")).as("r"))
+        .filter(col("r.word_cnt") > 0)
+        .select(col("doc_id"),
+          col("r.word_cnt").as("word_cnt"),
+          round(col("r.distinct_cnt") / col("r.word_cnt"), 6).as("distinct_ratio"),
+          round(col("r.top_cnt") / col("r.word_cnt"), 6).as("top_word_ratio"),
+          col("r.max_run").as("max_run"),
+          round(when(col("r.bigram_cnt") > 0,
+            col("r.dup_bigram_cnt") / col("r.bigram_cnt")).otherwise(0.0), 6)
+            .as("dup_bigram_ratio"))
+        .orderBy("doc_id")
+    })
+
+  val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     s01, s02, s03, s04, s05, t01, t02, t03, t04, t06, t07, t08, t09, t11,
-    t12, t13, t14, p01, p02, p03, mm01, mm02, mm03)
+    t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03)
 }
