@@ -3,7 +3,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 spark.conf.set("spark.sql.shuffle.partitions", "32")
 spark.conf.set("spark.sql.adaptive.enabled", "true")
-val d = "/root/repo/data/gsf1"
+val d = "/root/repo/data/gsf2"
 val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 val li = spark.read.parquet(s"$d/lineitem.parquet").select(cols.map(col): _*)
 println("scan partitions: " + li.rdd.getNumPartitions)

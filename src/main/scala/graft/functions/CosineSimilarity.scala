@@ -76,6 +76,21 @@ object GraftFunctions {
     MinHashSigs(children(0),
       children(1).eval(null).asInstanceOf[Number].intValue())
 
+  val minhashBandsInfo = new ExpressionInfo(
+    classOf[MinHashBands].getName, "minhash_bands")
+
+  /** minhash_bands(shingles, bands, rowsPerBand) — both counts must be
+    * foldable int literals. */
+  def buildMinHashBands(children: Seq[Expression]): Expression =
+    MinHashBands(children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue(),
+      children(2).eval(null).asInstanceOf[Number].intValue())
+
+  val sortedHashesInfo = new ExpressionInfo(
+    classOf[SortedHashes].getName, "sorted_hashes")
+  val sortedIntersectInfo = new ExpressionInfo(
+    classOf[SortedLongIntersectSize].getName, "sorted_intersect_n")
+
   val wordNGramsInfo = new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams")
 
   /** word_ngrams(text, n) — n must be a foldable int literal. */
@@ -124,6 +139,21 @@ object GraftFunctions {
     val mh = org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs")
     if (!registry.functionExists(mh)) {
       registry.registerFunction(mh, minhashSigsInfo, buildMinHashSigs _)
+    }
+    val mhb = org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_bands")
+    if (!registry.functionExists(mhb)) {
+      registry.registerFunction(mhb, minhashBandsInfo, buildMinHashBands _)
+    }
+    val shs = org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_hashes")
+    if (!registry.functionExists(shs)) {
+      registry.registerFunction(shs, sortedHashesInfo,
+        (children: Seq[Expression]) => SortedHashes(children.head))
+    }
+    val sin = org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_n")
+    if (!registry.functionExists(sin)) {
+      registry.registerFunction(sin, sortedIntersectInfo,
+        (children: Seq[Expression]) =>
+          SortedLongIntersectSize(children(0), children(1)))
     }
     val ng = org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")
     if (!registry.functionExists(ng)) {

@@ -69,3 +69,55 @@ case class MinHashSigs(child: Expression, nTables: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
     copy(child = newChild)
 }
+
+object MinHashBandsUtil {
+  /** Banded-LSH bucket keys: minhash minima for bands·rowsPerBand tables
+    * (identical to [[MinHashSigsUtil.sigs]]), then one 8-byte key per band
+    * hashing the band index and its rowsPerBand consecutive minima
+    * (xxhash64 fold, seed 42 — the same combine SQL `xxhash64(band, mh…)`
+    * applies). Fused so the byte-hash of each shingle happens once and the
+    * per-row output is b longs, not b·r — the smallest thing that can ride
+    * the candidate self-join shuffle.
+    */
+  def keys(shingles: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    if (shingles.numElements() == 0) return null
+    val mins = MinHashSigsUtil.sigs(shingles, bands * rowsPerBand)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XxHash64Function.hash(b, IntegerType, 42L)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XxHash64Function.hash(mins.getLong(b * rowsPerBand + r), LongType, h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native expression: `minhash_bands(array<string>, bands, rowsPerBand)` →
+  * array<long> of per-band LSH bucket keys (band index = array position).
+  * Null for an empty shingle array, mirroring [[MinHashSigs]].
+  */
+case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandsUtil.keys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MinHashBandsUtil.keys($c, $bands, $rowsPerBand);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+
+/** Set-similarity verification kernels over hashed shingle sets.
+  *
+  * Exact near-dup verification (d02/d04-class operators) computes the
+  * intersection of two ~50-element string-gram sets per CANDIDATE PAIR.
+  * Spark's `array_intersect` evaluates that via an interpreted
+  * per-row open-hash-set build (UTF8String hashing + per-element
+  * `PhysicalDataType` dispatch + per-row allocation) inside an otherwise
+  * codegen'd stage — measured as the dominant cost of the whole dedup
+  * query once banding shrinks the candidate join itself.
+  *
+  * The fix is representational: hash each gram to 64 bits ONCE PER
+  * DOCUMENT ([[SortedHashes]]: xxhash64, sort, dedupe), then per pair run
+  * a branch-light merge scan over two sorted long arrays
+  * ([[SortedLongIntersectSize]]) — ~100 long comparisons, zero
+  * allocation, fully codegen'd. Jaccard over the hash sets equals
+  * Jaccard over the gram sets unless two distinct grams collide in 64
+  * bits (P ≈ n²·2⁻⁶⁴ per pair — vanishing, and deterministic for a given
+  * corpus; the DuckDB oracle gate verifies exact equality on its corpora).
+  * The hashed arrays are also ~3× smaller than the gram strings, which
+  * shrinks the verification join's shuffle/broadcast payload.
+  */
+object SortedLongOpsUtil {
+  /** xxhash64(seed 42 — the same per-element byte hash MinHash uses) of
+    * each element, sorted ascending, consecutive duplicates dropped.
+    * Null elements hash to the seed itself (SQL xxhash64 semantics).
+    */
+  def sortedHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) =
+        if (arr.isNullAt(i)) 42L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedupe of the sorted run
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** |a ∩ b| for two sorted-unique long arrays via merge scan. */
+  def intersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+/** `sorted_hashes(array<string>)` → sorted-unique array<long> of
+  * per-element xxhash64 values. */
+case class SortedHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    SortedLongOpsUtil.sortedHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SortedLongOpsUtil.sortedHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedHashes =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_n(array<long>, array<long>)` → int intersection size;
+  * both inputs must be sorted-unique (as produced by [[SortedHashes]]). */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_n"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongOpsUtil.intersectSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedLongOpsUtil.intersectSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
