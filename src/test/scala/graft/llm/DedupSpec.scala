@@ -109,6 +109,58 @@ class DedupSpec extends SparkSpec {
     r(2).getSeq[Long](1) shouldBe hof
   }
 
+  test("minhash_bands equals banded recombination of minhash_sigs") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val bands = 5
+    val r = 2
+    val rows = docs
+      .select(
+        call_function("minhash_bands",
+          Dedup.wordNGramsFused(spark, col("text"), 3), lit(bands), lit(r)).as("keys"),
+        call_function("minhash_sigs",
+          Dedup.wordNGramsFused(spark, col("text"), 3), lit(bands * r)).as("sigs"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (keys, sigs) =>
+      keys should have size bands
+      // key b = xxhash64(b, sig(2b), sig(2b+1)) — the SQL fold with seed 42
+      val expected = (0 until bands).map { b =>
+        spark.range(1).select(
+          xxhash64(lit(b), lit(sigs(2 * b)), lit(sigs(2 * b + 1)))).as[Long].head()
+      }
+      keys shouldBe expected
+    }
+  }
+
+  test("sorted_hashes equals sorted-distinct HOF xxhash64 of the grams") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rows = docs
+      .select(
+        call_function("sorted_hashes",
+          array_distinct(Dedup.wordNGramsFused(spark, col("text"), 3))).as("kernel"),
+        array_sort(array_distinct(transform(
+          array_distinct(Dedup.wordNGramsFused(spark, col("text"), 3)),
+          s => xxhash64(s)))).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (kernel, hof) => kernel shouldBe hof }
+  }
+
+  test("sorted_intersect_n equals size(array_intersect) on sorted-unique longs") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),   // partial overlap
+      (Seq(1L, 2L), Seq(3L, 4L)),                     // disjoint
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L)),           // identical, negatives
+      (Seq.empty[Long], Seq(1L, 2L)),                 // empty side
+      (Seq(Long.MinValue, Long.MaxValue), Seq(Long.MinValue))) // extremes
+    val rows = cases.toDF("a", "b")
+      .select(
+        call_function("sorted_intersect_n", col("a"), col("b")).as("kernel"),
+        org.apache.spark.sql.functions.size(
+          array_intersect(col("a"), col("b"))).as("builtin"))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (k, b) => k shouldBe b }
+  }
+
   test("minhashPairs (native banded) recovers the planted near-dups exactly") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
