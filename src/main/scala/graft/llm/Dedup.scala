@@ -206,39 +206,9 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, nTables: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    require(rowsPerBand >= 1, "rowsPerBand must be >= 1")
-    require(minJaccard > 0 && minJaccard < 1, "minJaccard must be in (0, 1)")
-    // match the single-row scheme's miss budget (1-θ)^nTables at J = θ:
-    // (1-θ^r)^b <= (1-θ)^nTables  ⇒  b >= nTables·ln(1-θ)/ln(1-θ^r)
-    val bands = math.max(1, math.min(64, math.ceil(
-      nTables * math.log1p(-minJaccard) /
-        math.log1p(-math.pow(minJaccard, rowsPerBand))).toInt))
-    // cached: consumed three times (signature pass + both candidate
-    // rejoins); without it the shingle construction re-runs per consumer.
-    // `hs` is the sorted-unique 64-bit hash of each gram ([[SortedHashes]]):
-    // exact verification intersects THESE, not the gram strings —
-    // `array_intersect` on string arrays evaluates as an interpreted
-    // per-row hash-set build (measured 60-90 µs/pair, the dominant cost of
-    // the whole query once banding shrinks the candidate join), while the
-    // sorted-long merge scan is codegen'd, allocation-free and ~3× smaller
-    // through the rejoin shuffle. Hash-set Jaccard equals gram-set Jaccard
-    // absent a 64-bit collision (P ≈ n²·2⁻⁶⁴ per pair; the exact-oracle
-    // gate verifies equality on its corpora).
-    val shingled = df.select(col(idCol).as("id"),
-      array_distinct(wordNGramsFused(df.sparkSession, col(textCol), 3)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("hs", call_function("sorted_hashes", col("shingles")))
-      .cache()
-    // signatures only — the self-join and the pair-dedup must not drag the
-    // shingle arrays through the shuffle; hashes rejoin after distinct().
-    // The fused kernel emits the b 8-byte band keys directly (building them
-    // with element_at inside a `transform` lambda would re-evaluate the
-    // signature kernel per band — HOF lambdas get no CSE).
-    val withSigs = shingled
-      .select(col("id"), explode(
-        call_function("minhash_bands", col("shingles"), lit(bands), lit(rowsPerBand)))
-        .as("bk"))
+    val bands = bandsFor(minJaccard, nTables, rowsPerBand)
+    val (shingled, withSigs) =
+      shingleAndBand(df, idCol, textCol, bands, rowsPerBand)
     val candKeys = withSigs.as("a").join(withSigs.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -246,13 +216,103 @@ object Dedup {
     val cand = candKeys
       .join(shingled.select(col("id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(shingled.select(col("id").as("doc_b"), col("hs").as("hb")), "doc_b")
+    verifyJaccard(cand, minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental near-dup: match a NEW batch of documents against an
+    * already-deduped corpus, without recomputing the corpus self-join —
+    * the production shape of dedup (each arriving shard is checked
+    * against the retained corpus; corpus band keys are a by-product of
+    * the original dedup pass and would be a persisted index in a real
+    * pipeline). Same banded-LSH candidate generation and merge-scan
+    * exact verification as [[minhashPairs]], but the candidate join is
+    * batch-keys × corpus-keys (no `id < id` self-pairing; a doc present
+    * in both frames will match itself at J = 1).
+    *
+    * At 100 TB this is the lever that turns dedup from O(corpus²) per
+    * ingest into O(batch × collision rate): the corpus side contributes
+    * b band keys per doc ONCE (written at index time), and each new
+    * batch shuffles only its own keys plus the candidates they hit.
+    * Output: (new_id, corpus_id, jaccard) for pairs with J ≥ θ.
+    */
+  def minhashPairsAgainst(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, minJaccard: Double,
+      nTables: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = bandsFor(minJaccard, nTables, rowsPerBand)
+    val (bShingled, bKeys) =
+      shingleAndBand(batch, idCol, textCol, bands, rowsPerBand)
+    val (cShingled, cKeys) =
+      shingleAndBand(corpus, idCol, textCol, bands, rowsPerBand)
+    val candKeys = bKeys.as("a").join(cKeys.as("b"), col("a.bk") === col("b.bk"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val cand = candKeys
+      .join(bShingled.select(col("id").as("new_id"), col("hs").as("ha")), "new_id")
+      .join(cShingled.select(col("id").as("corpus_id"), col("hs").as("hb")), "corpus_id")
+    verifyJaccard(cand, minJaccard)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Bands needed so the banded miss probability at J = θ, (1−θ^r)^b,
+    * stays within the single-row scheme's documented budget (1−θ)^nTables:
+    * b ≥ nTables·ln(1−θ)/ln(1−θ^r).
+    */
+  private def bandsFor(minJaccard: Double, nTables: Int, rowsPerBand: Int): Int = {
+    require(rowsPerBand >= 1, "rowsPerBand must be >= 1")
+    require(minJaccard > 0 && minJaccard < 1, "minJaccard must be in (0, 1)")
+    math.max(1, math.min(64, math.ceil(
+      nTables * math.log1p(-minJaccard) /
+        math.log1p(-math.pow(minJaccard, rowsPerBand))).toInt))
+  }
+
+  /** Shared front-end of the banded-LSH dedup operators.
+    *
+    * Returns (shingled, bandKeys):
+    * - `shingled` (cached: consumed by the signature pass and the
+    *   candidate rejoins; without it the shingle construction re-runs per
+    *   consumer) carries `hs`, the sorted-unique 64-bit hash of each gram
+    *   ([[SortedHashes]]). Exact verification intersects THESE, not the
+    *   gram strings — `array_intersect` on string arrays evaluates as an
+    *   interpreted per-row hash-set build (measured 60-90 µs/pair, the
+    *   dominant cost of the whole query once banding shrinks the
+    *   candidate join), while the sorted-long merge scan is codegen'd,
+    *   allocation-free and ~3× smaller through the rejoin shuffle.
+    *   Hash-set Jaccard equals gram-set Jaccard absent a 64-bit collision
+    *   (P ≈ n²·2⁻⁶⁴ per pair; the exact-oracle gate verifies equality on
+    *   its corpora).
+    * - `bandKeys` is (id, bk) with b rows per doc — signatures only; the
+    *   candidate join and pair-dedup must not drag gram arrays through
+    *   the shuffle. The fused [[graft.functions.MinHashBands]] kernel
+    *   emits the b 8-byte band keys directly (building them with
+    *   element_at inside a `transform` lambda would re-evaluate the
+    *   signature kernel per band — HOF lambdas get no CSE).
+    */
+  private def shingleAndBand(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val shingled = df.select(col(idCol).as("id"),
+      array_distinct(wordNGramsFused(df.sparkSession, col(textCol), 3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hs", call_function("sorted_hashes", col("shingles")))
+      .cache()
+    val bandKeys = shingled
+      .select(col("id"), explode(
+        call_function("minhash_bands", col("shingles"), lit(bands), lit(rowsPerBand)))
+        .as("bk"))
+    (shingled, bandKeys)
+  }
+
+  /** Exact-Jaccard verification over candidate rows carrying (ha, hb)
+    * sorted hash sets; keeps pairs with J ≥ θ, emits `jaccard` rounded
+    * to 6 dp plus the caller's id columns. */
+  private def verifyJaccard(cand: DataFrame, minJaccard: Double): DataFrame =
     cand
       .withColumn("inter", call_function("sorted_intersect_n", col("ha"), col("hb")))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
+      .withColumn("jaccard", round(col("jaccard"), 6))
 
   /** MinHash+LSH via spark.ml (HashingTF + MinHashLSH.approxSimilarityJoin)
     * — the library-API twin of [[minhashPairs]], kept for `spark.ml`

@@ -258,6 +258,39 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
     })
 
+  /** d12 — incremental dedup: a NEW batch (odd doc ids) matched against
+    * an existing corpus (even ids) with [[Dedup.minhashPairsAgainst]] —
+    * the production ingest shape (each arriving shard checks against the
+    * retained corpus; no corpus self-join recompute). The oracle is the
+    * exact cross-set all-pairs Jaccard, so the hash compare asserts the
+    * banded candidate generation loses no cross-set pair on this corpus,
+    * exactly like d02 does for the self-join form.
+    */
+  val d12 = QSpec(
+    "d12_incremental_dedup",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS inter
+           |      FROM g a JOIN g b ON a.gram = b.gram
+           |      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           |      GROUP BY 1, 2)
+           |SELECT new_id, corpus_id,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           |FROM p JOIN sz sa ON new_id = sa.doc_id JOIN sz sb ON corpus_id = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+           |ORDER BY new_id, corpus_id""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", 0.5)
+        .orderBy("new_id", "corpus_id")
+    })
+
   /** s01 — brute-force cosine top-k (the exact baseline; oracle mirrors the
     * fused dot/norm loop of graft.functions.CosineSimilarity).
     */
@@ -1243,6 +1276,6 @@ object LlmOps {
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
-    s01, s02, s03, s04, s05, t01, t02, t03, t04, t06, t07, t08, t09, t11,
+    d12, s01, s02, s03, s04, s05, t01, t02, t03, t04, t06, t07, t08, t09, t11,
     t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03)
 }

@@ -170,6 +170,25 @@ class DedupSpec extends SparkSpec {
     keys.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
   }
 
+  test("minhashPairsAgainst matches a new batch against a corpus, no self-pairs") {
+    // batch = odd ids (1, 3, 5), corpus = even ids (2, 4): doc 1 is an
+    // exact dup of corpus doc 4 (J = 1) and a near-dup of corpus doc 2
+    // (differs in the last word); docs 3 and 5 are unrelated to anything
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val pairs = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text", 0.5)
+      .select("new_id", "corpus_id", "jaccard").as[(Long, Long, Double)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    keys should contain((1L, 4L))
+    pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 shouldBe 1.0
+    keys should contain((1L, 2L)) // near-dup across the split
+    keys.map(_._1) should not contain 3L
+    keys.map(_._1) should not contain 5L
+    // direction is batch → corpus only
+    keys.map(_._1).foreach(id => (id % 2) shouldBe 1L)
+    keys.map(_._2).foreach(id => (id % 2) shouldBe 0L)
+  }
+
   test("minhashPairsMl (spark.ml twin) also recovers the planted near-dups") {
     val pairs = Dedup.minhashPairsMl(docs, "doc_id", "text", 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
