@@ -371,27 +371,53 @@ object Dedup {
     *     diagonal are one run (island id = i − row_number over the
     *     diagonal), and a run of R shingles covers R + n − 1 tokens.
     *
-    * Only (doc, pos, shingle) rows enter the shuffle — production keys the
-    * join on a 64-bit shingle hash; the gram string is kept here so the
-    * DuckDB oracle can reproduce the buckets byte-for-byte.
+    * Scale shape (the round-7 curve showed the naive single-shingle
+    * bucket join is ~N^1.4 — background 8-gram collisions grow
+    * birthday-quadratically even when no real span is shared), so the
+    * join is two-phase, d02's r=2 banding re-applied at the positioned
+    * granularity:
+    *
+    *  - PHASE 1 (candidates, hash-keyed): composite key = 64-bit hashes
+    *    of the kept shingles at positions (p, p + minSpan − n) — the two
+    *    ENDPOINT shingles of an exact `minSpan`-token window. Any
+    *    qualifying diagonal run of ≥ minSpan − n + 1 kept shingles
+    *    contains both endpoints at matching offsets, so recall is exact;
+    *    background collision probability is the single-shingle
+    *    probability SQUARED. Composite fanout inherits the df cap
+    *    (composite df ≤ endpoint shingle df ≤ maxDocFreq).
+    *  - PHASE 2 (verify, string-exact): the original positioned-shingle
+    *    equi-join + diagonal-island run recovery, restricted to the
+    *    candidate pairs — per-pair cost now proportional to genuinely
+    *    shared spans, and a 2⁻⁶⁴ phase-1 hash collision is verified away.
+    *
+    * Only (doc, pos, shingle) rows enter the shuffle; the gram string is
+    * kept in phase 2 so the DuckDB oracle reproduces the buckets
+    * byte-for-byte.
     *
     * Output: (doc_a, doc_b, max_span_tokens) for pairs with a shared run
-    * of at least `minSpan` tokens.
+    * of at least `minSpan` tokens — identical to the one-phase
+    * construction the oracle replays.
     */
   def longSubstringPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minSpan: Int = 12, maxDocFreq: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = df.select(col(idCol).as("doc"),
-      posexplode(wordNGramsFused(df.sparkSession, col(textCol), n))
-        .as(Seq("pos", "gram")))
-    val rare = grams.groupBy("gram")
-      .agg(countDistinct(col("doc")).as("df"))
-      .filter(col("df") <= maxDocFreq).select("gram")
-    val kept = grams.join(rare, "gram")
-    val matches = kept.as("a").join(kept.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.pos").as("i"), col("b.pos").as("j"))
+    // kept feeds FOUR plan subtrees (both sides of the phase-1 composite
+    // self-join, both sides of the phase-2 verify join); without
+    // materialization Spark recomputes the posexplode + df-cap join — the
+    // dominant linear cost — per subtree (measured: 13 s vs 7 s at sf1).
+    // localCheckpoint (d07's pattern) computes it once and truncates
+    // lineage; the ContextCleaner reclaims the blocks when unreferenced.
+    val kept = keptPositionedShingles(df, idCol, textCol, n, maxDocFreq)
+      .localCheckpoint()
+    val cand = longSubstringCandidates(kept, n, minSpan)
+
+    // Phase 2: exact diagonal-run replay on candidate pairs only.
+    val ka = kept.join(cand, kept("doc") === cand("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("pos").as("i"), col("gram"))
+    val matches = ka.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("b.doc") === col("a.doc_b"))
+      .select(col("a.doc_a").as("doc_a"), col("a.doc_b").as("doc_b"),
+        col("a.i").as("i"), col("b.pos").as("j"))
     val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
     matches
       .withColumn("diag", col("i") - col("j"))
@@ -401,6 +427,44 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg((max(col("run")) + lit(n - 1)).cast("long").as("max_span_tokens"))
       .filter(col("max_span_tokens") >= minSpan)
+  }
+
+  /** Positioned `n`-token shingles with the stop-gram df cap applied —
+    * the (doc, pos, gram) relation both phases of [[longSubstringPairs]]
+    * operate on.
+    */
+  private[graft] def keptPositionedShingles(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDocFreq: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("doc"),
+      posexplode(wordNGramsFused(df.sparkSession, col(textCol), n))
+        .as(Seq("pos", "gram")))
+    val rare = grams.groupBy("gram")
+      .agg(countDistinct(col("doc")).as("df"))
+      .filter(col("df") <= maxDocFreq).select("gram")
+    grams.join(rare, "gram")
+  }
+
+  /** Phase 1 of [[longSubstringPairs]]: candidate (doc_a, doc_b) pairs via
+    * the minSpan-window endpoint composite key (64-bit hashes of the kept
+    * shingles at positions p and p + minSpan − n). stride = 0 (minSpan ≤ n)
+    * degenerates to the single-shingle key, which is exact there (any
+    * shared kept shingle already spans ≥ minSpan tokens). Exposed so scale
+    * probes can COUNT the candidate set across scale factors.
+    */
+  private[graft] def longSubstringCandidates(kept: DataFrame, n: Int,
+      minSpan: Int): DataFrame = {
+    val stride = math.max(0, minSpan - n)
+    val keptH = kept.select(col("doc"), col("pos"), xxhash64(col("gram")).as("h"))
+    val comp =
+      if (stride == 0) keptH.select(col("doc"), col("h").as("h1"), col("h").as("h2"))
+      else keptH.as("l").join(keptH.as("r"),
+          col("l.doc") === col("r.doc") && col("l.pos") + stride === col("r.pos"))
+        .select(col("l.doc").as("doc"), col("l.h").as("h1"), col("r.h").as("h2"))
+    comp.as("ca").join(comp.as("cb"),
+        col("ca.h1") === col("cb.h1") && col("ca.h2") === col("cb.h2") &&
+          col("ca.doc") < col("cb.doc"))
+      .select(col("ca.doc").as("doc_a"), col("cb.doc").as("doc_b"))
+      .distinct()
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
