@@ -659,9 +659,39 @@ object Relational {
         .orderBy("doc_id")
     })
 
+  /** q38 — Avro source/sink round-trip (q36's shape, fourth format).
+    * This environment has no `spark-avro` module, so the round-trip runs
+    * through [[graft.sources.AvroIO]] — a purpose-built container-file
+    * connector (per-partition part files over the Hadoop FS API, logical
+    * date/timestamp-micros types). The projection deliberately crosses
+    * long, string, double AND timestamp so the logical-type path is
+    * oracle-checked: `o_orderdate` must come back to the exact
+    * microsecond or `odate_ms` hash-mismatches.
+    */
+  val q38 = QSpec(
+    "q38_avro_roundtrip",
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+           | epoch_ms(o_orderdate) AS odate_ms
+           |FROM orders WHERE o_orderkey % 10 = 3
+           |ORDER BY o_orderkey""".stripMargin),
+    (s, d) => {
+      val p = scratch(d, "q38_avro")
+      graft.sources.AvroIO.write(
+        orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate"), p)
+      graft.sources.AvroIO.read(s, p)
+        .filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          // o_orderdate reads as TimestampNTZ (parquet ms, no UTC flag);
+          // the cast is wall-clock-preserving under the session's UTC tz,
+          // matching DuckDB's epoch_ms on the naive timestamp
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
+        .orderBy("o_orderkey")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35, q36,
-    q37)
+    q37, q38)
 }
