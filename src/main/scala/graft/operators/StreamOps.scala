@@ -5,6 +5,7 @@ import graft.util.{Exact, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
 /** Structured Streaming operators as DECLARED queries — not test-only.
   *
@@ -268,5 +269,141 @@ object StreamOps {
         .orderBy("user_id", "start_ms")
     })
 
-  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05)
+  /** st06 — LATE-DATA ACCOUNTING through the oracle gate: a three-batch
+    * file backlog (parquet files, modTime-ordered, drained one per
+    * micro-batch via `maxFilesPerTrigger=1`) whose LAST file carries
+    * 30-day-late copies of batch 1's rows. After batch 1 the watermark
+    * is max(batch-1 event time) − 1 h; batch 2's on-time rows (shifted
+    * ≥ max) land ≥ 1 h above it, and batch 3's planted rows sit 30 days
+    * below — no boundary-straddling anywhere, so both engines can
+    * predict the drop set exactly. Three batches, not two, because
+    * Spark's late-record filter deliberately lags one micro-batch (it
+    * filters with the PREVIOUS batch's watermark —
+    * `watermarkForLateEvents` — so reading both files in two batches
+    * would admit the late rows with filter-watermark still at its
+    * initial value; pinned empirically on 4.1).
+    *
+    * Two things are oracle-checked: (1) the hourly counts in UPDATE mode
+    * — the memory sink accumulates one row per updated window per batch,
+    * and `max(cnt)` per window reconstructs the final state because
+    * streaming counts only grow; (2) the engine's own accounting —
+    * `numRowsDroppedByWatermark` summed over the run's progress events,
+    * emitted as a `LATE_DROPPED` summary row. The metric counts rows
+    * dropped AT THE STATEFUL OPERATOR, which sits downstream of the
+    * partial aggregation — so it counts dropped (window, partial) rows,
+    * not raw input events (measured: 5 000 late events → 720 = the
+    * distinct late windows). With each backlog batch being one coalesced
+    * file (one map task → exactly one partial row per window), that
+    * equals COUNT(DISTINCT late window), which is what the oracle
+    * predicts. This is the metric a production pipeline alarms on;
+    * EventStreams' MemoryStream tests remain the live-trigger twin.
+    */
+  val st06 = QSpec(
+    "st06_stream_late_drop",
+    Some("""WITH ev AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+           |even AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+           |m AS (SELECT MAX(ms) AS m FROM even),
+           |ontime AS (
+           |  SELECT ms FROM even
+           |  UNION ALL
+           |  SELECT m.m + (event_id % 1000) * 1000 AS ms
+           |  FROM ev, m WHERE event_id % 2 <> 0),
+           |agg AS (
+           |  SELECT strftime(date_trunc('hour', make_timestamp(ms * 1000)),
+           |                  '%Y-%m-%d %H:%M:%S') AS hour_start,
+           |    CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM ontime GROUP BY 1)
+           |SELECT hour_start, cnt FROM agg
+           |UNION ALL
+           |SELECT 'LATE_DROPPED', CAST(COUNT(DISTINCT
+           |    date_trunc('hour', make_timestamp((ms - 2592000000) * 1000)))
+           |  AS BIGINT)
+           |FROM even
+           |ORDER BY hour_start""".stripMargin),
+    (s, d) => {
+      val evMs = events(s, d)
+        .select(col("event_id"), expr("ts div 1000000").as("ms"))
+      val even = evMs.filter(col("event_id") % 2 === 0)
+      val m = even.agg(max("ms")).head.getLong(0) // O(1) driver fetch
+      val batch1 = even
+        .select(col("event_id"), timestamp_millis(col("ms")).as("et"))
+      val onTime = evMs.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"),
+          timestamp_millis(lit(m) + (col("event_id") % 1000) * 1000).as("et"))
+      val late = even.select((col("event_id") + 1000000000L).as("event_id"),
+        timestamp_millis(col("ms") - lit(30L * 24 * 3600 * 1000)).as("et"))
+      val backlog = batchBacklog(s, d, "st06", batch1, onTime, late)
+
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("et", TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(backlog)
+        .withWatermark("et", "1 hour")
+        .groupBy(window(col("et"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("cnt"))
+      val (updates, dropped) = drainWithDropCount(stream, "st06", d, "update")
+      updates.groupBy("hour_start").agg(max(col("cnt")).as("cnt"))
+        .unionByName(s.range(1).select(lit("LATE_DROPPED").as("hour_start"),
+          lit(dropped).as("cnt")))
+        .orderBy("hour_start")
+    })
+
+  /** Materializes DataFrames as an N-file backlog dir (one parquet file
+    * each, modTimes 2 min apart so the file source's oldest-first order
+    * is deterministic) and returns the dir path. Rebuilt from scratch on
+    * every call — the bench's min-of-2 must not see stale files.
+    */
+  private def batchBacklog(s: org.apache.spark.sql.SparkSession,
+      d: String, qname: String, batches: DataFrame*): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Tables.scratch(d, s"${qname}_backlog")
+    def materialize(df: DataFrame, idx: Int): Unit = {
+      val tmp = s"$root/_stage$idx"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = Paths.get(root, f"batch-$idx%05d.parquet")
+      Files.deleteIfExists(dst)
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L + idx * 120000L)
+    }
+    val rootDir = new java.io.File(root)
+    if (rootDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(rootDir)
+    }
+    rootDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) => materialize(b, i) }
+    root
+  }
+
+  /** [[drainToTable]] plus the run's watermark accounting: returns the
+    * drained table and the sum of `numRowsDroppedByWatermark` across all
+    * stateful operators and micro-batches.
+    */
+  private def drainWithDropCount(df: DataFrame, name: String, d: String,
+      mode: String, statePartitions: Int = 8): (DataFrame, Long) = {
+    val s = df.sparkSession
+    val view = s"__graft_${name}_${new java.io.File(d).getName.replace('.', '_')}"
+    s.catalog.dropTempView(view)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val dropped = try {
+      val q = df.writeStream.format("memory").queryName(view)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    (s.table(view), dropped)
+  }
+
+  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06)
 }
