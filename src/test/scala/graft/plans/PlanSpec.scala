@@ -1,0 +1,93 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan regression snapshots for the flagship queries.
+  *
+  * SCALE.md's pushed-down / zero-shuffle / broadcast claims were
+  * verified manually via Explain and can silently rot under refactors —
+  * these tests pin the FINAL adaptive plan's shape (shuffle count,
+  * broadcast count, whole-stage-codegen presence, scan ReadSchema
+  * widths) at sf0.001. Deliberately breaking a pushdown (selecting all
+  * columns before a projection, de-broadcasting a dim) fails the
+  * corresponding test.
+  *
+  * The snapshot is an EXACT equality, not an upper bound: a plan that
+  * gets BETTER (fewer shuffles) should also be noticed — update the
+  * literal and SCALE.md together. Counts are taken from the final plan
+  * section only (`executedPlan.toString` after execution prints final +
+  * "== Initial Plan ==" sections; the initial one would double-count).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** (shuffles, broadcasts, codegenStages, scan widths sorted). */
+  private def finalShape(name: String): (Int, Int, Int, Seq[Int]) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    val ex = "Exchange".r.findAllIn(p).length
+    val bc = "BroadcastExchange".r.findAllIn(p).length
+    val cg = """\*\((\d+)\)""".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+    val widths = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1).count(_ == ':')).toSeq.sorted
+    assert(!p.contains("Python"), s"$name: Python eval crept into the plan")
+    (ex - bc, bc, cg, widths)
+  }
+
+  test("q14 flagship join: dim broadcast, pruned 2-col scans") {
+    val (sh, bc, cg, w) = finalShape("q14_join_agg")
+    (sh, bc, w) shouldBe ((2, 1, Seq(2, 2)))
+    cg should be >= 2 // join + agg stay inside whole-stage codegen
+  }
+
+  test("a02 capping: two-level prefix sum, no global-order window") {
+    val (sh, bc, cg, w) = finalShape("a02_capping")
+    (sh, bc, w) shouldBe ((12, 4, Seq(1, 1, 3)))
+    cg should be >= 5
+  }
+
+  test("d02 minhash: banded candidate join, 2-col shuffles only") {
+    val (sh, bc, cg, w) = finalShape("d02_minhash_lsh")
+    (sh, bc, w) shouldBe ((2, 3, Seq(2, 2, 2, 2)))
+    cg should be >= 3
+  }
+
+  test("d07 components: per-round plan stays checkpoint-truncated") {
+    val (sh, bc, _, w) = finalShape("d07_neardup_components")
+    (sh, bc, w) shouldBe ((1, 0, Seq()))
+  }
+
+  test("s02 ivf: sampled fit + nprobe scan keeps probe side broadcast") {
+    val (sh, bc, _, _) = finalShape("s02_cosine_topk_ivf")
+    (sh, bc) shouldBe ((10, 7))
+  }
+
+  test("x10 bloom join: probe is codegen'd, no extra shuffle") {
+    val (sh, bc, cg, w) = finalShape("x10_bloom_join")
+    (sh, bc, w) shouldBe ((2, 1, Seq(2, 3)))
+    cg should be >= 2
+  }
+
+  test("x11 bucketed join: zero broadcast, layout-co-located") {
+    val (sh, bc, _, w) = finalShape("x11_bucketed_join")
+    (sh, bc, w) shouldBe ((2, 0, Seq(2, 2)))
+  }
+
+  test("j03 auto range join: conf-scoped result stays driver-bounded") {
+    val (sh, bc, _, w) = finalShape("j03_range_join_auto")
+    (sh, bc, w) shouldBe ((0, 0, Seq()))
+  }
+
+  test("st04 stream-stream join result agg") {
+    val (sh, bc, _, w) = finalShape("st04_stream_stream_join")
+    (sh, bc, w) shouldBe ((2, 0, Seq()))
+  }
+
+  test("m16 pca: moment rows stay a driver-sized local relation") {
+    val (sh, bc, _, w) = finalShape("m16_pca")
+    (sh, bc, w) shouldBe ((0, 0, Seq()))
+  }
+}
