@@ -20,7 +20,8 @@ object Verify {
       // see Bench.scala: Spark's default WSCG size limit — the 8000 JIT
       // alignment made the wide-decimal moment passes fall back to the
       // ~10x-slower interpreted path at scale (round-7 sf1 measurement)
-      .config("spark.sql.codegen.hugeMethodLimit", "65535")
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HUGE_LIMIT", "65535"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

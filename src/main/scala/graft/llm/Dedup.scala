@@ -235,6 +235,14 @@ object Dedup {
     * b band keys per doc ONCE (written at index time), and each new
     * batch shuffles only its own keys plus the candidates they hit.
     * Output: (new_id, corpus_id, jaccard) for pairs with J ≥ θ.
+    *
+    * CACHE NOTE: each call `.cache()`s both sides' shingle frames (see
+    * [[shingleAndBand]]) and cannot unpersist them before the lazy result
+    * is consumed — REPEATED ingest calls in one long-lived session
+    * accumulate executor storage. A production ingest loop should call
+    * `spark.catalog.clearCache()` (or unpersist the session's cached
+    * frames) between shards, or persist the corpus index externally as
+    * this docstring's design intends.
     */
   def minhashPairsAgainst(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, minJaccard: Double,
@@ -257,13 +265,27 @@ object Dedup {
   /** Bands needed so the banded miss probability at J = θ, (1−θ^r)^b,
     * stays within the single-row scheme's documented budget (1−θ)^nTables:
     * b ≥ nTables·ln(1−θ)/ln(1−θ^r).
+    *
+    * b is capped at 64 (key volume = b rows/doc through the shuffle). For
+    * very low thresholds the formula exceeds the cap — e.g. θ ≈ 0.1 at
+    * r = 2 wants b ≈ 84 — and the clamp then weakens recall below the
+    * documented budget (miss at J = θ ~0.53 vs the promised ~0.43), so
+    * the clamp is WARNED, not silent: drop to rowsPerBand = 1 (b = 8
+    * suffices at any θ) or raise θ if the warning fires.
     */
   private def bandsFor(minJaccard: Double, nTables: Int, rowsPerBand: Int): Int = {
     require(rowsPerBand >= 1, "rowsPerBand must be >= 1")
     require(minJaccard > 0 && minJaccard < 1, "minJaccard must be in (0, 1)")
-    math.max(1, math.min(64, math.ceil(
+    val raw = math.ceil(
       nTables * math.log1p(-minJaccard) /
-        math.log1p(-math.pow(minJaccard, rowsPerBand))).toInt))
+        math.log1p(-math.pow(minJaccard, rowsPerBand))).toInt
+    if (raw > 64) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bandsFor(θ=$minJaccard, nTables=$nTables, r=$rowsPerBand) wants " +
+          s"$raw bands, clamped to 64: recall at J=θ degrades below the " +
+          "documented (1−θ)^nTables budget. Use rowsPerBand=1 or a higher θ.")
+    }
+    math.max(1, math.min(64, raw))
   }
 
   /** Shared front-end of the banded-LSH dedup operators.

@@ -471,6 +471,11 @@ object CorpusOps {
         require(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
           "j03: RangeJoinRewrite did not fire on the inequality join")
         val rows = df.collect()
+        // pinned-execution collect is only valid for band-aggregate-sized
+        // output (≤80 rows here); the guard keeps a future reuse of this
+        // pattern on unbounded output from silently becoming a driver OOM
+        require(rows.length <= 10000,
+          s"j03: ${rows.length} rows — too large for driver-side pinning")
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       } finally {
         prevW match {
@@ -571,6 +576,9 @@ object CorpusOps {
         require(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
           "j05: RangeJoinRewrite did not fire on the overlap join")
         val rows = df.collect()
+        // same bounded-output contract as j03's pinned-execution collect
+        require(rows.length <= 10000,
+          s"j05: ${rows.length} rows — too large for driver-side pinning")
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       } finally {
         prevW match {

@@ -197,10 +197,15 @@ object GenData {
     write("documents")(spark.range(0, nDocs, 1, par).map { id =>
       // ~5% of docs (ids past the first 2%) are near-dup copies of an
       // earlier doc with a trailing " dup" token — the testdata's planted
-      // near-dup structure (250/5000 `dup` docs, pairwise 100-char prefixes)
+      // near-dup structure (250/5000 `dup` docs, pairwise 100-char prefixes).
+      // The reference is drawn from the first 2% ONLY (ids ≤ nDocs/50 are
+      // never dups themselves), so every planted copy pairs with a real
+      // partner — a uniform earlier id could itself be a dup, whose actual
+      // text is someone ELSE's base + " dup", leaving ~5% of planted
+      // copies partnerless
       val isDup = id > nDocs / 50 && nextInt(Seed, 7, id, 1, 20) == 0
       val text =
-        if (isDup) docBaseText(nextLong(Seed, 7, id, 2, id)) + " dup"
+        if (isDup) docBaseText(nextLong(Seed, 7, id, 2, nDocs / 50)) + " dup"
         else docBaseText(id)
       val langRoll = nextInt(Seed, 7, id, 3, 20)
       val lang = if (langRoll < 8) "en" else Langs(1 + (langRoll - 8) % 4)
