@@ -185,17 +185,24 @@ object Dedup {
     * synthetic corpus, 2× the docs produced 4.0× the candidates (33.2M at
     * 100k docs, >70% from buckets of >100 docs whose pairwise J is far
     * below θ) — a quadratic shuffle that becomes THE bottleneck long
-    * before 100 TB. r = 2 suppresses those background pairs by J² (40×
-    * at J ≈ 0.05) while planted near-dups (J ≈ 1) still collide in
-    * every band.
+    * before 100 TB. Raising r suppresses those background pairs by J^r
+    * while planted near-dups (J ≈ 1) still collide in every band. The
+    * N²·E[J^r] term never vanishes for finite r, but each increment of
+    * r divides its constant by ~E[J]: measured on the synthetic corpus
+    * (three recipe-identical scale points, round 8), r = 2 → r = 3 cut
+    * candidates 25× at 50 k docs (251 k → 9.9 k) and 40× at 250 k docs
+    * (6.13 M → 152 k) with IDENTICAL verified output at both scales —
+    * which is why r = 3 is the default.
     *
     * Recall budget: bands is derived from `minJaccard` so the banded miss
     * probability at J = θ, (1-θ^r)^b, is at most the documented 8-table
-    * single-row budget (1-θ)^8 — for θ = 0.5, r = 2 that gives b = 20
-    * (miss ≤ 0.39%, and ≈ 1e-10 for the J ≈ 0.97 planted pairs; precision
-    * is exact because candidates are re-verified). The sig shuffle carries
-    * b rows/doc instead of 8 (2.5× at θ = 0.5) — bought back many times
-    * over by the candidate reduction.
+    * single-row budget (1-θ)^8 — for θ = 0.5: r = 2 gives b = 20, r = 3
+    * gives b = 42 (miss ≤ 0.39%, and ≈ 1e-9 for the J ≈ 0.97 planted
+    * pairs; precision is exact because candidates are re-verified). The
+    * sig shuffle carries b rows/doc instead of 8 (5.3× at θ = 0.5,
+    * r = 3) — bought back many times over by the candidate reduction.
+    * Below θ ≈ 0.3 the r = 3 band count hits the 64 cap ([[bandsFor]]
+    * warns); drop `rowsPerBand` to 2 or 1 there.
     *
     * Signatures come from the fused [[graft.functions.MinHashSigs]] kernel:
     * one byte-hash per shingle + b·r integer re-hashes, bit-identical
@@ -205,7 +212,24 @@ object Dedup {
     * which exact verification then discards.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double, nTables: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      minJaccard: Double, nTables: Int = 8, rowsPerBand: Int = 3): DataFrame = {
+    val (shingled, candKeys) =
+      minhashCandidateKeys(df, idCol, textCol, minJaccard, nTables, rowsPerBand)
+    val cand = candKeys
+      .join(shingled.select(col("id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(shingled.select(col("id").as("doc_b"), col("hs").as("hb")), "doc_b")
+    verifyJaccard(cand, minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** [[minhashPairs]]'s candidate stage — (shingled, distinct candidate
+    * id pairs). Exposed so scale probes can COUNT the banded candidate
+    * set across scale factors (the quantity the banding exponent
+    * controls; SCALE.md grounds its curves in it).
+    */
+  private[graft] def minhashCandidateKeys(df: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double, nTables: Int,
+      rowsPerBand: Int): (DataFrame, DataFrame) = {
     val bands = bandsFor(minJaccard, nTables, rowsPerBand)
     val (shingled, withSigs) =
       shingleAndBand(df, idCol, textCol, bands, rowsPerBand)
@@ -213,11 +237,7 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    val cand = candKeys
-      .join(shingled.select(col("id").as("doc_a"), col("hs").as("ha")), "doc_a")
-      .join(shingled.select(col("id").as("doc_b"), col("hs").as("hb")), "doc_b")
-    verifyJaccard(cand, minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (shingled, candKeys)
   }
 
   /** Incremental near-dup: match a NEW batch of documents against an
@@ -246,7 +266,7 @@ object Dedup {
     */
   def minhashPairsAgainst(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, minJaccard: Double,
-      nTables: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      nTables: Int = 8, rowsPerBand: Int = 3): DataFrame = {
     val bands = bandsFor(minJaccard, nTables, rowsPerBand)
     val (bShingled, bKeys) =
       shingleAndBand(batch, idCol, textCol, bands, rowsPerBand)

@@ -30,17 +30,19 @@ object LlmOps {
            |FROM documents""".stripMargin),
     (s, d) => Dedup.exactStats(documents(s, d), "text"))
 
-  /** d02 — MinHash+LSH near-dup (banded bucket join, b = 20 bands of
-    * r = 2 minhashes at θ = 0.5). The oracle is the EXACT all-pairs 3-gram
+  /** d02 — MinHash+LSH near-dup (banded bucket join, b = 42 bands of
+    * r = 3 minhashes at θ = 0.5). The oracle is the EXACT all-pairs 3-gram
     * Jaccard (no pruning): candidates are re-verified with exact Jaccard,
     * so precision is exact by construction, and b is derived from θ so the
     * per-pair miss prob at J = θ, (1−θ^r)^b, stays within the documented
     * (1−θ)⁸ ≈ 0.4 % budget — zero misses on this corpus (checked at
     * sf0.001 and sf0.01), so the hash compare is a true recall assertion,
-    * not just a row count. r = 2 is the scale lever: background pairs
-    * (J ≪ θ) collide per band with prob J², which cut the measured
-    * candidate volume 34× at 100k docs vs single-minhash buckets
-    * (see [[graft.llm.Dedup.minhashPairs]]).
+    * not just a row count. The band width r is the scale lever: background
+    * pairs (J ≪ θ) collide per band with prob J^r — r = 2 cut measured
+    * candidates 34× vs single-minhash buckets, and the round-8 three-point
+    * curve showed the remaining J² mass still growing ~N², so r = 3 cut
+    * them a further 25-40× with identical verified output
+    * (see [[graft.llm.Dedup.minhashPairs]] and SCALE.md).
     */
   val d02 = QSpec(
     "d02_minhash_lsh",

@@ -28,9 +28,35 @@ object ScaleProbe {
 
     args(0) match {
       case "d09" => args.drop(1).foreach(d => d09Counts(spark, d))
+      case "d02" => args.drop(1).foreach(d => d02Counts(spark, d, 2))
+      case "d02r3" => args.drop(1).foreach(d => d02Counts(spark, d, 3))
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
+  }
+
+  /** Counts [[Dedup.minhashPairs]]'s banded candidate set and output at
+    * θ = 0.5 on the documents table — the d02 declared query's shape.
+    */
+  private def d02Counts(spark: SparkSession, dir: String, r: Int): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val res = f
+      println(f"PROBE d02(r=$r) $dir $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      res
+    }
+    val candN = timed("candidates")(
+      Dedup.minhashCandidateKeys(docs, "doc_id", "text", 0.5, 8, r)._2.count())
+    spark.catalog.clearCache() // shingleAndBand caches per call (see Dedup)
+    val outN = timed("output_run1")(
+      Dedup.minhashPairs(docs, "doc_id", "text", 0.5, 8, r).count())
+    spark.catalog.clearCache()
+    val out2 = timed("output_run2")(
+      Dedup.minhashPairs(docs, "doc_id", "text", 0.5, 8, r).count())
+    spark.catalog.clearCache()
+    println(s"PROBE d02(r=$r) $dir COUNTS candidates=$candN pairs=$outN pairs2=$out2")
   }
 
   /** Replays the d09 declared query's augmented corpus (every 50th doc
