@@ -282,6 +282,85 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Persist the corpus side of [[minhashPairsAgainst]] as an on-disk
+    * dedup INDEX: band keys (`<path>/bands`) + sorted gram hashes
+    * (`<path>/hashes`) as parquet, plus `_graft_index.json` pinning the
+    * LSH parameters the keys were built with. This is the shape d12's
+    * docstring promises for production: the corpus pays its shingle +
+    * signature cost ONCE at index-build time, and every arriving batch
+    * joins against the stored keys — no corpus recompute per shard, no
+    * per-session cache accumulation. At 100 TB the bands table would be
+    * written bucketed on `bk` so ingest joins are co-located
+    * (x11's lever); plain parquet here keeps the gate portable.
+    */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, minJaccard: Double, nTables: Int = 8,
+      rowsPerBand: Int = 3): Unit = {
+    val bands = bandsFor(minJaccard, nTables, rowsPerBand)
+    val (shingled, keys) =
+      shingleAndBand(corpus, idCol, textCol, bands, rowsPerBand)
+    keys.write.mode("overwrite").parquet(s"$path/bands")
+    shingled.select(col("id"), col("hs"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    shingled.unpersist() // both consumers are materialized — no cache leak
+    val meta = s"""{"minJaccard": $minJaccard, "nTables": $nTables, """ +
+      s""""rowsPerBand": $rowsPerBand, "bands": $bands}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_index.json"), meta)
+  }
+
+  /** Incremental near-dup against a [[writeMinhashIndex]] index: the
+    * batch contributes its own shingles + keys; the corpus side comes
+    * entirely from the stored parquet. The index's recorded LSH
+    * parameters must match the requested ones (a θ/r mismatch would
+    * silently change the recall budget — refused loudly instead).
+    * Output: (new_id, corpus_id, jaccard), identical to
+    * [[minhashPairsAgainst]] on the same frames — which is exactly what
+    * the d13 oracle asserts.
+    */
+  def minhashPairsAgainstIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String, minJaccard: Double, nTables: Int = 8,
+      rowsPerBand: Int = 3): DataFrame = {
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_graft_index.json"))
+    val expected = s"""{"minJaccard": $minJaccard, "nTables": $nTables, """ +
+      s""""rowsPerBand": $rowsPerBand, "bands": ${bandsFor(minJaccard, nTables, rowsPerBand)}}"""
+    require(meta == expected,
+      s"index at $path was built with $meta, requested $expected")
+    val spark = batch.sparkSession
+    val (bShingled, bKeys) = shingleAndBand(batch, idCol, textCol,
+      bandsFor(minJaccard, nTables, rowsPerBand), rowsPerBand)
+    val cKeys = spark.read.parquet(s"$path/bands")
+    val cHashes = spark.read.parquet(s"$path/hashes")
+    val candKeys = bKeys.as("a").join(cKeys.as("b"), col("a.bk") === col("b.bk"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val cand = candKeys
+      .join(bShingled.select(col("id").as("new_id"), col("hs").as("ha")), "new_id")
+      .join(cHashes.select(col("id").as("corpus_id"), col("hs").as("hb")), "corpus_id")
+    verifyJaccard(cand, minJaccard)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Keeper selection over near-dup GROUPS: given [[connectedComponents]]
+    * output and a per-doc quality frame, keep the highest-quality doc per
+    * group (doc id breaks ties deterministically). The step that turns
+    * dedup groups into a retention decision — keep-BEST, the curation
+    * upgrade over d06's keep-first. One shuffle on group_id; the
+    * struct-max aggregates map-side like any min/max.
+    * Output: (group_id, keeper_id, keeper_quality, n_docs).
+    */
+  def keeperByQuality(groups: DataFrame, quality: DataFrame,
+      idCol: String, qualityCol: String): DataFrame =
+    groups.join(quality.withColumnRenamed(idCol, "__q_id"),
+        col("doc_id") === col("__q_id"))
+      .groupBy("group_id")
+      .agg(
+        max(struct(col(qualityCol).as("q"), (-col("__q_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("group_id"), (-col("best.nid")).cast("long").as("keeper_id"),
+        col("best.q").as("keeper_quality"), col("n_docs"))
+
   /** Bands needed so the banded miss probability at J = θ, (1−θ^r)^b,
     * stays within the single-row scheme's documented budget (1−θ)^nTables:
     * b ≥ nTables·ln(1−θ)/ln(1−θ^r).

@@ -293,6 +293,99 @@ object LlmOps {
         .orderBy("new_id", "corpus_id")
     })
 
+  /** d13 — incremental dedup against a PERSISTED index
+    * ([[Dedup.writeMinhashIndex]] / [[Dedup.minhashPairsAgainstIndex]]):
+    * the corpus (even ids) pays its shingle + signature cost once and is
+    * written as on-disk band keys + sorted hashes; the batch (odd ids)
+    * then matches against the stored index. Same exact cross-set oracle
+    * as d12 — so the gate asserts the store/load round-trip loses
+    * NOTHING vs d12's in-memory recompute path. This is the d12
+    * docstring's production ingest shape made concrete: per-shard cost
+    * is O(batch + collisions), the corpus is never re-shingled.
+    */
+  val d13 = QSpec(
+    "d13_dedup_index",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS inter
+           |      FROM g a JOIN g b ON a.gram = b.gram
+           |      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           |      GROUP BY 1, 2)
+           |SELECT new_id, corpus_id,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           |FROM p JOIN sz sa ON new_id = sa.doc_id JOIN sz sb ON corpus_id = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+           |ORDER BY new_id, corpus_id""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d)
+      val idx = graft.util.Tables.scratch(d, "d13_index")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idx, 0.5)
+      Dedup.minhashPairsAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idx, 0.5)
+        .orderBy("new_id", "corpus_id")
+    })
+
+  /** d14 — keeper selection over near-dup groups: d07's components joined
+    * with t02's quality score; the highest-quality doc per group survives
+    * (doc id breaks rounded-score ties). Keep-BEST — the curation upgrade
+    * over d06's keep-first, and the step that turns pair/group detection
+    * into an actual retention decision. Oracle: d07's recursive-CTE
+    * components + the t02 quality formula + a deterministic
+    * ROW_NUMBER argmax.
+    */
+  val d14 = QSpec(
+    "d14_keeper_selection",
+    Some("""WITH RECURSIVE
+           |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g0 AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 10),
+           |g AS (SELECT g0.* FROM g0 JOIN rare USING (gram)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |pairs AS (SELECT doc_a, doc_b
+           |          FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+           |groups AS (SELECT a AS doc_id, MIN(b) AS group_id FROM reach GROUP BY a),
+           |q AS (SELECT doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS word_cnt,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS BIGINT) AS stop_cnt
+           |  FROM documents),
+           |scored AS (SELECT doc_id,
+           |    ROUND(LEAST(1.0, word_cnt / 100.0) * (1.0 - stop_cnt / word_cnt), 6) AS quality_score
+           |  FROM q),
+           |ranked AS (SELECT g.group_id, g.doc_id, s.quality_score,
+           |    ROW_NUMBER() OVER (PARTITION BY g.group_id
+           |                       ORDER BY s.quality_score DESC, g.doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY g.group_id) AS n_docs
+           |  FROM groups g JOIN scored s ON g.doc_id = s.doc_id)
+           |SELECT group_id, doc_id AS keeper_id, quality_score AS keeper_quality,
+           |  CAST(n_docs AS BIGINT) AS n_docs
+           |FROM ranked WHERE rn = 1 ORDER BY group_id""".stripMargin),
+    (s, d) => {
+      val groups = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.5,
+          maxDocFreq = Some(10)),
+        "doc_a", "doc_b")
+      Dedup.keeperByQuality(groups,
+        scoredDocs(s, d).select("doc_id", "quality_score"),
+        "doc_id", "quality_score")
+        .orderBy("group_id")
+    })
+
   /** s01 — brute-force cosine top-k (the exact baseline; oracle mirrors the
     * fused dot/norm loop of graft.functions.CosineSimilarity).
     */
@@ -1278,6 +1371,6 @@ object LlmOps {
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
-    d12, s01, s02, s03, s04, s05, t01, t02, t03, t04, t06, t07, t08, t09, t11,
-    t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03)
+    d12, d13, d14, s01, s02, s03, s04, s05, t01, t02, t03, t04, t06, t07, t08,
+    t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03)
 }

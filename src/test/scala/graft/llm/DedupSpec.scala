@@ -208,6 +208,40 @@ class DedupSpec extends SparkSpec {
     pairs.find(p => p._1 == 1L && p._2 == 4L).map(_._3) shouldBe Some(0)
   }
 
+  test("minhash index round-trip equals the in-memory incremental path") {
+    val dir = tmpDir("minhash_idx")
+    val corpus = docs.filter("doc_id % 2 = 0")
+    val batch = docs.filter("doc_id % 2 = 1")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir, 0.5)
+    val viaIndex = Dedup.minhashPairsAgainstIndex(batch, "doc_id", "text", dir, 0.5)
+      .select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().sorted
+    val inMemory = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text", 0.5)
+      .select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().sorted
+    viaIndex shouldBe inMemory
+    viaIndex should not be empty // 1↔4 exact dup crosses the odd/even split
+  }
+
+  test("minhash index refuses mismatched LSH parameters") {
+    val dir = tmpDir("minhash_idx_bad")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", dir, 0.5)
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashPairsAgainstIndex(docs, "doc_id", "text", dir, 0.7))
+    e.getMessage should include("was built with")
+  }
+
+  test("keeperByQuality keeps the best-quality doc, id breaks ties") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "group_id")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.4), (11L, 0.4))
+      .toDF("doc_id", "quality_score")
+    val got = Dedup.keeperByQuality(groups, quality, "doc_id", "quality_score")
+      .select("group_id", "keeper_id", "n_docs")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    got shouldBe Array((1L, 2L, 3L), (10L, 10L, 2L)) // 2 beats 3 on the tie
+  }
+
   test("longSubstringPairs recovers exact span lengths on planted overlaps") {
     // 20-token base; doc 11 copies tokens 3..14 (12 tokens) of doc 10 with
     // unique filler; doc 12 copies only 9 tokens (below minSpan); doc 13
