@@ -151,6 +151,34 @@ object Similarity {
       km.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 
+  /** Persist an [[IvfIndex]]: the inverted lists (cluster-keyed member
+    * embeddings — the full-pass assignment output, the expensive part)
+    * as parquet, the centroid table (nClusters × dim floats, driver-sized
+    * by construction) alongside it. At 100 TB the inverted table would
+    * additionally be bucketed/partitioned BY `cluster` so a probe's
+    * nprobe cluster scan prunes to exactly those files; plain parquet
+    * keeps the gate portable. Round-trip fidelity is float-exact, which
+    * the s06 gate asserts search-result-for-search-result.
+    */
+  def writeIvfIndex(idx: IvfIndex, path: String): Unit = {
+    val spark = idx.inverted.sparkSession
+    import spark.implicits._
+    idx.inverted.write.mode("overwrite").parquet(s"$path/inverted")
+    idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a [[writeIvfIndex]] store. The centroid fetch is nClusters
+    * rows — index metadata, not data. */
+  def readIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select("cid", "cv").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+    IvfIndex(spark.read.parquet(s"$path/inverted"), centroids)
+  }
+
   /** The `nprobe` nearest clusters per probe: (p_id, p_emb, cluster) rows.
     * The centroid list is tiny and fixed → literal array, evaluated per
     * probe row.

@@ -455,6 +455,39 @@ object LlmOps {
           .as("scan_frac_le_050"))
     })
 
+  /** s06 — PERSISTED IVF index ([[Similarity.writeIvfIndex]] /
+    * [[Similarity.readIvfIndex]]): the ANN twin of d13's dedup index.
+    * The index (inverted lists + centroids) is written to parquet, read
+    * back, and searched; the declared output asserts the stored-index
+    * search equals the in-memory-index search ROW FOR ROW (full-outer
+    * join on (p_id, rank), zero mismatches on neighbor and similarity).
+    * KMeans isn't SQL-replicable, so the oracle pins the fidelity
+    * contract — 50 aligned rows, 0 mismatches — which is deterministic
+    * because the build is seeded and top-k ties break on vec_id.
+    */
+  val s06 = QSpec(
+    "s06_ivf_index_store",
+    Some("""SELECT CAST(50 AS BIGINT) AS n_rows,
+           | CAST(0 AS BIGINT) AS n_mismatch""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+      val idx = Similarity.buildIvfIndex(s, emb, "vec_id", "embedding", 256)
+      val path = graft.util.Tables.scratch(d, "s06_ivf")
+      Similarity.writeIvfIndex(idx, path)
+      val stored = Similarity.readIvfIndex(s, path)
+      val mem = Similarity.ivfSearch(s, idx, probes, "vec_id", "embedding", 10, 80)
+        .select(col("p_id"), col("rank"),
+          col("neighbor_id").as("n1"), col("sim").as("s1"))
+      val disk = Similarity.ivfSearch(s, stored, probes, "vec_id", "embedding", 10, 80)
+        .select(col("p_id"), col("rank"),
+          col("neighbor_id").as("n2"), col("sim").as("s2"))
+      mem.join(disk, Seq("p_id", "rank"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n1") <=> col("n2") && col("s1") <=> col("s2"), 0)
+            .otherwise(1)).cast("long").as("n_mismatch"))
+    })
+
   /** s03 — IVF centroid construction: mean embedding per label cluster
     * (posexplode → per-(label, dim) exact mean). This is the build step of
     * an IVF index (s02's buckets generalize to these centroids); the
@@ -1371,6 +1404,6 @@ object LlmOps {
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
-    d12, d13, d14, s01, s02, s03, s04, s05, t01, t02, t03, t04, t06, t07, t08,
+    d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03)
 }

@@ -351,6 +351,83 @@ object StreamOps {
         .orderBy("hour_start")
     })
 
+  /** st07 — stream-stream LEFT OUTER join: the streaming operator class
+    * st04 (inner) doesn't cover — unmatched left rows are held in state
+    * and emitted null-extended only when the watermark proves no match
+    * can still arrive. Determinism needs every outer state to FLUSH
+    * before the query ends, so the backlog appends typed watermark
+    * HEARTBEAT batches 30/60 days past the fixture (see the pusher
+    * comment below — each side's watermark only advances on rows that
+    * survive that side's type filter): after they drain, the final
+    * micro-batch's watermark postdates every view's expiry, so the
+    * drained result equals the batch left-outer join exactly — views
+    * with an in-window purchase emit pairs, views without emit one null
+    * row, nothing is stranded in state. Unlike st04's raw-µs condition, the range condition here
+    * MUST be on the watermarked timestamp columns — outer joins refuse
+    * to plan without an event-time constraint to derive state expiry
+    * from. Output: per-user matched-pair and unmatched-view counts.
+    */
+  val st07 = QSpec(
+    "st07_stream_outer_join",
+    Some("""WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS ts_v
+           |          FROM events WHERE event_type = 'view'),
+           |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_p
+           |      FROM events WHERE event_type = 'purchase'),
+           |j AS (SELECT v.user_id, v.view_id, p.purchase_id
+           |      FROM v LEFT JOIN p ON v.user_id = p.user_id
+           |       AND p.ts_p >= v.ts_v AND p.ts_p <= v.ts_v + 3600000000)
+           |SELECT user_id, CAST(COUNT(purchase_id) AS BIGINT) AS n_matched,
+           |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_unmatched
+           |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val maxUs = ev.agg(max("ts_us")).head.getLong(0) // O(1) driver fetch
+      val base = ev.withColumn("et", timestamp_micros(col("ts_us")))
+      // Watermark-heartbeat batches: each side's watermark operator only
+      // sees rows that SURVIVE that side's type filter (Catalyst pushes
+      // the deterministic filter below EventTimeWatermark), so a
+      // neutral-typed pusher row would advance nothing and the last
+      // ~delay of views would stay stranded in state. The heartbeats are
+      // therefore typed 'view' and 'purchase' for a sentinel user (−1,
+      // matches nothing; 30 d apart so they can't pair with each other),
+      // exactly the production pattern for keeping watermarks moving on
+      // sparse streams; the sentinel is filtered from the drained result.
+      def pusher(us: Long, typ: String) = s.range(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit(typ).as("event_type"), lit(us).as("ts_us"),
+        timestamp_micros(lit(us)).as("et"))
+      val backlog = batchBacklog(s, d, "st07", base,
+        pusher(maxUs + 2592000000000L, "view"),
+        pusher(maxUs + 2L * 2592000000000L, "purchase"))
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+      val views = stream
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("event_type").as("v_type"), col("et").as("et_v"))
+        .withWatermark("et_v", "1 hour")
+        .filter(col("v_type") === "view")
+      val purchases = stream
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("event_type").as("p_type"), col("et").as("et_p"))
+        .withWatermark("et_p", "1 hour")
+        .filter(col("p_type") === "purchase")
+      val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("et_p") >= col("et_v") &&
+            col("et_p") <= col("et_v") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("v_user").as("user_id"), col("purchase_id"))
+      drainToTable(joined, "st07", d, "append")
+        .filter(col("user_id") >= 0) // drop the sentinel heartbeats
+        .groupBy("user_id")
+        .agg(count(col("purchase_id")).as("n_matched"),
+          sum(when(col("purchase_id").isNull, 1).otherwise(0)).cast("long")
+            .as("n_unmatched"))
+        .orderBy("user_id")
+    })
+
   /** Materializes DataFrames as an N-file backlog dir (one parquet file
     * each, modTimes 2 min apart so the file source's oldest-first order
     * is deterministic) and returns the dir path. Rebuilt from scratch on
@@ -405,5 +482,5 @@ object StreamOps {
     (s.table(view), dropped)
   }
 
-  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06)
+  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07)
 }
