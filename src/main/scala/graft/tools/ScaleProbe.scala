@@ -30,9 +30,119 @@ object ScaleProbe {
       case "d09" => args.drop(1).foreach(d => d09Counts(spark, d))
       case "d02" => args.drop(1).foreach(d => d02Counts(spark, d, 2))
       case "d02r3" => args.drop(1).foreach(d => d02Counts(spark, d, 3))
+      case "d13" => args.drop(1).foreach(d => d13Counts(spark, d))
+      case "d14" => args.drop(1).foreach(d => d14Counts(spark, d))
+      case "s06" => args.drop(1).foreach(d => s06Counts(spark, d))
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
+  }
+
+  private def timedP[T](probe: String, dir: String, label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val res = f
+    println(f"PROBE $probe $dir $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    res
+  }
+
+  /** d13's persisted-index ingest shape at scale: build the corpus index
+    * once (even ids), then match the batch (odd ids) against the STORE.
+    * Counts: stored band keys, cross candidate pairs (batch keys × stored
+    * keys — measured by also writing the batch's keys and joining the two
+    * band tables, public API only), verified output pairs. The scale
+    * claim under test: ingest cost tracks batch size + collisions, with
+    * the corpus contributing only its one-time key volume.
+    */
+  private def d13Counts(spark: SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val root = s"/tmp/graft_probe_d13_${new java.io.File(dir).getName}"
+    timedP("d13", dir, "index_build")(
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", s"$root/c", 0.5))
+    spark.catalog.clearCache()
+    val keyN = spark.read.parquet(s"$root/c/bands").count()
+    Dedup.writeMinhashIndex(batch, "doc_id", "text", s"$root/b", 0.5)
+    spark.catalog.clearCache()
+    val candN = spark.read.parquet(s"$root/b/bands").as("a")
+      .join(spark.read.parquet(s"$root/c/bands").as("b"),
+        col("a.bk") === col("b.bk"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    val out1 = timedP("d13", dir, "match_run1")(
+      Dedup.minhashPairsAgainstIndex(batch, "doc_id", "text", s"$root/c", 0.5)
+        .count())
+    spark.catalog.clearCache()
+    val out2 = timedP("d13", dir, "match_run2")(
+      Dedup.minhashPairsAgainstIndex(batch, "doc_id", "text", s"$root/c", 0.5)
+        .count())
+    spark.catalog.clearCache()
+    println(s"PROBE d13 $dir COUNTS corpus_keys=$keyN candidates=$candN " +
+      s"pairs=$out1 pairs2=$out2")
+  }
+
+  /** d14's group-then-keep pipeline at scale: df-capped gram pairs →
+    * connected components → one-shuffle struct-max keeper. Counts: kept
+    * pairs, group-membership rows, keeper rows. The pair stage is d04's
+    * (bounded fanout ≤ cap² per gram); components and keeper add one
+    * bounded iteration and one group_id shuffle on top.
+    */
+  private def d14Counts(spark: SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val quality = docs.select(col("doc_id"),
+      (least(lit(1.0), size(split(col("text"), " ")).cast("double") / 100.0))
+        .as("quality_score"))
+    def run(): (Long, Long, Long) = {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxDocFreq = Some(10))
+      val pairN = pairs.count()
+      val groups = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val memberN = groups.count()
+      val keeperN = Dedup.keeperByQuality(groups, quality,
+        "doc_id", "quality_score").count()
+      (pairN, memberN, keeperN)
+    }
+    val (p1, m1, k1) = timedP("d14", dir, "pipeline_run1")(run())
+    spark.catalog.clearCache()
+    val _ = timedP("d14", dir, "pipeline_run2")(run())
+    spark.catalog.clearCache()
+    println(s"PROBE d14 $dir COUNTS pairs=$p1 members=$m1 keepers=$k1")
+  }
+
+  /** s06's persisted-IVF shape at production sizing (nClusters ≈ √n,
+    * nprobe at s02's 31 % scan ratio): build + write, read + search 50
+    * probes from the STORE. Counts: inverted rows (= corpus), scanned
+    * candidate rows across all probes, result rows. The scale claim:
+    * search cost per probe tracks scanned-fraction × corpus, and the
+    * store round-trip changes nothing (the s06 gate's fidelity claim).
+    */
+  private def s06Counts(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val nClusters = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(1, math.ceil(nClusters * 80.0 / 256.0).toInt)
+    val probes = emb.filter(col("vec_id") < 50)
+    val root = s"/tmp/graft_probe_s06_${new java.io.File(dir).getName}"
+    val idx = timedP("s06", dir, s"build(k=$nClusters)")(
+      Similarity.buildIvfIndex(spark, emb, "vec_id", "embedding", nClusters))
+    timedP("s06", dir, "write")(Similarity.writeIvfIndex(idx, root))
+    val stored = Similarity.readIvfIndex(spark, root)
+    val invN = stored.inverted.count()
+    val scanned = Similarity
+      .probeClusters(spark, stored, probes, "vec_id", "embedding", nprobe)
+      .join(stored.inverted.groupBy("cluster").count(), "cluster")
+      .agg(coalesce(sum(col("count")), lit(0L))).head.getLong(0)
+    val r1 = timedP("s06", dir, "search_run1")(
+      Similarity.ivfSearch(spark, stored, probes, "vec_id", "embedding",
+        10, nprobe).count())
+    val r2 = timedP("s06", dir, "search_run2")(
+      Similarity.ivfSearch(spark, stored, probes, "vec_id", "embedding",
+        10, nprobe).count())
+    println(s"PROBE s06 $dir COUNTS inverted=$invN scanned=$scanned " +
+      s"results=$r1 results2=$r2 nprobe=$nprobe nClusters=$nClusters")
   }
 
   /** Counts [[Dedup.minhashPairs]]'s banded candidate set and output at
