@@ -181,6 +181,36 @@ object Curation {
   def stratifiedSample(df: DataFrame, idCol: String, ratePct: Column): Column =
     hashBucket(col(idCol), "strat:") < ratePct
 
+  /** Seeded deterministic corpus shuffle into training shards: each row
+    * gets key = md5(seed ":" id), shard = key mod nShards, and pos = rank
+    * of its key within the shard. The three properties a 100 TB
+    * pre-training shuffle needs: REPRODUCIBLE (a pure function of
+    * (seed, id) — same order at any cluster size, any ingest order, any
+    * re-run), UNIFORM (md5 bits — no correlation with ingest order, so
+    * adjacent source docs scatter across shards), and WRITE-SHAPED
+    * (shard = one hash-partitioned shuffle, the within-shard rank is the
+    * order a shard file is written in — so the "global random
+    * permutation" costs exactly one partitioned sort, never a
+    * random-access gather). A new seed is a new epoch order for free; no
+    * source data moves until the write. The per-shard `Window` sort is
+    * the honest cost: it is the sort the shard writer must do anyway.
+    * Output: input columns + (shard, pos).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    // 12 hex chars = 48 bits: collision-negligible for ranking, and safely
+    // inside BIGINT for the DuckDB oracle's ('0x' || hex) cast
+    val key = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("long")
+    df.withColumn("__shuffle_key", key)
+      .withColumn("shard", (col("__shuffle_key") % nShards).cast("int"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("__shuffle_key"), col(idCol))) - 1).cast("long"))
+      .drop("__shuffle_key")
+  }
+
   /** Temperature-sampling mixture weights over strata (the multilingual
     * data-mixing rule, p_i ∝ n_i^(1/T) with T = 2): per stratum,
     * weight = sqrt(n_i) / Σ_j sqrt(n_j). sqrt is correctly rounded in
@@ -222,5 +252,33 @@ object Curation {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_toks"),
         round(sum(lp) / count(lit(1)), 4).as("avg_logprob"))
+  }
+
+  /** One merge-step of BPE tokenizer TRAINING, distributed: adjacent
+    * symbol-pair frequencies over the corpus. (t14's `bpeCounts` is the
+    * inference side — applying a tokenizer; this is the statistics pass
+    * that builds one.) The scale design is the two-level shrink standard
+    * since the original BPE/wordpiece trainers: the corpus collapses to
+    * its DISTINCT word vocabulary with counts first — the only
+    * corpus-sized shuffle, and it carries (word, count) pairs, ~2 % of
+    * corpus bytes — and the quadratic-looking pair explosion runs on the
+    * vocabulary only (Heaps'-law sized, orders of magnitude smaller than
+    * the corpus; the HOF there is deliberately off the corpus-scan hot
+    * path). The argmax row is the pair BPE merges next; re-running after
+    * applying a merge is the training loop.
+    * Output: (pair, cnt) — every adjacent 2-symbol window, weighted by
+    * word frequency.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val vocab = docs
+      .select(explode(filter(split(col(textCol), " "), w => w =!= ""))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2) // 1-char words have no pairs
+    vocab
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
   }
 }

@@ -815,6 +815,60 @@ object CorpusOps {
         .orderBy("source")
     })
 
+  /** p10 — seeded deterministic shuffle-shard ([[Curation.shuffleShards]]):
+    * the global random permutation every pre-training run applies to its
+    * corpus before writing shard files, as one hash-partitioned sort —
+    * reproducible at any cluster size (key is a pure function of
+    * (seed, doc_id)), uniform across shards, and write-shaped (shard =
+    * shuffle partition, pos = the order the shard file is written in).
+    * The declared output pins the ENTIRE permutation, not just shard
+    * sizes: `order_checksum` = Σ (pos+1)·((doc_id mod 1000003)+1) per
+    * shard changes if any two rows within a shard swap positions, and
+    * `first_doc` pins each shard's head. The oracle replays the md5 key
+    * and ROW_NUMBER rank exactly.
+    */
+  val p10 = QSpec(
+    "p10_shuffle_shard",
+    Some("""WITH k AS (SELECT doc_id,
+           |    CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 12))
+           |         AS BIGINT) AS key
+           |  FROM documents),
+           |s AS (SELECT doc_id, key % 8 AS shard,
+           |        ROW_NUMBER() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) - 1 AS pos
+           |      FROM k)
+           |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+           |  CAST(MIN(CASE WHEN pos = 0 THEN doc_id END) AS BIGINT) AS first_doc,
+           |  CAST(SUM((pos + 1) * ((doc_id % 1000003) + 1)) AS BIGINT) AS order_checksum
+           |FROM s GROUP BY shard ORDER BY shard""".stripMargin),
+    (s, d) => Curation.shuffleShards(documents(s, d), "doc_id", "ep0", 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("pos") === 0, col("doc_id"))).as("first_doc"),
+        sum((col("pos") + 1) * (col("doc_id") % 1000003 + 1))
+          .as("order_checksum"))
+      .orderBy("shard"))
+
+  /** t16 — BPE tokenizer-training pair statistics
+    * ([[Curation.bpePairCounts]]): the distributed inner loop of building
+    * a tokenizer (t14 is the inference twin — applying one). Corpus →
+    * distinct-word vocabulary with counts is the only corpus-sized
+    * shuffle; the adjacent-pair explosion runs on the vocabulary only.
+    * Top 30 pairs by weighted frequency — the head of this list is the
+    * merge BPE applies next.
+    */
+  val t16 = QSpec(
+    "t16_bpe_pair_counts",
+    Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+           |        FROM documents),
+           |v AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+           |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+           |      FROM v, UNNEST(range(1, len(word))) AS t(i)
+           |      WHERE len(word) >= 2)
+           |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+           |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin),
+    (s, d) => Curation.bpePairCounts(documents(s, d), "text")
+      .orderBy(col("cnt").desc, col("pair")).limit(30))
+
   /** j06 — NEAREST as-of join with tolerance (the `merge_asof
     * (direction='nearest', tolerance=…)` surface): each click matched to
     * the same user's closest purchase within ±10 min, backward winning
@@ -908,5 +962,5 @@ object CorpusOps {
 
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    w06, m13)
+    p10, t16, w06, m13)
 }
