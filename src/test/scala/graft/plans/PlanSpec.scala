@@ -22,8 +22,14 @@ class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** (shuffles, broadcasts, codegenStages, scan widths sorted). */
+  /** (shuffles, broadcasts, codegenStages, scan widths sorted).
+    * Measured on a cold cache: the suite shares one session, and the
+    * CacheManager substitutes InMemoryRelation for any plan fragment an
+    * earlier suite cached over the same parquet path — which silently
+    * changes exchange counts with run order (seen once: s02 9-vs-10).
+    */
   private def finalShape(name: String): (Int, Int, Int, Seq[Int]) = {
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect()
     val full = df.queryExecution.executedPlan.toString
