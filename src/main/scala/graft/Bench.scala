@@ -42,6 +42,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tables.preflight(spark, sfDir)
 
     // Warmup: absorb JVM/codegen/executor init so it isn't billed to the
     // first query in alphabetical order.

@@ -176,5 +176,9 @@ object GraftFunctions {
       registry.registerFunction(rep, RepetitionStats.info,
         (children: Seq[Expression]) => RepetitionStats(children.head))
     }
+    val gm = org.apache.spark.sql.catalyst.FunctionIdentifier("gram_moments")
+    if (!registry.functionExists(gm)) {
+      registry.registerFunction(gm, GramMoments.info, GramMoments.build _)
+    }
   }
 }

@@ -353,38 +353,33 @@ object MlOps {
            |  TRUE AS top8_share_ge_015
            |FROM s""".stripMargin),
     (s, d) => {
-      import org.apache.spark.sql.types.DecimalType
       // single-file parquet plans 1 split: fan the CPU-bound decimal
       // passes out to session parallelism (the a13/q17 lesson)
       val embF = graft.util.Exact.fanOut(
-        embeddings(s, d).select(col("vec_id"), col("embedding")))
+        embeddings(s, d).select(col("embedding")))
       // ONE corpus scan for ALL moments: augment each vector with a
       // sentinel 1.0 element, then the upper-triangle self-products of the
       // augmented vector contain every statistic — (i,j) with j<d the
       // cross moments, (i,i) the squares, (i,d) the first moments (vi·1),
-      // and (d,d) the row count (1·1). Nested generators keep it
-      // scan-shaped (each row multiplies its own elements, no self-join);
-      // one partial+final decimal aggregate with O(d²) state ships
-      // (d+1)(d+2)/2 = 2,145 rows to the driver. Previous shape ran the
-      // diagonal and cross moments as two separate actions — two corpus
-      // scans, 2× the dominant stage at 100 TB.
-      // the augmented array stays FLOAT through both generate stages
-      // (elements cast to double only at the product): carrying a
-      // pre-cast array<double> through the explodes doubles the
-      // intermediate row width and measured 2.6× slower
-      val momentRows = embF
-        .select(concat(col("embedding"), array(lit(1.0f))).as("e"))
-        .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
-        .select(col("i"), col("vi").cast("double").as("vi"),
-          posexplode(expr("slice(e, i + 1, size(e))")).as(Seq("p", "vj")))
-        .select(col("i"), (col("i") + col("p")).as("j"),
-          (col("vi") * col("vj").cast("double")).as("v"))
-        .groupBy("i", "j")
-        .agg(sum(col("v").cast(DecimalType(30, 8))).cast("double").as("sv"))
-        .collect()
-      val m = momentRows.map(r =>
-        (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Double]("sv")).toMap
-      val dims = m.keys.map(_._2).max // sentinel index d == real dim count
+      // and (d,d) the row count (1·1). [[graft.functions.GramMoments]]
+      // accumulates all (d+1)(d+2)/2 = 2,145 exact-decimal sums inside
+      // ONE TypedImperativeAggregate — O(d²) state per partition, partial
+      // merge at the single exchange, identical 8-dp decimal rounding to
+      // the previous sum(cast(v as DECIMAL(30,8))) plan. The previous
+      // shape fanned every row out 2,080× through two Generate stages
+      // before the hash aggregate — the dominant cost at 100 TB of
+      // embeddings (r8 verdict), now deleted: rows never leave the scan.
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val flat = embF
+        .agg(call_function("gram_moments", col("embedding")).as("m"))
+        .head.getSeq[Double](0)
+      // flat is the row-major upper triangle over the augmented dim
+      val aug = ((math.sqrt(8.0 * flat.length + 1) - 1) / 2).round.toInt
+      def cellAt(i: Int, j: Int): Double = // j >= i
+        flat(i * aug - i * (i - 1) / 2 + (j - i))
+      val m = (for { i <- 0 until aug; j <- i until aug }
+        yield (i, j) -> cellAt(i, j)).toMap
+      val dims = aug - 1 // sentinel index d == real dim count
       val n = m((dims, dims))
       val sx = Array.tabulate(dims)(i => m((i, dims)))
       val cov = breeze.linalg.DenseMatrix.zeros[Double](dims, dims)

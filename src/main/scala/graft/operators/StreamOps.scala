@@ -39,7 +39,10 @@ object StreamOps {
     */
   private def eventStream(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val schema = events(s, d).schema // also sets the nanosAsLong conf
+    // The file source's user-supplied schema must match the on-disk files,
+    // so take the RAW schema here and apply the long-ns normalization to
+    // the streamed frame below (same contract as the batch loader).
+    val schema = eventsRaw(s, d).schema // also sets the nanosAsLong conf
     // the file source only accepts directories; expose the single backlog
     // file through a scratch dir (symlink — no copy) instead
     val dir = new java.io.File(Tables.scratch(d, "stream_events_src"))
@@ -54,7 +57,8 @@ object StreamOps {
         link, java.nio.file.Paths.get(s"$d/events.parquet"))
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
-    s.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(dir.getAbsolutePath))
   }
 
   /** Runs `q` as an AvailableNow streaming query into a memory sink and

@@ -20,14 +20,64 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark only reads (as
-    // long nanos) under this flag; it is runtime-settable, so set it here
-    // defensively for sessions that didn't configure it at build time
+    // Older testdata generations wrote TIMESTAMP(NANOS), which Spark only
+    // reads (as long nanos) under this flag; set it defensively so that
+    // schema still loads, then normalize whatever arrived.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** Raw (un-normalized) events frame — only for callers that need the
+    * on-disk schema, e.g. the streaming file source whose user-supplied
+    * schema must match the files. Everything else goes through
+    * [[events]] / [[normalizeEventTs]].
+    */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
   }
+
+  /** The repo-wide `events.ts` contract is LONG EPOCH NANOSECONDS (every
+    * temporal/streaming query does `ts div 1000` etc. on it). The driver's
+    * testdata generator has shipped the column as TIMESTAMP(NANOS)-read-
+    * as-long in some generations and as timestamp[us] (TIMESTAMP_NTZ under
+    * Spark 4.1.2) in others; adapt whichever schema arrives to the long-ns
+    * view so call sites never care. All sessions pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→TZ cast below is a no-op
+    * on the underlying micros.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df // already epoch-ns
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts",
+          (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as $other — expected LONG (epoch-ns), " +
+            "TIMESTAMP or TIMESTAMP_NTZ; the testdata generator changed " +
+            "again. Teach Tables.normalizeEventTs the new shape.")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Round-boundary preflight (Bench/Verify): surface the events.ts
+    * on-disk shape up front and fail fast — with a message naming the file
+    * to fix — if the generator shipped a shape [[normalizeEventTs]] can't
+    * adapt. Round 8 lost 17 queries to an analysis error this one-line
+    * check would have caught at the first commit.
+    */
+  def preflight(s: SparkSession, d: String): Unit = {
+    val raw = eventsRaw(s, d).schema("ts").dataType
+    val norm = events(s, d).schema("ts").dataType // throws on unknown shapes
+    System.err.println(
+      s"[graft preflight] events.ts: on-disk=$raw normalized=$norm (contract: LongType epoch-ns)")
+    require(norm == org.apache.spark.sql.types.LongType,
+      s"events.ts normalized to $norm, not LongType — Tables.normalizeEventTs is broken")
+  }
 
   /** Scratch dir (inside the repo) for sink/round-trip queries. Keyed by the
     * scale-factor dir name so concurrent sf runs don't clobber each other.

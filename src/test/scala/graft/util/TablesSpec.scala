@@ -1,0 +1,78 @@
+package graft.util
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The `events.ts` long-epoch-ns contract (see Tables.normalizeEventTs).
+  *
+  * The round-8 regression: the harness regenerated events.parquet with
+  * `ts` as timestamp[us] (TIMESTAMP_NTZ in Spark 4.1.2) where it used to
+  * be TIMESTAMP(NANOS)-read-as-long, and 17 temporal/streaming queries
+  * failed analysis on `ts div 1000`. These tests pin the adapter for every
+  * schema shape the generator has shipped, on hand-computed values, so a
+  * future regen in EITHER direction fails here first — not in the driver's
+  * round artifacts.
+  */
+class TablesSpec extends SparkSpec {
+
+  // 2024-01-08T00:00:00Z in the three encodings the generator has used
+  private val epochUs = 1704672000000000L
+  private val epochNs = 1704672000000000000L
+
+  test("normalizeEventTs: LongType (epoch-ns) passes through untouched") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, epochNs)),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", LongType))))
+    val out = Tables.normalizeEventTs(df)
+    out.schema("ts").dataType shouldBe LongType
+    out.collect().head.getLong(1) shouldBe epochNs
+    // same plan object — passthrough must not insert a projection
+    out eq df shouldBe true
+  }
+
+  test("normalizeEventTs: TIMESTAMP_NTZ (µs) becomes exact epoch-ns") {
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, java.time.LocalDateTime.ofEpochSecond(
+          epochUs / 1000000, ((epochUs % 1000000) * 1000).toInt,
+          java.time.ZoneOffset.UTC)),
+        Row(2L, java.time.LocalDateTime.ofEpochSecond(
+          epochUs / 1000000, 123456000, java.time.ZoneOffset.UTC))),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType))))
+    val out = Tables.normalizeEventTs(df).orderBy("event_id").collect()
+    out(0).getLong(1) shouldBe epochNs
+    out(1).getLong(1) shouldBe (epochUs / 1000000 * 1000000L + 123456L) * 1000L
+  }
+
+  test("normalizeEventTs: TIMESTAMP (µs, UTC session) becomes exact epoch-ns") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(epochUs / 1000000)))),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType))))
+    Tables.normalizeEventTs(df).collect().head.getLong(1) shouldBe epochNs
+  }
+
+  test("normalizeEventTs: an unknown ts shape fails fast with a readable message") {
+    val df = spark.range(1).select(col("id").as("event_id"),
+      col("id").cast(StringType).as("ts"))
+    val e = intercept[IllegalStateException](Tables.normalizeEventTs(df))
+    e.getMessage should include("events.ts")
+    e.getMessage should include("StringType")
+  }
+
+  test("on-disk events table normalizes to the ns contract at every sf") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val ev = Tables.events(spark, s"/root/testdata/$sf")
+      ev.schema("ts").dataType shouldBe LongType
+      // the generator writes 2024+ timestamps; a µs value mistakenly kept
+      // as-is would be ~1.7e15, three orders below this bound
+      val mn = ev.agg(min("ts")).collect().head.getLong(0)
+      mn should be > 1500000000000000000L // ≥ ~2017 in epoch-ns
+    }
+  }
+}
