@@ -69,7 +69,7 @@ object StreamOps {
   private def drainToTable(df: DataFrame, name: String, d: String,
       mode: String, statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession
-    val view = s"__graft_${name}_${new java.io.File(d).getName.replace('.', '_')}"
+    val view = s"__graft_${name}_${new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")}"
     s.catalog.dropTempView(view)
     // Streaming state-store count = shuffle partitions AT QUERY START
     // (pinned in the checkpoint thereafter) — size it to the STATE volume,
@@ -472,7 +472,7 @@ object StreamOps {
   private def drainWithDropCount(df: DataFrame, name: String, d: String,
       mode: String, statePartitions: Int = 8): (DataFrame, Long) = {
     val s = df.sparkSession
-    val view = s"__graft_${name}_${new java.io.File(d).getName.replace('.', '_')}"
+    val view = s"__graft_${name}_${new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")}"
     s.catalog.dropTempView(view)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
