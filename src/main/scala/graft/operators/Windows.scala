@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.DecimalType
   * forms live in graft.streaming and are covered by tests (a stream can't
   * be a declared query).
   *
-  * `events.ts` arrives as long nanos (see the nanosAsLong note in Verify);
-  * queries convert explicitly with integer division before windowing.
+  * `events.ts` arrives as long nanos (Tables.normalizeEventTs adapts
+  * whatever encoding the generator shipped); queries convert explicitly
+  * with integer division before windowing.
   */
 object Windows {
 
