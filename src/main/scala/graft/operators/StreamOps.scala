@@ -43,22 +43,32 @@ object StreamOps {
     // so take the RAW schema here and apply the long-ns normalization to
     // the streamed frame below (same contract as the batch loader).
     val schema = eventsRaw(s, d).schema // also sets the nanosAsLong conf
-    // the file source only accepts directories; expose the single backlog
-    // file through a scratch dir (symlink — no copy) instead
-    val dir = new java.io.File(Tables.scratch(d, "stream_events_src"))
-    dir.mkdirs()
-    val link = new java.io.File(dir, "events.parquet").toPath
-    // NOFOLLOW: a dangling symlink must read as "present" (plain exists()
-    // follows to the missing target and then createSymbolicLink throws);
-    // the catch absorbs the create/create race of concurrent runs
-    if (!java.nio.file.Files.exists(link,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      try java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$d/events.parquet"))
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    }
+    val src = new java.io.File(s"$d/events.parquet")
+    val backlogDir =
+      if (src.isDirectory) src // Spark-written table dir: read it directly
+      else {
+        // single-file layout (the driver's testdata): the file source only
+        // accepts directories, so expose the file through a scratch dir
+        // (symlink — no copy). NB a symlink to a DIRECTORY is not followed
+        // by the file-source listing and silently yields an empty stream —
+        // which is why the directory case above must not go through here
+        // (it made st05's pre-r9 gsf* scale points measure nothing).
+        val dir = new java.io.File(Tables.scratch(d, "stream_events_src"))
+        dir.mkdirs()
+        val link = new java.io.File(dir, "events.parquet").toPath
+        // NOFOLLOW: a dangling symlink must read as "present" (plain
+        // exists() follows to the missing target and then
+        // createSymbolicLink throws); the catch absorbs the create/create
+        // race of concurrent runs
+        if (!java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          try java.nio.file.Files.createSymbolicLink(link, src.toPath)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+        dir
+      }
     Tables.normalizeEventTs(
-      s.readStream.schema(schema).parquet(dir.getAbsolutePath))
+      s.readStream.schema(schema).parquet(backlogDir.getAbsolutePath))
   }
 
   /** Runs `q` as an AvailableNow streaming query into a memory sink and
