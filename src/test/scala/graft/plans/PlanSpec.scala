@@ -68,7 +68,13 @@ class PlanSpec extends SparkSpec {
 
   test("s02 ivf: sampled fit + nprobe scan keeps probe side broadcast") {
     val (sh, bc, _, _) = finalShape("s02_cosine_topk_ivf")
-    (sh, bc) shouldBe ((10, 7))
+    bc shouldBe 7
+    // AQE occasionally reuses one exchange across the fit/scan subtrees
+    // depending on stage completion order (observed 9-vs-10 across
+    // otherwise-identical suite runs, both full-suite and isolated; 9 is
+    // the BETTER plan). Pin the band, not the wobble — a real regression
+    // (lost broadcast, extra shuffle stage) lands well outside it.
+    sh should (be >= 9 and be <= 10)
   }
 
   test("x10 bloom join: probe is codegen'd, no extra shuffle") {
