@@ -848,6 +848,84 @@ object CorpusOps {
           .as("order_checksum"))
       .orderBy("shard"))
 
+  /** p11 — leakage-safe train/validation split: assign documents to
+    * splits so that no NEAR-DUP COMPONENT straddles the boundary — the
+    * decontaminated-split primitive every pre-training pipeline needs
+    * (a plain per-doc hash split, p02-style, leaks: a validation doc's
+    * near-duplicate lands in train and the eval measures memorization).
+    * Reuses d07's exact component computation (n-gram Jaccard pairs →
+    * min-label connected components); singleton docs are their own
+    * component; the split is a pure function of the COMPONENT id, so
+    * component-constancy holds by construction — and the declared output
+    * still carries `straddling_components` (must be 0) as the contract
+    * guard against a future edit keying the split off the doc again.
+    *
+    * Scale: the expensive part IS d07 (bucketed candidate join + CC on
+    * pair edges, both 100 TB-shaped — llm/Dedup.scala); the split layer
+    * adds one hash join of ids against the component map (the labels
+    * frame is localCheckpoint-materialized, so its double use below costs
+    * two scans of materialized rows, not two CC runs) and two
+    * aggregations over (grp, split) — nothing corpus-quadratic.
+    */
+  val p11 = QSpec(
+    "p11_component_split",
+    Some("""WITH RECURSIVE
+           |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g0 AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 10),
+           |g AS (SELECT g0.* FROM g0 JOIN rare USING (gram)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |pairs AS (SELECT doc_a, doc_b
+           |          FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+           |comp AS (SELECT a AS doc_id, MIN(b) AS group_id FROM reach GROUP BY a),
+           |lab AS (SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS grp
+           |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+           |sp AS (SELECT doc_id, grp,
+           |        CASE WHEN grp % 10 < 8 THEN 'train' ELSE 'validation' END AS split
+           |      FROM lab),
+           |x AS (SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |        AS straddling_components
+           |      FROM (SELECT grp, COUNT(DISTINCT split) AS ns FROM sp GROUP BY grp))
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_components,
+           |  x.straddling_components
+           |FROM sp, x
+           |GROUP BY split, x.straddling_components ORDER BY split""".stripMargin),
+    (s, d) => {
+      import graft.llm.Dedup
+      val comp = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.5,
+          maxDocFreq = Some(10)),
+        "doc_a", "doc_b") // (doc_id, group_id) for docs in ≥1 pair
+      val sp = documents(s, d).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("grp"))
+        .withColumn("split",
+          when(pmod(col("grp"), lit(10)) < 8, "train").otherwise("validation"))
+      val straddle = sp.groupBy("grp")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L))
+          .as("straddling_components"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_components"))
+        .crossJoin(straddle)
+        .orderBy("split")
+    })
+
   /** t16 — BPE tokenizer-training pair statistics
     * ([[Curation.bpePairCounts]]): the distributed inner loop of building
     * a tokenizer (t14 is the inference twin — applying one). Corpus →
@@ -962,5 +1040,5 @@ object CorpusOps {
 
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    p10, t16, w06, m13)
+    p10, p11, t16, w06, m13)
 }

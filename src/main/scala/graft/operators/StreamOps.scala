@@ -496,5 +496,92 @@ object StreamOps {
     (s.table(view), dropped)
   }
 
-  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07)
+  /** st08 — streaming CDC upsert through a foreachBatch MERGE sink: the
+    * streaming form of w10's batch apply, and the one streaming operator
+    * class st01–st07 don't cover — STATE IN THE SINK rather than in the
+    * engine. Each micro-batch merges into a versioned parquet state table
+    * (read current → union → latest-wins per key → write next → atomic
+    * swap), the exact pattern a lakehouse MERGE INTO runs per ingest
+    * cycle, expressed engine-agnostically with plain parquet.
+    *
+    * Determinism under any micro-batch placement: latest-row-per-key with
+    * the (ts µs, event_id) TOTAL order is a semilattice fold — merging
+    * incrementally over any partition of the rows yields the same final
+    * row per key — provided DELETE rows are retained in state as
+    * TOMBSTONES (dropping them early would let an older row in a later
+    * batch resurrect the key). The final read filters tombstones, so the
+    * drained state equals w10's one-shot batch apply over the full log,
+    * which is exactly what the shared oracle shape asserts per user.
+    */
+  val st08 = QSpec(
+    "st08_stream_cdc_upsert",
+    Some("""WITH u AS (
+           |  SELECT user_id, event_id, event_type, value, ts,
+           |    CASE WHEN ts >= TIMESTAMP '2024-01-08' AND event_id % 17 = 0
+           |         THEN 'D' ELSE 'U' END AS op
+           |  FROM events
+           |), r AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+           |                               ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM u)
+           |SELECT user_id, event_id AS state_event_id,
+           |  event_type AS state_type, value AS state_value
+           |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cutoffNs = 1704672000000000000L // 2024-01-08T00:00:00Z, epoch ns
+      val ev = events(s, d)
+      // three backlog slices → three REAL incremental merge cycles
+      val slices = (0 to 2).map(i => ev.filter(col("event_id") % 3 === i))
+      val backlog = batchBacklog(s, d, "st08", slices: _*)
+      val stateRoot = new java.io.File(Tables.scratch(d, "st08_state"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(stateRoot); stateRoot.mkdirs()
+      val current = new java.io.File(stateRoot, "current")
+      val next = new java.io.File(stateRoot, "next")
+
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+        .withColumn("op", when(
+          col("ts") >= cutoffNs && col("event_id") % 17 === 0, "D")
+          .otherwise("U"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), expr("ts div 1000").as("ts_us"), col("op"))
+
+      val prevConf = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            val sess = batch.sparkSession
+            val unioned =
+              if (current.isDirectory)
+                sess.read.parquet(current.getAbsolutePath).unionByName(batch)
+              else batch
+            // µs-tick total order (the w10/j06 precision rule); tombstones
+            // survive the merge — only the final projection drops them
+            val w = Window.partitionBy("user_id")
+              .orderBy(col("ts_us").desc, col("event_id").desc)
+            unioned.withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn")
+              .write.mode("overwrite").parquet(next.getAbsolutePath)
+            rm(current)
+            if (!next.renameTo(current)) sys.error(
+              s"state swap failed: $next -> $current")
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevConf)
+
+      s.read.parquet(current.getAbsolutePath)
+        .filter(col("op") === "U")
+        .select(col("user_id"), col("event_id").as("state_event_id"),
+          col("event_type").as("state_type"), col("value").as("state_value"))
+        .orderBy("user_id")
+    })
+
+  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
 }

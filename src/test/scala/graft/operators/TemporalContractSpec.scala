@@ -43,7 +43,8 @@ class TemporalContractSpec extends SparkSpec {
   for (q <- Seq("j01_asof_join", "j06_asof_nearest", "j07_temporal_anti",
       "w01_tumbling_window", "w02_session_window", "w05_sliding_window",
       "w06_moving_avg", "w07_latest_per_key", "w08_running_distinct",
-      "w09_scd2_intervals", "w10_cdc_apply", "st01_stream_tumbling")) {
+      "w09_scd2_intervals", "w10_cdc_apply", "st01_stream_tumbling",
+      "st08_stream_cdc_upsert")) {
     test(s"$q is invariant to the events.ts ns-vs-µs encoding") {
       val a = rows(q, src)
       val b = rows(q, nsDir)
