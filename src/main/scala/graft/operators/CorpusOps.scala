@@ -926,6 +926,85 @@ object CorpusOps {
         .orderBy("split")
     })
 
+  /** p12 — DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score each
+    * document by how much more likely its hashed-unigram features are
+    * under a TARGET distribution (here: the `lang = 'en'` slice, a quality
+    * proxy) than under the RAW corpus, and keep documents with positive
+    * importance log-weight. This is the published recipe's shape exactly:
+    * hashed n-gram bag-of-words features into B buckets, two smoothed
+    * bucket-probability models, per-doc sum of per-feature log ratios.
+    *
+    * Scale: fit is ONE map-side-combined aggregate over the exploded
+    * words (state = B = 1,024 buckets per partition, independent of
+    * corpus size); scoring joins per-doc bucket counts against the
+    * BROADCAST 1,024-row model — no corpus-sized shuffle beyond the
+    * (doc, bucket) combine. Exactness: the only engine-specific math is
+    * ln(), so each bucket's log-ratio is quantized ONCE to DECIMAL(18,6)
+    * at fit time — coarse enough that a 1-ulp ln() disagreement between
+    * engines virtually never crosses a grid boundary — and every
+    * downstream step (count × logr, per-doc sum,
+    * per-lang totals, the kept test `score > 0`) is exact decimal
+    * arithmetic — bit-equal across engines given equal quantized models.
+    * The md5-prefix bucket hash is the p10 cross-engine recipe.
+    */
+  val p12 = QSpec(
+    "p12_dsir_resample",
+    Some("""WITH w AS (SELECT doc_id, lang,
+           |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+           |  FROM documents),
+           |wb AS (SELECT doc_id, lang,
+           |    CAST(('0x' || substr(md5('ng:' || w), 1, 12)) AS BIGINT) % 1024 AS b
+           |  FROM w),
+           |r AS (SELECT b, COUNT(*) AS c_r FROM wb GROUP BY b),
+           |t AS (SELECT b, COUNT(*) AS c_t FROM wb WHERE lang = 'en' GROUP BY b),
+           |nn AS (SELECT (SELECT COUNT(*) FROM wb) AS n_r,
+           |              (SELECT COUNT(*) FROM wb WHERE lang = 'en') AS n_t),
+           |m AS (SELECT r.b,
+           |    CAST(ln((COALESCE(c_t, 0) + 1.0) / (n_t + 1024))
+           |       - ln((c_r + 1.0) / (n_r + 1024)) AS DECIMAL(18, 6)) AS logr
+           |  FROM r LEFT JOIN t ON r.b = t.b, nn),
+           |db AS (SELECT doc_id, lang, b, COUNT(*) AS n FROM wb GROUP BY 1, 2, 3),
+           |sc AS (SELECT doc_id, lang, SUM(n * logr) AS score
+           |       FROM db JOIN m USING (b) GROUP BY 1, 2)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  ROUND(CAST(SUM(score) AS DOUBLE), 4) AS total_logw
+           |FROM sc GROUP BY lang ORDER BY lang""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val B = 1024
+      val wb = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("b",
+          conv(substring(md5(concat(lit("ng:"), col("w"))), 1, 12), 16, 10)
+            .cast("long") % B)
+      val r = wb.groupBy("b").agg(count(lit(1)).as("c_r"))
+      val t = wb.filter(col("lang") === "en").groupBy("b")
+        .agg(count(lit(1)).as("c_t"))
+      val nn = wb.agg(count(lit(1)).as("n_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+      val model = r.join(t, Seq("b"), "left").crossJoin(broadcast(nn))
+        .select(col("b"),
+          (log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double")
+              / (col("n_t") + B).cast("double"))
+            - log((col("c_r") + lit(1L)).cast("double")
+              / (col("n_r") + B).cast("double")))
+            .cast(DecimalType(18, 6)).as("logr"))
+      val scores = wb.groupBy("doc_id", "lang", "b")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("n") * col("logr")).as("score"))
+      scores.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"),
+          round(sum(col("score")).cast("double"), 4).as("total_logw"))
+        .orderBy("lang")
+    })
+
   /** t16 — BPE tokenizer-training pair statistics
     * ([[Curation.bpePairCounts]]): the distributed inner loop of building
     * a tokenizer (t14 is the inference twin — applying one). Corpus →
@@ -1040,5 +1119,5 @@ object CorpusOps {
 
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    p10, p11, t16, w06, m13)
+    p10, p11, p12, t16, w06, m13)
 }
