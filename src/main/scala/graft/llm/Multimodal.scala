@@ -434,4 +434,45 @@ object Multimodal {
       }
     }
   }
+
+  /** Perceptual average-hash (aHash) over a decoded raster: integer luma
+    * (r+g+b)/3 per pixel, bit p set iff n·luma_p > Σ luma (the
+    * division-free form of "above the mean", exact in integers). Emitted
+    * as an MSB-agnostic fixed-order bit STRING (p = 0 first) so an
+    * engine-neutral oracle can rebuild it without 64-bit shift overflow.
+    * Identical images (and only byte-identical lumas) collide with
+    * certainty; a hamming-tolerant variant would band the 64 bits like
+    * d03's SimHash — same join shape, not needed for the exact-dup gate.
+    */
+  final case class PerceptualHash(doc_id: Long, ahash: String)
+
+  def extractAHash(media: Dataset[MediaRecord]): Dataset[PerceptualHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = ppmDecode(r.content)
+          val n = img.width * img.height
+          val luma = new Array[Long](n)
+          var total = 0L
+          var p = 0
+          while (p < n) {
+            luma(p) = ((img.pixels(3 * p) & 0xFF) +
+              (img.pixels(3 * p + 1) & 0xFF) +
+              (img.pixels(3 * p + 2) & 0xFF)) / 3
+            total += luma(p)
+            p += 1
+          }
+          val bits = new Array[Char](n)
+          p = 0
+          while (p < n) {
+            bits(p) = if (n * luma(p) > total) '1' else '0'
+            p += 1
+          }
+          PerceptualHash(r.doc_id, new String(bits))
+        }
+      }
+    }
+  }
 }

@@ -991,6 +991,44 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** mm06 — perceptual-hash image dedup: the multimodal twin of d01's
+    * exact text dedup. Each doc's planted 8×8 P6 image goes through the
+    * REAL decoder to an average-hash ([[Multimodal.extractAHash]]: integer
+    * luma, division-free above-mean bits), then dedup is a plain
+    * hash-groupBy — O(n) shuffle of 64-bit-equivalent keys, the d01 shape,
+    * no pairwise anything. The synthetic corpus plants massive dup
+    * structure by construction (pixel seed = 37·doc_id mod 256, so docs
+    * congruent mod 256 are byte-identical images), and the closed form
+    * lets the oracle rebuild every hash WITHOUT a decoder — the hash
+    * compare therefore verifies the full decode→hash→group pipeline.
+    * Hamming-tolerant near-dup would band the 64 bits exactly like d03's
+    * SimHash bands; exact-collision grouping is the gate here.
+    */
+  val mm06 = QSpec(
+    "mm06_image_phash_dedup",
+    Some("""WITH px AS (SELECT doc_id, (doc_id * 37) % 256 AS seed FROM documents),
+           |lum AS (SELECT doc_id, list_transform(range(0, 64),
+           |          p -> (((seed + 3*p) % 256) + ((seed + 3*p + 1) % 256)
+           |                + ((seed + 3*p + 2) % 256)) // 3) AS l
+           |        FROM px),
+           |h AS (SELECT doc_id, list_aggregate(list_transform(range(0, 64),
+           |        p -> CASE WHEN 64 * l[p + 1] > list_sum(l)
+           |             THEN '1' ELSE '0' END), 'string_agg', '') AS ahash
+           |      FROM lum),
+           |g AS (SELECT ahash, COUNT(*) AS n FROM h GROUP BY ahash)
+           |SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(*) AS BIGINT) AS n_distinct_hashes,
+           |  CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_dup_pairs
+           |FROM g""".stripMargin),
+    (s, d) => {
+      val hashes = Multimodal.extractAHash(
+        Multimodal.syntheticPpm(documents(s, d), "doc_id", 8, 8))
+      hashes.toDF().groupBy("ahash").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_distinct_hashes"),
+          (sum(col("n") * (col("n") - 1)) / 2).cast("long").as("n_dup_pairs"))
+    })
+
   /** t12 — TF-IDF top terms per document: tf per (doc, term) in one
     * shuffle on the composite key, document frequency per term with
     * map-side partial aggregation, corpus size as a broadcast 1-row
@@ -1405,5 +1443,5 @@ object LlmOps {
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
-    t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03)
+    t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06)
 }

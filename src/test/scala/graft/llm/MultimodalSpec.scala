@@ -155,4 +155,24 @@ class MultimodalSpec extends SparkSpec {
       f.mean_b shouldBe mean(2)
     }
   }
+
+  test("extractAHash: byte-identical images collide, different seeds differ, no shuffle") {
+    // ids 0 and 256 share pixel seed (37·id mod 256) → identical rasters.
+    // A perceptually-DIFFERENT image needs the byte ramp to WRAP mod 256
+    // (a non-wrapping ramp has the same above-mean bit pattern whatever
+    // its seed — that invariance is correct aHash behavior): id 3 → seed
+    // 111, wraps at pixel 48 of 64. Hash built through the REAL decoder.
+    val docs = Seq(0L, 3L, 256L).toDF("doc_id")
+    val hashes = Multimodal.extractAHash(
+      Multimodal.syntheticPpm(docs, "doc_id", 8, 8))
+    hashes.queryExecution.executedPlan.toString should not include "Exchange"
+    val byId = hashes.collect().map(h => h.doc_id -> h.ahash).toMap
+    byId(0L) shouldBe byId(256L)
+    byId(0L) should not be byId(3L)
+    byId(0L).length shouldBe 64
+    byId(0L).count(c => c == '0' || c == '1') shouldBe 64
+    // hand-computed bit 0 for seed 0: luma_0 = (0+1+2)/3 = 1; the ramp's
+    // mean luma is far above 1, so the first bit must be 0
+    byId(0L).head shouldBe '0'
+  }
 }
