@@ -62,6 +62,37 @@ object LlmOps {
     (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text", 0.5)
       .orderBy("doc_a", "doc_b"))
 
+  /** d15 — MinHash LSH at the HIGH-threshold operating point (θ=0.7,
+    * r=4): the configuration SCALE.md's gsf5 analysis names as the
+    * 100 TB answer to d02's N²·E[J³] background-candidate floor. Four
+    * rows per band push background collision probability to J⁴ while
+    * θ=0.7 keeps the exact-recall band count inside the 64-band clamp
+    * (b = ceil(8·ln(0.3)/ln(1−0.7⁴)) = 36); the verify stage is the
+    * same sorted-long merge scan, so the declared output is the exact
+    * J ≥ 0.7 pair set — which the oracle brute-forces independently.
+    * Same operator surface as d02 (`minhashPairs`), different
+    * (θ, rowsPerBand) — proving the documented scale lever RUNS, not
+    * just reads well.
+    */
+  val d15 = QSpec(
+    "d15_minhash_hightheta",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => Dedup.minhashPairs(documents(s, d), "doc_id", "text", 0.7,
+      rowsPerBand = 4)
+      .orderBy("doc_a", "doc_b"))
+
   /** d03 — SimHash near-dup (16-bit band candidates + exact hamming).
     *
     * simhash itself is not DuckDB-expressible, so the query plants exact
@@ -1443,5 +1474,5 @@ object LlmOps {
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
-    t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06)
+    t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15)
 }

@@ -30,6 +30,7 @@ object ScaleProbe {
       case "d09" => args.drop(1).foreach(d => d09Counts(spark, d))
       case "d02" => args.drop(1).foreach(d => d02Counts(spark, d, 2))
       case "d02r3" => args.drop(1).foreach(d => d02Counts(spark, d, 3))
+      case "d15" => args.drop(1).foreach(d => d15Counts(spark, d))
       case "d13" => args.drop(1).foreach(d => d13Counts(spark, d))
       case "d14" => args.drop(1).foreach(d => d14Counts(spark, d))
       case "s06" => args.drop(1).foreach(d => s06Counts(spark, d))
@@ -148,6 +149,26 @@ object ScaleProbe {
   /** Counts [[Dedup.minhashPairs]]'s banded candidate set and output at
     * θ = 0.5 on the documents table — the d02 declared query's shape.
     */
+  /** d15's operating point (θ=0.7, r=4): the candidate exponent the
+    * gsf5 analysis predicts drops to the J⁴ background term. */
+  private def d15Counts(spark: SparkSession, dir: String): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val res = f
+      println(f"PROBE d15 $dir $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      res
+    }
+    val candN = timed("candidates")(
+      Dedup.minhashCandidateKeys(docs, "doc_id", "text", 0.7, 8, 4)._2.count())
+    spark.catalog.clearCache()
+    val outN = timed("output")(
+      Dedup.minhashPairs(docs, "doc_id", "text", 0.7, rowsPerBand = 4).count())
+    spark.catalog.clearCache()
+    println(s"PROBE d15 $dir COUNTS candidates=$candN pairs=$outN")
+  }
+
   private def d02Counts(spark: SparkSession, dir: String, r: Int): Unit = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
