@@ -71,12 +71,32 @@ object Tables {
     * check would have caught at the first commit.
     */
   def preflight(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.types._
     val raw = eventsRaw(s, d).schema("ts").dataType
     val norm = events(s, d).schema("ts").dataType // throws on unknown shapes
     System.err.println(
       s"[graft preflight] events.ts: on-disk=$raw normalized=$norm (contract: LongType epoch-ns)")
-    require(norm == org.apache.spark.sql.types.LongType,
+    require(norm == LongType,
       s"events.ts normalized to $norm, not LongType — Tables.normalizeEventTs is broken")
+    // the other queries-assume-this-shape columns: fail fast with a pointed
+    // message instead of 100+ downstream analysis errors if the generator
+    // drifts again (the round-8 lesson, generalized)
+    def expect(table: String, column: String, ok: DataType => Boolean,
+        want: String): Unit = {
+      val dt = load(s, d, table).schema(column).dataType
+      require(ok(dt),
+        s"$table.$column arrived as $dt — queries assume $want; the " +
+          "testdata generator changed. Adapt the loader in util/Tables " +
+          "(the normalizeEventTs pattern) before trusting any results.")
+    }
+    expect("documents", "doc_id", _ == LongType, "BIGINT")
+    expect("documents", "text", _ == StringType, "STRING")
+    expect("documents", "lang", _ == StringType, "STRING")
+    expect("embeddings", "vec_id", _ == LongType, "BIGINT")
+    expect("embeddings", "embedding",
+      { case ArrayType(FloatType, _) => true; case _ => false },
+      "ARRAY<FLOAT>")
+    expect("lineitem", "l_quantity", _ == DoubleType, "DOUBLE")
   }
 
   /** Scratch dir (inside the repo) for sink/round-trip queries. Keyed by the

@@ -65,6 +65,26 @@ class TablesSpec extends SparkSpec {
     e.getMessage should include("StringType")
   }
 
+  test("preflight passes on driver testdata and names the table on drift") {
+    Tables.preflight(spark, "/root/testdata/sf0.001") // must not throw
+    // synthetic drift: a dir whose documents.text is an INT column
+    val dir = tmpDir("preflight-drift")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings")) {
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"))
+    }
+    spark.range(3).selectExpr("id AS doc_id", "CAST(id AS INT) AS text",
+      "'en' AS lang").coalesce(1).write.parquet(s"$dir/_dtmp")
+    val part = new java.io.File(s"$dir/_dtmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val e = intercept[IllegalArgumentException](Tables.preflight(spark, dir))
+    e.getMessage should include("documents.text")
+  }
+
   test("on-disk events table normalizes to the ns contract at every sf") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val ev = Tables.events(spark, s"/root/testdata/$sf")
