@@ -513,6 +513,22 @@ object StreamOps {
     * drained state equals w10's one-shot batch apply over the full log,
     * which is exactly what the shared oracle shape asserts per user.
     */
+  /** st08's per-batch MERGE step, exposed for the fold-invariance
+    * property test: latest row per `user_id` under the (ts_us, event_id)
+    * total order, DELETE tombstones retained. Folding any partition of a
+    * changelog through this in any batch arrangement yields the same
+    * final state (semilattice: argmax per key under a total order).
+    */
+  private[operators] def cdcMergeStep(state: Option[DataFrame],
+      batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unioned = state.map(_.unionByName(batch)).getOrElse(batch)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    unioned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   val st08 = QSpec(
     "st08_stream_cdc_upsert",
     Some("""WITH u AS (
@@ -557,16 +573,13 @@ object StreamOps {
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[
               org.apache.spark.sql.Row], _: Long) =>
             val sess = batch.sparkSession
-            val unioned =
-              if (current.isDirectory)
-                sess.read.parquet(current.getAbsolutePath).unionByName(batch)
-              else batch
             // µs-tick total order (the w10/j06 precision rule); tombstones
             // survive the merge — only the final projection drops them
-            val w = Window.partitionBy("user_id")
-              .orderBy(col("ts_us").desc, col("event_id").desc)
-            unioned.withColumn("rn", row_number().over(w))
-              .filter(col("rn") === 1).drop("rn")
+            val state =
+              if (current.isDirectory)
+                Some(sess.read.parquet(current.getAbsolutePath))
+              else None
+            cdcMergeStep(state, batch)
               .write.mode("overwrite").parquet(next.getAbsolutePath)
             rm(current)
             if (!next.renameTo(current)) sys.error(

@@ -37,4 +37,40 @@ class StreamOpsSpec extends SparkSpec {
     got.groupBy("event_id").count().filter(col("count") > 1)
       .count() shouldBe 0
   }
+
+  test("st08 merge fold is invariant to micro-batch placement (semilattice)") {
+    import spark.implicits._
+    // adversarial changelog: same-user same-µs collisions (event_id breaks
+    // the tie), a delete that must tombstone, and an OLDER row arriving in
+    // a LATER batch that must not resurrect the key
+    val log = Seq(
+      (1L, 100L, 10L, "a", 1.0, "U"),
+      (1L, 100L, 11L, "b", 2.0, "U"), // same µs, higher event_id wins
+      (1L, 90L, 12L, "c", 3.0, "U"),  // older, must never win
+      (2L, 50L, 20L, "d", 4.0, "U"),
+      (2L, 60L, 21L, "e", 5.0, "D"),  // delete: tombstone survives merge
+      (2L, 55L, 22L, "f", 6.0, "U"),  // older than the delete
+      (3L, 10L, 30L, "g", 7.0, "U")
+    ).toDF("user_id", "ts_us", "event_id", "event_type", "value", "op")
+    val ids = Seq(10L, 11L, 12L, 20L, 21L, 22L, 30L)
+    def fold(batches: Seq[Seq[Int]]): Set[String] = {
+      var state: Option[org.apache.spark.sql.DataFrame] = None
+      for (idxs <- batches) {
+        val b = log.filter(col("event_id").isin(idxs.map(ids): _*))
+        // localCheckpoint: mirror the declared query's write/read boundary
+        // so each step folds materialized rows, not a growing plan
+        state = Some(StreamOps.cdcMergeStep(state, b).localCheckpoint(true))
+      }
+      state.get.filter(col("op") === "U")
+        .select("user_id", "event_id").collect().map(_.toString).toSet
+    }
+    val oneShot = fold(Seq(0 to 6))
+    oneShot shouldBe Set("[1,11]", "[3,30]") // user 2 deleted, ties broken
+    // every placement — including the older-row-arrives-last splits —
+    // must converge to the identical final state
+    fold((0 to 6).map(Seq(_))) shouldBe oneShot
+    fold(Seq(Seq(0, 3), Seq(1, 4), Seq(2, 5), Seq(6))) shouldBe oneShot
+    fold(Seq(Seq(1, 4, 6), Seq(0, 3), Seq(2, 5))) shouldBe oneShot
+    fold(Seq(Seq(4), Seq(5), Seq(0, 1, 2, 3, 6))) shouldBe oneShot
+  }
 }
