@@ -127,6 +127,13 @@ object Main {
     val m = Trainer.evaluate(model.transform(valFeats), "log_price")
     fe.save(s"$outputDir/feature_engineering")
     tt.save(s"$outputDir/target_transform.json")
+    // record the raw-input row contract (minus the target — a prediction
+    // request never carries it) so ServeMain can start without
+    // --schema-from (the documented fallback)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outputDir/input_schema.json"),
+      org.apache.spark.sql.types.StructType(
+        train.schema.filterNot(_.name == "price")).json)
     model match {
       case w: org.apache.spark.ml.util.MLWritable => w.write.overwrite().save(modelPath)
       case _ => throw new IllegalStateException("model is not MLWritable")

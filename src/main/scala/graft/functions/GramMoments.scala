@@ -49,6 +49,14 @@ final class GramBuffer {
         longs(c) = unscaled
     }
 
+  /** A single addend too wide for the long fast path goes straight into
+    * the BigInteger spill (the running long is untouched).
+    */
+  def addBig(c: Int, unscaled: BigInteger): Unit = {
+    val prev = if (bigs(c) == null) BigInteger.ZERO else bigs(c)
+    bigs(c) = prev.add(unscaled)
+  }
+
   def total(c: Int): BigInteger = {
     val l = BigInteger.valueOf(longs(c))
     if (bigs(c) == null) l else bigs(c).add(l)
@@ -74,12 +82,26 @@ case class GramMoments(
 
   override def createAggregationBuffer(): GramBuffer = new GramBuffer
 
-  /** Unscaled 8-dp value of `x` under Spark's double→DecimalType(_,8)
-    * cast semantics: shortest decimal representation, then HALF_UP.
+  /** Accumulate one product into cell `c` under Spark's
+    * double→DecimalType(_,8) cast semantics: shortest decimal
+    * representation, then HALF_UP. Two edge paths mirror / strengthen the
+    * replaced `sum(cast(v AS DECIMAL(30,8)))` plan:
+    *  - NaN/Infinity: the decimal cast yields NULL and `sum` skips it —
+    *    skip the addend (BigDecimal.valueOf would throw
+    *    NumberFormatException and abort the whole job).
+    *  - |product| beyond the long fast path's ~9.2e10: route the unscaled
+    *    BigInteger straight into the per-cell spill instead of letting
+    *    `longValueExact` throw — the sum stays exact at any magnitude
+    *    (the old DECIMAL(30,8) plan held 1e22 then nulled; here nothing
+    *    is dropped).
     */
-  private def unscaled8(x: Double): Long =
-    JBigDecimal.valueOf(x).setScale(8, RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+  private def addProduct(b: GramBuffer, c: Int, x: Double): Unit = {
+    if (!java.lang.Double.isFinite(x)) return
+    val unscaled = JBigDecimal.valueOf(x).setScale(8, RoundingMode.HALF_UP)
+      .unscaledValue()
+    if (unscaled.bitLength() < 64) b.add(c, unscaled.longValue())
+    else b.addBig(c, unscaled)
+  }
 
   override def update(b: GramBuffer, input: InternalRow): GramBuffer = {
     val raw = child.eval(input)
@@ -101,7 +123,7 @@ case class GramMoments(
       val vi = v(i)
       var j = i
       while (j < aug) {
-        b.add(c, unscaled8(vi * v(j)))
+        addProduct(b, c, vi * v(j))
         c += 1; j += 1
       }
       i += 1

@@ -52,6 +52,7 @@ final class PredictionServer(
   def start(): InetSocketAddress = synchronized {
     require(server == null, "already started")
     server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", handler(handleForm))
     server.createContext("/health", handler(handleHealth))
     server.createContext("/predict/batch", handler(handleBatch))
     server.createContext("/predict", handler(handleSingle))
@@ -71,7 +72,16 @@ final class PredictionServer(
         respond(ex, code, contentType, body)
       } catch {
         case e: Exception =>
-          respond(ex, 400, "application/json",
+          // Client errors (schema violations via require/coerce, malformed
+          // JSON) are 400; anything else is a genuine server-side failure
+          // and must say so — a Spark executor error is not the caller's
+          // fault.
+          val code = e match {
+            case _: IllegalArgumentException => 400
+            case _: com.fasterxml.jackson.core.JsonProcessingException => 400
+            case _ => 500
+          }
+          respond(ex, code, "application/json",
             mapper.createObjectNode()
               .put("error", String.valueOf(e.getMessage)).toString)
       } finally ex.close()
@@ -82,6 +92,62 @@ final class PredictionServer(
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
+  }
+
+  /** GET / — a minimal HTML form over the same two flows the reference's
+    * Streamlit page offers (ref: src/webapp/app.py:184-309): one input per
+    * schema field posting JSON to /predict, plus a CSV file upload posting
+    * to /predict/batch. Schema-driven (numeric fields get number inputs),
+    * no assets, no framework — the API stays the real surface; this is the
+    * widget on top.
+    */
+  private def handleForm(ex: HttpExchange): (Int, String, String) = {
+    if (ex.getRequestURI.getPath != "/")
+      return (404, "application/json", """{"error":"not found"}""")
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val fields = schema.fields.map { f =>
+      val (typ, step) = f.dataType match {
+        case DoubleType | FloatType => ("number", " step=\"any\"")
+        case LongType | IntegerType => ("number", " step=\"1\"")
+        case _ => ("text", "")
+      }
+      s"""<label>${esc(f.name)} <small>(${esc(f.dataType.simpleString)})</small>
+         |<input name="${esc(f.name)}" type="$typ"$step></label>""".stripMargin
+    }.mkString("\n")
+    val html =
+      s"""<!doctype html><html><head><meta charset="utf-8">
+         |<title>graft prediction server</title></head><body>
+         |<h1>Property price prediction</h1>
+         |<form id="single">$fields
+         |<button type="submit">Predict</button></form>
+         |<pre id="out"></pre>
+         |<h2>Batch (CSV upload)</h2>
+         |<form id="batch"><input type="file" name="csv" accept=".csv">
+         |<button type="submit">Predict batch</button></form>
+         |<pre id="bout"></pre>
+         |<script>
+         |document.getElementById('single').addEventListener('submit', async e => {
+         |  e.preventDefault();
+         |  const body = {};
+         |  for (const el of e.target.elements) {
+         |    if (!el.name || el.value === '') continue;
+         |    body[el.name] = el.type === 'number' ? Number(el.value) : el.value;
+         |  }
+         |  const r = await fetch('/predict', {method: 'POST',
+         |    headers: {'Content-Type': 'application/json'},
+         |    body: JSON.stringify(body)});
+         |  document.getElementById('out').textContent = await r.text();
+         |});
+         |document.getElementById('batch').addEventListener('submit', async e => {
+         |  e.preventDefault();
+         |  const f = e.target.elements['csv'].files[0];
+         |  if (!f) return;
+         |  const r = await fetch('/predict/batch', {method: 'POST', body: f});
+         |  document.getElementById('bout').textContent = await r.text();
+         |});
+         |</script></body></html>""".stripMargin
+    (200, "text/html", html)
   }
 
   private def handleHealth(ex: HttpExchange): (Int, String, String) = {
@@ -115,7 +181,10 @@ final class PredictionServer(
   private def coerce(n: JsonNode, dt: DataType, name: String): Option[Any] = {
     if (n == null || n.isNull) return None
     dt match {
-      case DoubleType | FloatType if n.isNumber => Some(n.asDouble())
+      case DoubleType if n.isNumber => Some(n.asDouble())
+      // RowEncoder's serializer validates external types strictly: a
+      // FloatType field must receive a java.lang.Float, not a Double.
+      case FloatType if n.isNumber => Some(n.asDouble().toFloat)
       case LongType if n.canConvertToLong => Some(n.asLong())
       case IntegerType if n.canConvertToInt => Some(n.asInt())
       case StringType if n.isTextual => Some(n.asText())
@@ -134,12 +203,23 @@ final class PredictionServer(
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val input = spark.read.option("header", "true")
         .option("inferSchema", "true").csv(tmp.toString)
-      val rows = predictor.predictBatch(input)
-        .select("id_annonce", "prediction_price").collect()
+      val rows =
+        try predictor.predictBatch(input)
+          .select("id_annonce", "prediction_price").collect()
+        catch {
+          // a CSV missing required columns fails analysis — that is the
+          // caller's upload, not a server fault: surface it as a 400
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"batch CSV does not match the model's input schema: ${e.getMessage}")
+        }
       val csv = new StringBuilder("id_annonce,prediction_price\n")
       rows.foreach { r =>
+        // Locale.ROOT: a comma-decimal default locale (fr_FR) would emit
+        // '1234,56' and corrupt the 2-column CSV
         csv.append(r.get(0)).append(',')
-          .append("%.2f".format(r.getDouble(1))).append('\n')
+          .append(String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(r.getDouble(1)))).append('\n')
       }
       (200, "text/csv", csv.toString)
     } finally java.nio.file.Files.deleteIfExists(tmp)
@@ -151,10 +231,21 @@ final class PredictionServer(
   * `graft.Main train` CLI persisted (same layout as runPredict) and
   * serves them. The single-row input contract comes from `--schema-from`
   * (any file readable by spark.read.parquet whose schema is the raw input
-  * row), defaulting to the train-time schema recorded alongside the model
-  * if present.
+  * row), defaulting to the train-time schema `graft.Main train` records
+  * at `<model-dir>/input_schema.json`; with neither present the server
+  * refuses to start rather than guess.
   */
 object ServeMain {
+
+  /** The raw-input schema `graft.Main train` recorded alongside the model
+    * (StructType.json at `<model-dir>/input_schema.json`), if present.
+    */
+  def recordedSchema(modelDir: String): Option[StructType] = {
+    val p = java.nio.file.Paths.get(s"$modelDir/input_schema.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(DataType.fromJson(java.nio.file.Files.readString(p))
+      .asInstanceOf[StructType])
+  }
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
@@ -183,8 +274,13 @@ object ServeMain {
       case other => sys.error(s"unknown --model-type $other")
     }
     val predictor = new Predictor(fe, model, tt)
-    val schema = spark.read.parquet(opts.getOrElse("schema-from",
-      sys.error("--schema-from <sample.parquet> is required"))).schema
+    val schema = opts.get("schema-from")
+      .map(p => spark.read.parquet(p).schema)
+      .orElse(recordedSchema(modelDir))
+      .getOrElse(sys.error(
+        s"--schema-from <sample.parquet> is required ($modelDir has no " +
+          "recorded input_schema.json — retrain with the current CLI or " +
+          "pass the flag)"))
     val prepared = predictor.prepareSingle(spark, schema)
     val srv = new PredictionServer(spark, predictor, prepared, schema, port)
     val addr = srv.start()

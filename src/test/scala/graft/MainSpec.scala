@@ -65,6 +65,13 @@ class MainSpec extends SparkSpec {
     Main.runTrain(spark, s"$dir/train.parquet", s"$dir/validation.parquet",
       s"$dir/models", "lr", overwrite = true)
 
+    // train records the raw-input serving contract (minus the target) so
+    // ServeMain can start without --schema-from
+    val recorded = graft.serve.ServeMain.recordedSchema(s"$dir/models").get
+    recorded.fieldNames should contain("property_type")
+    recorded.fieldNames should not contain "price"
+    graft.serve.ServeMain.recordedSchema(s"$dir/no-such-model") shouldBe None
+
     Main.runPredict(spark, s"$dir/models", "lr",
       s"$dir/validation.parquet", s"$dir/preds.parquet")
     val preds = spark.read.parquet(s"$dir/preds.parquet")

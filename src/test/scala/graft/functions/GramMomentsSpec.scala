@@ -46,6 +46,38 @@ class GramMomentsSpec extends SparkSpec {
     flat.last shouldBe 200.0
   }
 
+  test("non-finite products are skipped like the decimal cast nulled them") {
+    // Inf^2 = Inf and Inf * 1.0 (sentinel) = Inf: under the replaced plan
+    // the DECIMAL(30,8) cast yields NULL and sum skips it; the aggregate
+    // must do the same, not abort the job with NumberFormatException
+    val df = Seq(
+      Tuple1(Array(2.0f)),
+      Tuple1(Array(Float.PositiveInfinity)),
+      Tuple1(Array(Float.NaN)),
+      Tuple1(Array(3.0f))).toDF("embedding")
+    GraftFunctions.ensureRegistered(spark)
+    val flat = df.agg(call_function("gram_moments", col("embedding")))
+      .head.getSeq[Double](0)
+    flat(0) shouldBe 4.0 + 9.0   // finite squares only
+    flat(1) shouldBe 2.0 + 3.0   // finite vi·1 only
+    flat(2) shouldBe 4.0         // sentinel 1·1 counts every row
+  }
+
+  test("a single product wider than the long fast path lands in the spill") {
+    // 3e18^2 = 9e36 → unscaled 8-dp 9e44, far past 2^63 (~9.2e18): must
+    // route into the BigInteger spill, not throw longValueExact
+    val df = Seq(Tuple1(Array(3.0e18f)), Tuple1(Array(1.0f))).toDF("embedding")
+    GraftFunctions.ensureRegistered(spark)
+    val flat = df.agg(call_function("gram_moments", col("embedding")))
+      .head.getSeq[Double](0)
+    // double addition of 9e36 + 1 rounds to 9e36 — the exact-decimal path
+    // holds both, and the final double cast shows the dominant term
+    val sq = 3.0e18f.toDouble
+    flat(0) shouldBe (sq * sq + 1.0)
+    flat(1) shouldBe (sq + 1.0)
+    flat(2) shouldBe 2.0
+  }
+
   test("gram_moments long accumulator spills exactly past 2^63") {
     // values whose 8-dp unscaled products are ~9.2e17: two rows overflow
     // a long cell; the BigInteger spill must keep the sum exact

@@ -70,6 +70,27 @@ class PredictionServerSpec extends SparkSpec {
     }
   }
 
+  test("GET / serves an HTML form wired to /predict with one input per field") {
+    withServer { port =>
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      r.statusCode() shouldBe 200
+      r.headers().firstValue("Content-Type").get should include("text/html")
+      for (f <- inputSchema.fields)
+        r.body() should include(s"""name="${f.name}"""")
+      r.body() should include("fetch('/predict'")
+      r.body() should include("fetch('/predict/batch'")
+      // anything else under / is a 404, not the form
+      val miss = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/nope")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      miss.statusCode() shouldBe 404
+    }
+  }
+
   test("POST /predict equals the direct prepared-predictor call") {
     withServer { port =>
       val direct = fitted.prepareSingle(spark, inputSchema)
@@ -101,6 +122,51 @@ class PredictionServerSpec extends SparkSpec {
       r.body() should include(""""prediction_price":null""")
       r.body() should include(""""dropped":true""")
     }
+  }
+
+  test("a FloatType schema field round-trips through /predict") {
+    // RowEncoder validates external types: FloatType must receive a
+    // java.lang.Float — a Double here fails every request on that schema
+    val floatSchema = StructType(Seq(
+      StructField("id_annonce", LongType),
+      StructField("property_type", StringType),
+      StructField("size", FloatType)))
+    val srv = new PredictionServer(spark, fitted,
+      fitted.prepareSingle(spark, floatSchema), floatSchema)
+    val addr = srv.start()
+    try {
+      val r = post(addr.getPort, "/predict",
+        """{"id_annonce": 1, "property_type": "maison", "size": 75.0}""")
+      r.statusCode() shouldBe 200
+      val served = """"prediction_price":([-0-9.E]+)""".r
+        .findFirstMatchIn(r.body()).get.group(1).toDouble
+      val direct = fitted.prepareSingle(spark, floatSchema)
+        .predict(Map("id_annonce" -> 1L,
+          "property_type" -> "maison", "size" -> 75.0f)).get
+      served shouldBe direct +- math.abs(direct) * 1e-9
+    } finally srv.stop()
+  }
+
+  test("batch CSV that doesn't match the model's input is a 400") {
+    withServer { port =>
+      val r = post(port, "/predict/batch", "id_annonce,oops\n1,2\n")
+      r.statusCode() shouldBe 400
+    }
+  }
+
+  test("a server-side failure surfaces as 500, not 400") {
+    val failing = new graft.infer.Predictor(
+      (_: DataFrame) => throw new RuntimeException("executor lost"),
+      fitted.model, fitted.targetTransformer)
+    val srv = new PredictionServer(spark, failing,
+      fitted.prepareSingle(spark, inputSchema), inputSchema)
+    val addr = srv.start()
+    try {
+      val r = post(addr.getPort, "/predict/batch",
+        "id_annonce,property_type,size\n1,maison,75.0\n")
+      r.statusCode() shouldBe 500
+      r.body() should include("executor lost")
+    } finally srv.stop()
   }
 
   test("POST /predict/batch CSV equals predictBatch on the same rows") {
