@@ -95,8 +95,34 @@ object Tables {
     expect("embeddings", "vec_id", _ == LongType, "BIGINT")
     expect("embeddings", "embedding",
       { case ArrayType(FloatType, _) => true; case _ => false },
-      "ARRAY<FLOAT>")
+      "ARRAY<FLOAT> — float64 elements would silently change every cosine/"
+        + "minhash result; adapt the loader, don't let Spark widen")
     expect("lineitem", "l_quantity", _ == DoubleType, "DOUBLE")
+    // Nullability is a DATA property here, not a schema one: the generator
+    // writes every parquet column as `optional`, so only a scan proves the
+    // contract. Text/dedup queries key md5(text)/tokenize(text) and the
+    // similarity kernels index into the embedding array — a regen that
+    // starts emitting nulls would silently shift dedup groups and cosine
+    // results rather than erroring. One cheap aggregate per table pins it.
+    import org.apache.spark.sql.functions.{col, exists, sum, when}
+    val docNulls = load(s, d, "documents")
+      .agg(sum(when(col("text").isNull, 1).otherwise(0)).as("null_text"))
+      .head.getLong(0)
+    val Array(nullEmb, nullElem) = load(s, d, "embeddings")
+      .agg(sum(when(col("embedding").isNull, 1).otherwise(0)),
+        sum(when(exists(col("embedding"), e => e.isNull), 1).otherwise(0)))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    System.err.println(
+      s"[graft preflight] null check: documents.text=$docNulls " +
+        s"embeddings.embedding=$nullEmb null-elements=$nullElem (contract: all 0)")
+    require(docNulls == 0,
+      s"documents.text has $docNulls NULL rows — fingerprint/tokenize " +
+        "queries assume non-null text; the testdata generator changed. " +
+        "Decide a null policy in util/Tables before trusting results.")
+    require(nullEmb == 0 && nullElem == 0,
+      s"embeddings.embedding has $nullEmb NULL rows / $nullElem rows with " +
+        "null elements — the cosine/minhash kernels assume dense vectors; " +
+        "the testdata generator changed. Adapt the loader first.")
   }
 
   /** Scratch dir (inside the repo) for sink/round-trip queries. Keyed by the

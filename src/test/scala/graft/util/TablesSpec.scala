@@ -85,6 +85,56 @@ class TablesSpec extends SparkSpec {
     e.getMessage should include("documents.text")
   }
 
+  /** A fixture dir that is the real sf0.001 testdata with ONE table
+    * replaced by `rows` written via the given DataFrame.
+    */
+  private def fixtureWith(name: String, table: String,
+      df: org.apache.spark.sql.DataFrame): String = {
+    val dir = tmpDir(name)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        if t != table) {
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"))
+    }
+    df.coalesce(1).write.parquet(s"$dir/_tmp")
+    val part = new java.io.File(s"$dir/_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    dir
+  }
+
+  test("preflight fails fast on a NULL documents.text row (data nullability)") {
+    // schema-identical to the real table — only the DATA carries the null
+    val df = spark.range(3).selectExpr("id AS doc_id",
+      "CASE WHEN id = 1 THEN NULL ELSE 'hello' END AS text",
+      "'en' AS lang", "'web' AS source", "5 AS n_chars")
+    val e = intercept[IllegalArgumentException](
+      Tables.preflight(spark, fixtureWith("preflight-null-text", "documents", df)))
+    e.getMessage should include("documents.text")
+    e.getMessage should include("NULL")
+  }
+
+  test("preflight fails fast on float64 embedding elements") {
+    val df = spark.range(3).selectExpr("id AS vec_id",
+      "array(CAST(id AS DOUBLE), 1.0D) AS embedding", "CAST(id AS INT) AS label")
+    val e = intercept[IllegalArgumentException](
+      Tables.preflight(spark, fixtureWith("preflight-f64-emb", "embeddings", df)))
+    e.getMessage should include("embeddings.embedding")
+    e.getMessage should include("FLOAT")
+  }
+
+  test("preflight fails fast on a null embedding element") {
+    val df = spark.range(3).selectExpr("id AS vec_id",
+      "array(CAST(id AS FLOAT), IF(id = 2, CAST(NULL AS FLOAT), 1.0F)) AS embedding",
+      "CAST(id AS INT) AS label")
+    val e = intercept[IllegalArgumentException](
+      Tables.preflight(spark, fixtureWith("preflight-null-elem", "embeddings", df)))
+    e.getMessage should include("null elements")
+  }
+
   test("on-disk events table normalizes to the ns contract at every sf") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val ev = Tables.events(spark, s"/root/testdata/$sf")
