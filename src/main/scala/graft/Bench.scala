@@ -49,11 +49,31 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
 
+    // Contention sentinel: a FIXED, data-independent probe (sum over a
+    // constant range — pure codegen'd CPU across all cores, no IO) timed
+    // at suite start, middle, and end. Identical work every time, so any
+    // spread between the three numbers is HOST noise (co-tenant load, CPU
+    // throttling), not a property of the queries — a reader can normalize
+    // a "slow" suite run by its sentinel inflation instead of guessing
+    // whether a regression is real (rounds 7-9 each needed a hand re-run
+    // in a calm window to tell; this replaces that judgment call).
+    import org.apache.spark.sql.functions.sum
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).agg(sum("id")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // warm the sentinel's own codegen path off the record
+    val sentStart = sentinel()
+
     val errors = scala.collection.mutable.ListBuffer[String]()
     // Stable execution order (sorted by name) for run-to-run comparability.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    val midAt = ordered.size / 2
+    var sentMid = -1.0
+    val results = ordered.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == midAt) sentMid = sentinel()
       def once(): Double = {
         val t0 = System.nanoTime()
         // materialize every output row (not count(): that lets Catalyst
@@ -77,19 +97,24 @@ object Bench {
       System.gc() // collect this query's debt off the next query's clock
       name -> best
     }
+    val sentEnd = sentinel()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sentJson = f"""{"start":$sentStart%.3f,"mid":$sentMid%.3f,"end":$sentEnd%.3f}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sentinel":$sentJson,"sf":"$sfDir"}"""
     println(json)
     // stdout capture may truncate (BENCH_r02 lost its tail to a 10 KB cap):
     // persist the full line where the driver/judge can always read it.
     // FULL runs only — a local subset run (query-name args) must not
-    // clobber the round's full-suite evidence file.
+    // clobber the round's full-suite evidence file. SPARK_GRAFT_BENCH_OUT
+    // redirects (e.g. a full gsf1 scale run → bench_sf1.json) so scale
+    // evidence never clobbers the driver's sf0.1 file either.
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "/root/repo/bench_out.json")), json + "\n")
       catch { case _: Throwable => () }
     }
     spark.stop()

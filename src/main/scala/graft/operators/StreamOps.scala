@@ -550,6 +550,16 @@ object StreamOps {
       // three backlog slices → three REAL incremental merge cycles
       val slices = (0 to 2).map(i => ev.filter(col("event_id") % 3 === i))
       val backlog = batchBacklog(s, d, "st08", slices: _*)
+      // CLUSTER NOTE: the state commit below (write `next`, POSIX-rename
+      // onto `current`) is a single-node sandbox simulation of a
+      // transactional table commit. The MERGE itself (cdcMergeStep: a
+      // distributed join + window) is scale-correct as-is, but on a real
+      // cluster the atomic swap must be a table-format commit (Delta/
+      // Iceberg MERGE INTO, whose manifest swap is the same latest-wins
+      // contract) or the engine's checkpointed state store — an
+      // object-store rename is neither atomic nor cross-node visible.
+      // Do not lift the File.renameTo pattern off this harness. SCALE.md
+      // ("Streaming at 100 TB") has the full mapping.
       val stateRoot = new java.io.File(Tables.scratch(d, "st08_state"))
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
