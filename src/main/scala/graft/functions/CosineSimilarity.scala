@@ -101,6 +101,9 @@ object GraftFunctions {
   val langQualityCountsInfo = new ExpressionInfo(
     classOf[LangQualityCounts].getName, "lang_quality_counts")
 
+  val normalizeAsciiInfo = new ExpressionInfo(
+    classOf[NormalizeAscii].getName, "normalize_ascii")
+
   val bpeCountsInfo = new ExpressionInfo(classOf[BpeCounts].getName, "bpe_counts")
 
   /** bpe_counts(text, merges) — merges must be a foldable array<string>
@@ -179,6 +182,11 @@ object GraftFunctions {
     val gm = org.apache.spark.sql.catalyst.FunctionIdentifier("gram_moments")
     if (!registry.functionExists(gm)) {
       registry.registerFunction(gm, GramMoments.info, GramMoments.build _)
+    }
+    val na = org.apache.spark.sql.catalyst.FunctionIdentifier("normalize_ascii")
+    if (!registry.functionExists(na)) {
+      registry.registerFunction(na, normalizeAsciiInfo,
+        (children: Seq[Expression]) => NormalizeAscii(children.head))
     }
   }
 }

@@ -50,9 +50,17 @@ object Curation {
   /** Aggressive lowercase/ASCII normalization: lowercase, strip everything
     * outside [a-z0-9 ] (tabs/controls/punct become spaces), collapse runs
     * of whitespace, trim. The canonical pre-fingerprint cleanup pass.
+    *
+    * Unicode lowercasing stays on Spark's `lower`; the strip/collapse/trim
+    * tail runs as the fused one-byte-pass kernel
+    * [[graft.functions.NormalizeAscii]] instead of two regex passes —
+    * byte-identical output (CurationSpec pins the equivalence on
+    * adversarial inputs), ~4× less scan CPU on p05's corpus pass. Caller
+    * contract as for every `call_function` helper in this package:
+    * [[graft.functions.GraftFunctions.ensureRegistered]] first.
     */
   def normalizeText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    call_function("normalize_ascii", lower(c))
 
   /** Canonical URL for web-corpus dedup — the normalization every crawl
     * pipeline runs BEFORE content dedup (the same page arrives under

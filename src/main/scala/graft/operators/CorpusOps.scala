@@ -85,6 +85,7 @@ object CorpusOps {
            |  md5(norm) AS norm_fp, (norm = canon) AS round_trip
            |FROM n ORDER BY doc_id""".stripMargin),
     (s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val messy = concat(lit("  "), upper(substring(col("text"), 1, 20)),
         lit(" \t "), substring(col("text"), 21, Int.MaxValue), lit("  "))
       val norm = Curation.normalizeText(messy)
