@@ -906,10 +906,8 @@ object CorpusOps {
            |GROUP BY split, x.straddling_components ORDER BY split""".stripMargin),
     (s, d) => {
       import graft.llm.Dedup
-      val comp = Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.5,
-          maxDocFreq = Some(10)),
-        "doc_a", "doc_b") // (doc_id, group_id) for docs in ≥1 pair
+      val comp = Dedup.cachedNgramComponents(s, documents(s, d), d,
+        "doc_id", "text", 3, 0.5, maxDocFreq = 10) // (doc_id, group_id) for docs in ≥1 pair
       val sp = documents(s, d).select(col("doc_id"))
         .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
