@@ -289,4 +289,135 @@ object Curation {
         .as("pair"))
       .groupBy("pair").agg(sum(col("freq")).as("cnt"))
   }
+
+  // ------------------------------------------- LM perplexity filtering ---
+
+  /** Char-bigram LM perplexity bucketing — the CCNet recipe (Wenzek et
+    * al. 2020: score every document under an LM trained on a clean
+    * reference corpus; split each language into head/middle/tail
+    * perplexity buckets; keep head+middle downstream), re-expressed at
+    * char-bigram granularity so the whole conditional model is
+    * closed-form. Per language, the `isRef` slice fits an add-V-smoothed
+    * model P(c₂|c₁) = (count(c₁c₂)+1)/(count(c₁·)+V) with V the
+    * conditioning-alphabet size; unseen bigrams back off to
+    * 1/(count(c₁·)+V), unseen conditioning chars to 1/V. Returns one row
+    * per scorable doc: (doc_id, lang, avg_nll, bucket) with avg_nll in
+    * integer micro-nats per bigram; languages with no reference slice are
+    * out of scope (CCNet likewise only scores languages it has an LM for).
+    *
+    * Scale: the model is ≤ |alphabet|² rows PER LANGUAGE — broadcastable
+    * at any corpus size (CCNet's design point: the LM is fixed, only
+    * scoring scans the corpus). Scoring is one linear bigram pass + a
+    * per-doc combine; the only windows run over the CALIBRATION sample
+    * (`doc_id % calEvery == 0`, a bounded deterministic slice — CCNet
+    * fits its percentile cutoffs once on held-out data and applies them
+    * as constants), never over the corpus. Exactness: each log-prob is
+    * quantized ONCE to integer micro-nats; every downstream step —
+    * per-doc Σ n·logp, the integer-division mean, threshold compares —
+    * is exact 64-bit integer arithmetic, bit-equal across engines given
+    * equal quantized models.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, isRef: Column, calEvery: Int = 10): DataFrame = {
+    // fanOut: the ~len(text)× bigram generate inherits the scan's split
+    // count, and a few-file corpus (one file at bench SF) would run the
+    // whole explode nearly single-threaded (measured 2.96 s → 0.55 s at
+    // sf0.1); at scale the scan has ≥ parallelism splits and this is a
+    // no-op with zero added shuffle
+    val base = graft.util.Exact.fanOut(
+      docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        col(textCol).as("text"), isRef.as("is_ref")))
+    def bigrams(df: DataFrame) =
+      df.filter(char_length(col("text")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
+            .as("bg"))
+    def microNats(c: Column) = round(log(c) * 1e6, 0).cast("long")
+    // fit: char-bigram counts of the reference slice, per language.
+    // localCheckpoint pins the ≤ langs·|alphabet|² fit rows — model, fb1,
+    // fbg, c1m, and vm all derive from m0, and without materialization each
+    // derived frame would re-run the reference-slice explode+aggregate
+    // (measured ~6 evaluations of the fit scan in the final plan).
+    val m0 = bigrams(base.filter(col("is_ref")))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("c_bg"))
+      .withColumn("c1", substring(col("bg"), 1, 1))
+      .localCheckpoint(true)
+    val c1m = m0.groupBy("lang", "c1").agg(sum("c_bg").as("c_c1"))
+    val vm = c1m.groupBy("lang").agg(count(lit(1)).as("v"))
+    val model = m0.join(c1m, Seq("lang", "c1")).join(vm, Seq("lang"))
+      .select(col("lang"), col("bg"),
+        microNats((col("c_bg") + lit(1.0)) / (col("c_c1") + col("v"))).as("lp"))
+    val fb1 = c1m.join(vm, Seq("lang"))
+      .select(col("lang"), col("c1"),
+        microNats(lit(1.0) / (col("c_c1") + col("v"))).as("lp0"))
+    val fbg = vm.select(col("lang"), microNats(lit(1.0) / col("v")).as("lpg"))
+    // score: one linear pass over the corpus — exploded bigrams go straight
+    // into the broadcast model joins (no per-(doc,bigram) pre-count: that
+    // would be a second corpus-sized shuffle; here map-side partial
+    // aggregation combines each partition down to per-doc rows before the
+    // only shuffle, on doc_id)
+    val sc = bigrams(base)
+      .withColumn("c1", substring(col("bg"), 1, 1))
+      .join(broadcast(model), Seq("lang", "bg"), "left")
+      .join(broadcast(fb1), Seq("lang", "c1"), "left")
+      .join(broadcast(fbg), Seq("lang"))
+      .groupBy("doc_id", "lang")
+      .agg((-sum(coalesce(col("lp"), col("lp0"), col("lpg")))).as("nll"),
+        count(lit(1)).as("nb"))
+    // one row per doc; consumed by BOTH the calibration pass and the final
+    // bucket join — AQE's exchange reuse serves the second consumer from
+    // the first's shuffle output, so no explicit materialization is needed
+    val avgd = sc.select(col("doc_id"), col("lang"),
+      expr("nll div nb").as("avg_nll"))
+    // calibrate tercile cutoffs on the bounded deterministic sample only
+    val wOrd = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    val th = avgd.filter(pmod(col("doc_id"), lit(calEvery)) === 0)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("ns", count(lit(1)).over(wAll))
+      .groupBy("lang").agg(
+        max(when(col("rn") <= expr("(ns + 2) div 3"), col("avg_nll"))).as("t1"),
+        max(when(col("rn") <= expr("(2 * ns + 2) div 3"), col("avg_nll"))).as("t2"))
+    avgd.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("t1"), "head")
+          .when(col("avg_nll") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "avg_nll", "bucket")
+  }
+
+  // ------------------------------------- weighted sample w/o replacement ---
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+    * each row draws key uᵢ^(1/wᵢ) with uᵢ uniform in (0,1) and wᵢ its
+    * weight; the k largest keys are EXACTLY a weight-proportional sample
+    * without replacement — the standard one-pass recipe for
+    * quality-weighted data selection. Ordering used here: −ln(uᵢ)/wᵢ
+    * ASCENDING (monotone transform of the same ranking, no underflow at
+    * tiny weights). uᵢ derives from md5(salt ‖ id) — the repo's
+    * cross-engine hash recipe — so both engines draw the same "random"
+    * number; keys are quantized to integer micro-units with the id as
+    * total-order tiebreak, and zero weights are clamped to 1e-6 so the
+    * key stays finite. Returns (rank, idCol, weightCol, key_micro).
+    *
+    * Scale: key computation is map-side scan work; selection is
+    * orderBy+limit — Spark's TakeOrdered, O(k) per partition then an
+    * O(parts·k) driver merge, no corpus-sized shuffle; the rank column is
+    * assigned AFTER the limit, over k rows only.
+    */
+  def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "ws:"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 12), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val keyMicro = round(-log(u)
+      / greatest(col(weightCol), lit(0.000001)) * 1e6, 0).cast("long")
+    val sel = df.select(col(idCol), col(weightCol))
+      .withColumn("key_micro", keyMicro)
+      .orderBy(col("key_micro"), col(idCol)).limit(k)
+    val wRank = Window.orderBy(col("key_micro"), col(idCol))
+    sel.withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(col("rank"), col(idCol), col(weightCol), col("key_micro"))
+  }
 }

@@ -1116,7 +1116,95 @@ object CorpusOps {
         .orderBy("event_id")
     })
 
+  /** t17 — n-gram LM perplexity bucketing
+    * ([[graft.llm.Curation.perplexityBuckets]] — the CCNet recipe at
+    * char-bigram granularity; model/backoff/calibration semantics and the
+    * scale + exactness arguments documented there). The `src0` source
+    * slice plays the clean-reference corpus; the oracle replays the whole
+    * fit → quantize-to-micro-nats → score → integer-mean → tercile chain
+    * in SQL, so the hash compare pins the trained MODEL as well as the
+    * bucketing, not just row counts.
+    */
+  val t17 = QSpec(
+    "t17_lm_perplexity",
+    Some("""WITH bg_all AS (
+           |  SELECT doc_id, lang, source, substr(text, CAST(i AS INT), 2) AS bg
+           |  FROM documents, UNNEST(range(1, len(text))) AS t(i)),
+           |m0 AS (SELECT lang, bg, COUNT(*) AS c_bg FROM bg_all
+           |       WHERE source = 'src0' GROUP BY 1, 2),
+           |c1m AS (SELECT lang, substr(bg, 1, 1) AS c1, SUM(c_bg) AS c_c1
+           |        FROM m0 GROUP BY 1, 2),
+           |vm AS (SELECT lang, COUNT(*) AS v FROM c1m GROUP BY 1),
+           |model AS (SELECT m0.lang, m0.bg,
+           |    CAST(ROUND(ln((c_bg + 1.0) / (c_c1 + v)) * 1000000) AS BIGINT) AS lp
+           |  FROM m0 JOIN c1m ON m0.lang = c1m.lang AND substr(m0.bg, 1, 1) = c1m.c1
+           |       JOIN vm ON m0.lang = vm.lang),
+           |fb1 AS (SELECT c1m.lang, c1,
+           |    CAST(ROUND(ln(1.0 / (c_c1 + v)) * 1000000) AS BIGINT) AS lp0
+           |  FROM c1m JOIN vm ON c1m.lang = vm.lang),
+           |fbg AS (SELECT lang, CAST(ROUND(ln(1.0 / v) * 1000000) AS BIGINT) AS lpg
+           |        FROM vm),
+           |db AS (SELECT doc_id, lang, bg, COUNT(*) AS n FROM bg_all GROUP BY 1, 2, 3),
+           |sc AS (SELECT db.doc_id, db.lang,
+           |    -SUM(n * COALESCE(model.lp, fb1.lp0, fbg.lpg)) AS nll, SUM(n) AS nb
+           |  FROM db LEFT JOIN model ON db.lang = model.lang AND db.bg = model.bg
+           |       LEFT JOIN fb1 ON db.lang = fb1.lang AND substr(db.bg, 1, 1) = fb1.c1
+           |       JOIN fbg ON db.lang = fbg.lang
+           |  GROUP BY 1, 2),
+           |avgd AS (SELECT doc_id, lang, nll // nb AS avg_nll FROM sc),
+           |cal AS (SELECT lang, doc_id, avg_nll,
+           |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY lang) AS ns
+           |  FROM avgd WHERE doc_id % 10 = 0),
+           |th AS (SELECT lang,
+           |    MAX(CASE WHEN rn <= (ns + 2) // 3 THEN avg_nll END) AS t1,
+           |    MAX(CASE WHEN rn <= (2 * ns + 2) // 3 THEN avg_nll END) AS t2
+           |  FROM cal GROUP BY 1),
+           |b AS (SELECT a.lang,
+           |    CASE WHEN a.avg_nll <= th.t1 THEN 'head'
+           |         WHEN a.avg_nll <= th.t2 THEN 'middle'
+           |         ELSE 'tail' END AS bucket, a.avg_nll
+           |  FROM avgd a JOIN th ON a.lang = th.lang)
+           |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(avg_nll) AS BIGINT) AS sum_avg_nll
+           |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin),
+    (s, d) => Curation.perplexityBuckets(documents(s, d),
+      "doc_id", "lang", "text", isRef = col("source") === "src0")
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("avg_nll").as("sum_avg_nll"))
+      .orderBy("lang", "bucket"))
+
+  /** p13 — weighted sampling without replacement
+    * ([[graft.llm.Curation.weightedSampleTopK]] — Efraimidis & Spirakis
+    * 2006, keys −ln(u)/w from the md5 cross-engine hash recipe; scale +
+    * determinism arguments documented there). Weights are the t02 quality
+    * scores, k = 50; the oracle replays hash → key → quantize → rank in
+    * SQL, so the hash compare pins the exact selected set AND its order.
+    */
+  val p13 = QSpec(
+    "p13_weighted_sample",
+    Some("""WITH q AS (SELECT doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS word_cnt,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS BIGINT) AS stop_cnt
+           |  FROM documents),
+           |s AS (SELECT doc_id,
+           |    ROUND(LEAST(1.0, word_cnt / 100.0) * (1.0 - stop_cnt / word_cnt), 6) AS quality_score
+           |  FROM q),
+           |k AS (SELECT doc_id, quality_score,
+           |    CAST(ROUND(-ln((CAST(('0x' || substr(md5('ws:' || doc_id), 1, 12)) AS BIGINT) + 0.5)
+           |          / 281474976710656.0)
+           |        / GREATEST(quality_score, 0.000001) * 1000000) AS BIGINT) AS key_micro
+           |  FROM s),
+           |r AS (SELECT doc_id, quality_score, key_micro,
+           |    ROW_NUMBER() OVER (ORDER BY key_micro, doc_id) AS rn FROM k)
+           |SELECT CAST(rn AS BIGINT) AS rank, doc_id, quality_score, key_micro
+           |FROM r WHERE rn <= 50 ORDER BY rank""".stripMargin),
+    (s, d) => Curation.weightedSampleTopK(
+      LlmOps.scoredDocs(s, d).select("doc_id", "quality_score"),
+      "doc_id", "quality_score", k = 50)
+      .orderBy("rank"))
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    p10, p11, p12, t16, w06, m13)
+    p10, p11, p12, t16, w06, m13, t17, p13)
 }

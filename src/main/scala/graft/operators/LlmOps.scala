@@ -696,7 +696,7 @@ object LlmOps {
   /** Spark twin of [[scoredDocsSql]]: (doc_id, word_cnt, quality_score,
     * pred_lang) over every document — one scan, pure codegen'd expressions.
     */
-  private def scoredDocs(s: org.apache.spark.sql.SparkSession, d: String,
+  private[operators] def scoredDocs(s: org.apache.spark.sql.SparkSession, d: String,
       barrier: Boolean = false) = {
     val base = documents(s, d)
     val comps = TextAnalysis.qualityComponentsFused(s, col("text"), Seq("the", "a")).toMap

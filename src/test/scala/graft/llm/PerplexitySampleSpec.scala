@@ -1,0 +1,120 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the round-10 curation additions:
+  * [[Curation.perplexityBuckets]] (t17) and
+  * [[Curation.weightedSampleTopK]] (p13). The oracle gate pins both
+  * against DuckDB on the synthetic corpus; these specs pin the MATH on
+  * inputs small enough to verify by hand (smoothed bigram log-probs,
+  * integer-mean, tercile cutoffs; the Efraimidis–Spirakis key formula via
+  * an independent in-test reimplementation).
+  */
+class PerplexitySampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String, String, Boolean)*) =
+    rows.toDF("doc_id", "lang", "text", "is_ref")
+
+  test("perplexityBuckets: hand-computed micro-nat scores and terciles") {
+    // Reference slice = doc 1 ("aab", lang xx). Model:
+    //   bigrams: aa=1, ab=1; count('a'·)=2; V=1 (conditioning alphabet {a})
+    //   lp(aa)=lp(ab)=round(ln((1+1)/(2+1))·1e6) = round(-405465.108) = -405465
+    //   backoff c1='a': round(ln(1/3)·1e6) = -1098612;  unseen c1: ln(1/1)=0
+    // Scores (avg = integer-div mean of -Σ n·lp):
+    //   doc 1 "aab": (405465+405465) div 2 = 405465
+    //   doc 2 "aba": ab=-405465, ba→unseen-c1 0 → 405465 div 2 = 202732
+    //   doc 3 "bbb": bb→0, bb→0 → 0
+    // Calibration (calEvery=1 → all 3 docs): ns=3, k1=1, k2=2
+    //   sorted avgs [0, 202732, 405465] → t1=0, t2=202732
+    val df = docsDf(
+      (1L, "xx", "aab", true),
+      (2L, "xx", "aba", false),
+      (3L, "xx", "bbb", false))
+    val got = Curation.perplexityBuckets(df, "doc_id", "lang", "text",
+        isRef = col("is_ref"), calEvery = 1)
+      .select("doc_id", "avg_nll", "bucket")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got shouldBe Map(
+      1L -> (405465L, "tail"),
+      2L -> (202732L, "middle"),
+      3L -> (0L, "head"))
+  }
+
+  test("perplexityBuckets: a language with no reference slice is out of scope") {
+    val df = docsDf(
+      (1L, "xx", "aab", true), (2L, "xx", "aba", false),
+      (10L, "yy", "zzz", false), (11L, "yy", "zyz", false))
+    val langs = Curation.perplexityBuckets(df, "doc_id", "lang", "text",
+        isRef = col("is_ref"), calEvery = 1)
+      .select("lang").distinct().as[String].collect().toSet
+    langs shouldBe Set("xx")
+  }
+
+  test("perplexityBuckets: buckets are ordered bands per language") {
+    // 24 docs over 2 langs, varied repetition structure; cutoffs from the
+    // even-doc_id calibration sample. head/middle/tail must partition each
+    // language into non-overlapping ascending avg_nll bands (by
+    // construction: avg<=t1, t1<avg<=t2, avg>t2).
+    val rows = (0L until 24L).map { i =>
+      val lang = if (i % 2 == 0) "xx" else "yy"
+      val text = ("ab" * (1 + (i % 5)).toInt) + ("q" * (i % 3).toInt) + "abba"
+      (i, lang, text, i < 4) // first 4 docs are the reference slice
+    }
+    val out = Curation.perplexityBuckets(rows.toDF("doc_id", "lang", "text", "is_ref"),
+        "doc_id", "lang", "text", isRef = col("is_ref"), calEvery = 2)
+      .select("lang", "bucket", "avg_nll")
+      .as[(String, String, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, perLang) =>
+      val byBucket = perLang.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } h.max should be <= m.min
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } m.max should be < t.min
+    }
+  }
+
+  /** Independent reimplementation of the p13 key: md5(salt‖id) → first 12
+    * hex chars → 48-bit uniform → −ln(u)/max(w,1e-6) in integer micros.
+    */
+  private def expectedKey(id: Long, w: Double, salt: String = "ws:"): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt$id".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    val u = (h + 0.5) / 281474976710656.0
+    BigDecimal(-math.log(u) / math.max(w, 0.000001) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  test("weightedSampleTopK matches an independent key reimplementation") {
+    val rows = (1L to 100L).map(i => (i, if (i <= 10) 1.0 else 0.001))
+    val df = rows.toDF("id", "w")
+    val got = Curation.weightedSampleTopK(df, "id", "w", k = 5)
+      .select("rank", "id", "key_micro").as[(Long, Long, Long)].collect()
+    val want = rows.map { case (i, w) => (i, expectedKey(i, w)) }
+      .sortBy { case (i, k) => (k, i) }.take(5)
+      .zipWithIndex.map { case ((i, k), r) => (r + 1L, i, k) }
+    got.toSeq shouldBe want.toSeq
+    // weight-proportional: all 5 winners come from the 10 heavy-weight ids
+    all(got.map(_._2)) should be <= 10L
+  }
+
+  test("weightedSampleTopK: zero weight clamps to a finite key") {
+    val df = Seq((1L, 0.0), (2L, 1.0)).toDF("id", "w")
+    val got = Curation.weightedSampleTopK(df, "id", "w", k = 2)
+      .select("id", "key_micro").as[(Long, Long)].collect().toMap
+    got(1L) shouldBe expectedKey(1L, 0.0)
+    got(1L) should be > got(2L) // zero-weight key is astronomically worse
+  }
+
+  test("weightedSampleTopK is deterministic across runs") {
+    val df = (1L to 50L).map(i => (i, 0.1 + (i % 7) / 7.0)).toDF("id", "w")
+    val a = Curation.weightedSampleTopK(df, "id", "w", k = 10).collect()
+    val b = Curation.weightedSampleTopK(df, "id", "w", k = 10).collect()
+    a.toSeq shouldBe b.toSeq
+  }
+}
