@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-language quantized char-bigram LM, the executor-side artifact of
+  * [[graft.llm.Curation.perplexityBuckets]]'s fit: sorted primitive-array
+  * lookup tables (binary search, zero boxing, zero per-row allocation
+  * beyond the text's String view), shipped to tasks inside the [[LmScore]]
+  * expression exactly the way CCNet ships its fixed KenLM artifact to
+  * workers. Scoring one document is ONE pass over its code points —
+  * replaces the explode → 3 broadcast joins → re-aggregate formulation,
+  * whose per-bigram row materialization dominated t17's cost.
+  *
+  * Log-probs arrive already quantized to integer micro-nats; the fit does
+  * the quantization ONCE (Math.log + BigDecimal HALF_UP — bit-identical to
+  * Spark's `round(double, 0)`), so scoring is exact integer arithmetic.
+  */
+final class LmScorerModel(
+    langKeys: Array[UTF8String],
+    bgKeys: Array[Array[Long]], // per lang, sorted (cp1 << 32 | cp2)
+    bgVals: Array[Array[Long]],
+    c1Keys: Array[Array[Int]], // per lang, sorted conditioning code points
+    c1Vals: Array[Array[Long]],
+    lpg: Array[Long]) extends Serializable {
+
+  private def langIndex(lang: UTF8String): Int = {
+    var i = 0
+    while (i < langKeys.length) {
+      if (langKeys(i).equals(lang)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** (nll_micro, n_bigrams) for one doc, or null when the language has no
+    * model or the text has no bigrams — the same out-of-scope semantics
+    * the join formulation produced via inner-join + length filter.
+    */
+  def score(lang: UTF8String, text: UTF8String): InternalRow = {
+    val li = langIndex(lang)
+    if (li < 0) return null
+    val s = text.toString
+    val bk = bgKeys(li); val bv = bgVals(li)
+    val ck = c1Keys(li); val cv = c1Vals(li)
+    val g = lpg(li)
+    var nll = 0L
+    var nb = 0L
+    var prev = -1
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (prev >= 0) {
+        val key = (prev.toLong << 32) | (cp.toLong & 0xFFFFFFFFL)
+        val bi = java.util.Arrays.binarySearch(bk, key)
+        val lp =
+          if (bi >= 0) bv(bi)
+          else {
+            val ci = java.util.Arrays.binarySearch(ck, prev)
+            if (ci >= 0) cv(ci) else g
+          }
+        nll -= lp
+        nb += 1
+      }
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    if (nb == 0) null
+    else new GenericInternalRow(Array[Any](nll, nb))
+  }
+}
+
+object LmScorerModel {
+  private def firstTwoCodePoints(bg: String): (Int, Int) = {
+    val c1 = bg.codePointAt(0)
+    (c1, bg.codePointAt(Character.charCount(c1)))
+  }
+
+  /** Quantize ln(x) to integer micro-nats exactly like the engine
+    * formulation `round(log(x) * 1e6, 0).cast("long")` (Spark's round on
+    * doubles is BigDecimal HALF_UP — same libm log, same rounding rule,
+    * same JVM ⇒ bit-identical).
+    */
+  def microNats(x: Double): Long =
+    java.math.BigDecimal.valueOf(math.log(x) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Build the lookup tables from raw reference-slice bigram counts
+    * (lang, bigram, count). Add-V smoothing per language with V = number
+    * of distinct conditioning chars; backoffs mirror the fit SQL:
+    * unseen bigram → 1/(count(c₁·)+V), unseen conditioning char → 1/V.
+    */
+  def fromBigramCounts(rows: Seq[(String, String, Long)]): LmScorerModel = {
+    val byLang = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val langKeys = byLang.map { case (l, _) => UTF8String.fromString(l) }.toArray
+    val n = byLang.size
+    val bgK = new Array[Array[Long]](n); val bgV = new Array[Array[Long]](n)
+    val c1K = new Array[Array[Int]](n); val c1V = new Array[Array[Long]](n)
+    val lpg = new Array[Long](n)
+    byLang.zipWithIndex.foreach { case ((_, rs), i) =>
+      val parsed = rs.map { case (_, bg, c) =>
+        val (a, b) = firstTwoCodePoints(bg)
+        ((a.toLong << 32) | (b.toLong & 0xFFFFFFFFL), a, c)
+      }
+      val c1Counts = parsed.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val v = c1Counts.size
+      val c1Map = c1Counts.toMap
+      val sortedBg = parsed.sortBy(_._1)
+      bgK(i) = sortedBg.map(_._1).toArray
+      bgV(i) = sortedBg.map { case (_, a, c) =>
+        microNats((c + 1.0) / (c1Map(a) + v))
+      }.toArray
+      c1K(i) = c1Counts.map(_._1).toArray
+      c1V(i) = c1Counts.map { case (_, cc) => microNats(1.0 / (cc + v)) }.toArray
+      lpg(i) = microNats(1.0 / v)
+    }
+    new LmScorerModel(langKeys, bgK, bgV, c1K, c1V, lpg)
+  }
+}
+
+/** Native expression: `lm_score(lang, text)` → struct(nll, nb) — the fused
+  * LM scoring pass. Carries the fitted [[LmScorerModel]] as expression
+  * state (no SQL-registry form: the model is a runtime artifact, not a
+  * literal), so it goes through ColumnBridge like the other stateful
+  * graft expressions.
+  */
+case class LmScore(lang: Expression, text: Expression, model: LmScorerModel)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = lang
+  override def right: Expression = text
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("nll", LongType, nullable = false),
+    StructField("nb", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "lm_score"
+
+  override def nullSafeEval(l: Any, t: Any): Any =
+    model.score(l.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmModel", model, classOf[LmScorerModel].getName)
+    nullSafeCodeGen(ctx, ev, (l, t) => s"""
+      ${ev.value} = $ref.score($l, $t);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LmScore =
+    copy(lang = newLeft, text = newRight)
+}

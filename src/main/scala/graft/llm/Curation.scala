@@ -305,10 +305,13 @@ object Curation {
     * integer micro-nats per bigram; languages with no reference slice are
     * out of scope (CCNet likewise only scores languages it has an LM for).
     *
-    * Scale: the model is ≤ |alphabet|² rows PER LANGUAGE — broadcastable
-    * at any corpus size (CCNet's design point: the LM is fixed, only
-    * scoring scans the corpus). Scoring is one linear bigram pass + a
-    * per-doc combine; the only windows run over the CALIBRATION sample
+    * Scale: the model is ≤ |alphabet|² entries PER LANGUAGE — a bounded
+    * driver artifact shipped to every task inside the fused
+    * [[graft.functions.LmScore]] expression (CCNet's design point: the LM
+    * is a fixed artifact workers load, only scoring scans the corpus).
+    * The fit is one map-side-combined aggregate over the reference slice;
+    * scoring is one shuffle-free fused pass (no explode, no joins); the
+    * only windows run over the CALIBRATION sample
     * (`doc_id % calEvery == 0`, a bounded deterministic slice — CCNet
     * fits its percentile cutoffs once on held-out data and applies them
     * as constants), never over the corpus. Exactness: each log-prob is
@@ -333,43 +336,34 @@ object Curation {
           explode(expr(
             "transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
             .as("bg"))
-    def microNats(c: Column) = round(log(c) * 1e6, 0).cast("long")
-    // fit: char-bigram counts of the reference slice, per language.
-    // localCheckpoint pins the ≤ langs·|alphabet|² fit rows — model, fb1,
-    // fbg, c1m, and vm all derive from m0, and without materialization each
-    // derived frame would re-run the reference-slice explode+aggregate
-    // (measured ~6 evaluations of the fit scan in the final plan).
-    val m0 = bigrams(base.filter(col("is_ref")))
+    // fit: char-bigram counts of the reference slice, per language — ONE
+    // map-side-combined aggregate (per-partition state is bounded by
+    // langs·|alphabet|² keys regardless of corpus size), then a BOUNDED
+    // collect: the quantized model IS the fit artifact, and CCNet ships
+    // that artifact to workers rather than re-deriving it in-plan. The
+    // require pins the driver-bound contract — a CJK-scale alphabet
+    // (~5k chars → ~25M bigrams/lang) must switch to the hashed-feature
+    // route (p12's recipe) instead of blowing past it silently.
+    val m0rows = bigrams(base.filter(col("is_ref")))
       .groupBy("lang", "bg").agg(count(lit(1)).as("c_bg"))
-      .withColumn("c1", substring(col("bg"), 1, 1))
-      .localCheckpoint(true)
-    val c1m = m0.groupBy("lang", "c1").agg(sum("c_bg").as("c_c1"))
-    val vm = c1m.groupBy("lang").agg(count(lit(1)).as("v"))
-    val model = m0.join(c1m, Seq("lang", "c1")).join(vm, Seq("lang"))
-      .select(col("lang"), col("bg"),
-        microNats((col("c_bg") + lit(1.0)) / (col("c_c1") + col("v"))).as("lp"))
-    val fb1 = c1m.join(vm, Seq("lang"))
-      .select(col("lang"), col("c1"),
-        microNats(lit(1.0) / (col("c_c1") + col("v"))).as("lp0"))
-    val fbg = vm.select(col("lang"), microNats(lit(1.0) / col("v")).as("lpg"))
-    // score: one linear pass over the corpus — exploded bigrams go straight
-    // into the broadcast model joins (no per-(doc,bigram) pre-count: that
-    // would be a second corpus-sized shuffle; here map-side partial
-    // aggregation combines each partition down to per-doc rows before the
-    // only shuffle, on doc_id)
-    val sc = bigrams(base)
-      .withColumn("c1", substring(col("bg"), 1, 1))
-      .join(broadcast(model), Seq("lang", "bg"), "left")
-      .join(broadcast(fb1), Seq("lang", "c1"), "left")
-      .join(broadcast(fbg), Seq("lang"))
-      .groupBy("doc_id", "lang")
-      .agg((-sum(coalesce(col("lp"), col("lp0"), col("lpg")))).as("nll"),
-        count(lit(1)).as("nb"))
-    // one row per doc; consumed by BOTH the calibration pass and the final
-    // bucket join — AQE's exchange reuse serves the second consumer from
-    // the first's shuffle output, so no explicit materialization is needed
-    val avgd = sc.select(col("doc_id"), col("lang"),
-      expr("nll div nb").as("avg_nll"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    require(m0rows.size <= 2000000,
+      s"perplexityBuckets: ${m0rows.size} fitted bigrams exceed the " +
+        "driver-bounded alphabet contract; use hashed n-gram features " +
+        "(the p12 route) for large alphabets")
+    val scorer = graft.functions.LmScorerModel.fromBigramCounts(m0rows)
+    // score: ONE fused pass over the corpus (graft.functions.LmScore —
+    // sorted-array model lookup per bigram, no explode, no joins, no
+    // shuffle); each doc row comes out carrying (nll, nb) directly
+    import org.apache.spark.sql.graft.ColumnBridge
+    val avgd = base
+      .withColumn("s", ColumnBridge.column(graft.functions.LmScore(
+        ColumnBridge.expression(col("lang")),
+        ColumnBridge.expression(col("text")), scorer)))
+      .filter(col("s").isNotNull) // no model for the lang / no bigrams
+      .select(col("doc_id"), col("lang"),
+        expr("s.nll div s.nb").as("avg_nll"))
     // calibrate tercile cutoffs on the bounded deterministic sample only
     val wOrd = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
     val wAll = Window.partitionBy("lang")
