@@ -446,31 +446,61 @@ object Multimodal {
     */
   final case class PerceptualHash(doc_id: Long, ahash: String)
 
+  /** aHash bit string of one decoded raster (shared by the image and
+    * per-video-frame paths).
+    */
+  private def aHashBits(img: PpmImage): String = {
+    val n = img.width * img.height
+    val luma = new Array[Long](n)
+    var total = 0L
+    var p = 0
+    while (p < n) {
+      luma(p) = ((img.pixels(3 * p) & 0xFF) +
+        (img.pixels(3 * p + 1) & 0xFF) +
+        (img.pixels(3 * p + 2) & 0xFF)) / 3
+      total += luma(p)
+      p += 1
+    }
+    val bits = new Array[Char](n)
+    p = 0
+    while (p < n) {
+      bits(p) = if (n * luma(p) > total) '1' else '0'
+      p += 1
+    }
+    new String(bits)
+  }
+
   def extractAHash(media: Dataset[MediaRecord]): Dataset[PerceptualHash] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val img = ppmDecode(r.content)
-          val n = img.width * img.height
-          val luma = new Array[Long](n)
-          var total = 0L
-          var p = 0
-          while (p < n) {
-            luma(p) = ((img.pixels(3 * p) & 0xFF) +
-              (img.pixels(3 * p + 1) & 0xFF) +
-              (img.pixels(3 * p + 2) & 0xFF)) / 3
-            total += luma(p)
-            p += 1
-          }
-          val bits = new Array[Char](n)
-          p = 0
-          while (p < n) {
-            bits(p) = if (n * luma(p) > total) '1' else '0'
-            p += 1
-          }
-          PerceptualHash(r.doc_id, new String(bits))
+          PerceptualHash(r.doc_id, aHashBits(ppmDecode(r.content)))
+        }
+      }
+    }
+  }
+
+  /** Per-video perceptual signature: the ordered concatenation of every
+    * frame's aHash — REAL container parse ([[gvidDecode]]) + REAL frame
+    * decode + the same division-free integer aHash as [[extractAHash]].
+    * Two videos collide iff every frame is perceptually identical in
+    * order, which is exactly the re-encoded-duplicate class (container
+    * bytes may differ; the decoded rasters don't). Shuffle-free
+    * mapPartitions, one signature row per video.
+    */
+  final case class VideoSignature(doc_id: Long, sig: String, n_frames: Int)
+
+  def extractVideoSignature(media: Dataset[MediaRecord]): Dataset[VideoSignature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val frames = gvidDecode(r.content)
+          val sig = frames.map(f => aHashBits(ppmDecode(f))).mkString("|")
+          VideoSignature(r.doc_id, sig, frames.length)
         }
       }
     }

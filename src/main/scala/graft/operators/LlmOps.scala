@@ -1067,6 +1067,50 @@ object LlmOps {
           (sum(col("n") * (col("n") - 1)) / 2).cast("long").as("n_dup_pairs"))
     })
 
+  /** mm07 — video near-dup via perceptual frame signature: the video
+    * extension of mm06. Each doc's planted 6-frame GVID container goes
+    * through the REAL parse + per-frame decode
+    * ([[graft.llm.Multimodal.extractVideoSignature]]); the video's
+    * signature is the ordered concatenation of its frame aHashes, and
+    * dedup is a plain signature-groupBy — O(n) shuffle of fixed-width
+    * keys, the d01/mm06 shape, NO pairwise anything (dup-pair counts come
+    * from group sizes in closed form). This is the re-encoded-duplicate
+    * class: container bytes may differ, decoded rasters don't. The
+    * synthetic corpus plants dup structure by construction (frame f of
+    * doc id has pixel stream ((29·id mod 256) + 11f + i) mod 256, so docs
+    * congruent mod 256 are frame-for-frame identical), and the closed
+    * form lets the oracle rebuild every frame hash WITHOUT a decoder —
+    * the hash compare verifies parse → decode → hash → concat → group
+    * end to end. Temporal-shift-tolerant matching would band the frame
+    * hashes like d04's grams; exact-signature grouping is the gate here.
+    */
+  val mm07 = QSpec(
+    "mm07_video_signature_dedup",
+    Some("""WITH px AS (SELECT doc_id, (doc_id * 29) % 256 AS seed FROM documents),
+           |fh AS (SELECT doc_id, f, list_transform(range(0, 64),
+           |          p -> (((seed + 11*f + 3*p) % 256) + ((seed + 11*f + 3*p + 1) % 256)
+           |                + ((seed + 11*f + 3*p + 2) % 256)) // 3) AS l
+           |       FROM px, UNNEST(range(0, 6)) AS t(f)),
+           |h AS (SELECT doc_id, f, list_aggregate(list_transform(range(0, 64),
+           |        p -> CASE WHEN 64 * l[p + 1] > list_sum(l)
+           |             THEN '1' ELSE '0' END), 'string_agg', '') AS ahash
+           |      FROM fh),
+           |sg AS (SELECT doc_id, string_agg(ahash, '|' ORDER BY f) AS sig
+           |       FROM h GROUP BY doc_id),
+           |g AS (SELECT sig, COUNT(*) AS n FROM sg GROUP BY sig)
+           |SELECT CAST(SUM(n) AS BIGINT) AS n_videos,
+           |  CAST(COUNT(*) AS BIGINT) AS n_distinct_signatures,
+           |  CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_dup_pairs
+           |FROM g""".stripMargin),
+    (s, d) => {
+      val sigs = Multimodal.extractVideoSignature(
+        Multimodal.syntheticVideo(documents(s, d), "doc_id", 6, 8, 8))
+      sigs.toDF().groupBy("sig").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).cast("long").as("n_videos"),
+          count(lit(1)).as("n_distinct_signatures"),
+          (sum(col("n") * (col("n") - 1)) / 2).cast("long").as("n_dup_pairs"))
+    })
+
   /** t12 — TF-IDF top terms per document: tf per (doc, term) in one
     * shuffle on the composite key, document frequency per term with
     * map-side partial aggregation, corpus size as a broadcast 1-row
@@ -1481,5 +1525,6 @@ object LlmOps {
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
-    t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15)
+    t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
+    mm07)
 }

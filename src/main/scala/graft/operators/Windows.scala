@@ -322,5 +322,61 @@ object Windows {
         .orderBy("user_id")
     })
 
-  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08, w09, w10)
+  /** w11 — time-decayed per-key feature (truncated EWMA): for every
+    * purchase, Σ_{k=0..7} value_{i−k} · 2^{−k} over the user's last 8
+    * purchases in event-time order — the standard recency-weighted
+    * feature a ranking/fraud pipeline derives from an activity stream.
+    * The halving weights are EXACT binary fractions, so with values
+    * quantized once to DECIMAL(18,2) the whole chain (8 lags × decimal
+    * literal weights, scale-9 products, additions) is exact decimal
+    * arithmetic in both engines — no float merge-order anywhere; the
+    * final cast to DECIMAL(30,9) is pure widening, never rounding.
+    * Ordering is total at µs ticks with event_id tiebreak (the j06
+    * precision rule). One partitioned window = one shuffle on user_id;
+    * the frame is ROWS-bounded (8), so state per key is O(1).
+    */
+  val w11 = QSpec(
+    "w11_decayed_sum",
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+           |    CAST(value AS DECIMAL(18,2)) AS v
+           |  FROM events WHERE event_type = 'purchase'),
+           |l AS (SELECT event_id, user_id, t_us, v,
+           |    LAG(v, 1) OVER w AS v1, LAG(v, 2) OVER w AS v2,
+           |    LAG(v, 3) OVER w AS v3, LAG(v, 4) OVER w AS v4,
+           |    LAG(v, 5) OVER w AS v5, LAG(v, 6) OVER w AS v6,
+           |    LAG(v, 7) OVER w AS v7
+           |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
+           |SELECT event_id, user_id, t_us,
+           |  CAST(v + COALESCE(v1, 0) * 0.5 + COALESCE(v2, 0) * 0.25
+           |    + COALESCE(v3, 0) * 0.125 + COALESCE(v4, 0) * 0.0625
+           |    + COALESCE(v5, 0) * 0.03125 + COALESCE(v6, 0) * 0.015625
+           |    + COALESCE(v7, 0) * 0.0078125 AS DECIMAL(30, 9)) AS decayed_value
+           |FROM l ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+      p.withColumn("decayed_value", decayedSum(col("v"), w))
+        .select("event_id", "user_id", "t_us", "decayed_value")
+        .orderBy("event_id")
+    })
+
+  /** The w11 decayed-sum column: Σ_{k=0..7} lag_k(v) · 2^{−k} over `w`,
+    * exact decimal end to end (see w11's doc). Factored out so the math
+    * is fixture-testable independent of the events table.
+    */
+  private[operators] def decayedSum(vCol: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): org.apache.spark.sql.Column = {
+    val zero = lit(new java.math.BigDecimal("0.00"))
+    (0 until 8).map { k =>
+      val vk = if (k == 0) vCol else coalesce(lag(vCol, k).over(w), zero)
+      vk * lit(new java.math.BigDecimal(
+        java.math.BigDecimal.ONE.divide(java.math.BigDecimal.valueOf(1L << k)).toPlainString))
+    }.reduce(_ + _).cast(DecimalType(30, 9))
+  }
+
+  val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08, w09, w10,
+    w11)
 }

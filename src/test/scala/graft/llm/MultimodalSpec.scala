@@ -175,4 +175,26 @@ class MultimodalSpec extends SparkSpec {
     // mean luma is far above 1, so the first bit must be 0
     byId(0L).head shouldBe '0'
   }
+
+  test("extractVideoSignature: frame-for-frame identical videos collide, shifted don't, no shuffle") {
+    // ids 0 and 256 share the video seed (29·id mod 256) → identical
+    // 6-frame signatures; id 5 differs. Signature = ordered '|'-joined
+    // frame aHashes through the REAL gvid parse + frame decoder.
+    val docs = Seq(0L, 5L, 256L).toDF("doc_id")
+    val sigs = Multimodal.extractVideoSignature(
+      Multimodal.syntheticVideo(docs, "doc_id", 6, 8, 8))
+    sigs.queryExecution.executedPlan.toString should not include "Exchange"
+    val byId = sigs.collect().map(s => s.doc_id -> s).toMap
+    byId(0L).sig shouldBe byId(256L).sig
+    byId(0L).sig should not be byId(5L).sig
+    byId(0L).n_frames shouldBe 6
+    byId(0L).sig.length shouldBe 6 * 64 + 5 // 6 hashes + 5 separators
+    // frame 0 of the video equals a still with the same seed: signature
+    // head must agree with the image-path hash for pixel formula seed+0
+    val still = Multimodal.extractAHash(
+      Multimodal.syntheticPpm(Seq(0L).toDF("doc_id"), "doc_id", 8, 8))
+      .collect().head.ahash
+    // seed formulas differ (37·id vs 29·id) but id 0 zeroes both → equal
+    byId(0L).sig.take(64) shouldBe still
+  }
 }
