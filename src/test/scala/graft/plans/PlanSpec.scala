@@ -107,4 +107,36 @@ class PlanSpec extends SparkSpec {
     val (sh, bc, _, w) = finalShape("m16_pca")
     (sh, bc, w) shouldBe ((0, 0, Seq()))
   }
+
+  test("p13 weighted sample: ZERO shuffles — map-side keys into TakeOrdered") {
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries("p13_weighted_sample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    p should include("TakeOrdered") // distributed top-k, not a global sort
+    val (sh, bc, _, w) = finalShape("p13_weighted_sample")
+    (sh, bc, w) shouldBe ((0, 0, Seq(2)))
+  }
+
+  test("t17 lm perplexity: fused scoring — only calibration/agg exchanges, model broadcast once") {
+    val (sh, bc, _, w) = finalShape("t17_lm_perplexity")
+    bc shouldBe 1 // the per-lang threshold table; the LM itself rides the expression, not a join
+    w shouldBe Seq(2, 3) // pruned doc scans (fit path, scoring path)
+    // corpus-shaped work is the two scans; exchanges carry per-doc or
+    // per-lang rows only. AQE exchange reuse on the double-consumed
+    // scored frame gives the usual ±1 wobble — pin the band.
+    sh should (be >= 4 and be <= 6)
+  }
+
+  test("mm07 video signatures: decode scan + signature groupBy, nothing pairwise") {
+    val (sh, bc, cg, w) = finalShape("mm07_video_signature_dedup")
+    (sh, bc, w) shouldBe ((2, 0, Seq(1))) // doc_id-only scan feeds the generator
+    cg should be >= 2
+  }
+
+  test("w11 decayed sum: one window partition exchange + output sort only") {
+    val (sh, bc, cg, w) = finalShape("w11_decayed_sum")
+    (sh, bc, w) shouldBe ((2, 0, Seq(5)))
+    cg should be >= 2
+  }
 }
