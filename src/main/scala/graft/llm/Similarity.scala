@@ -45,6 +45,32 @@ object Similarity {
   /** Exact top-k neighbors for each probe vector.
     * Output: (p_id, neighbor_id, rank, sim).
     */
+  /** Exact cosine RANGE (radius) search: every corpus vector with
+    * cos ≥ minSim of each probe — the second query shape every vector
+    * store exposes alongside top-k ("all matches above a similarity
+    * floor", where the RESULT SIZE is data-dependent rather than k).
+    * Probes are a bounded broadcast set; the corpus is scanned ONCE with
+    * the codegen'd cosine kernel and the threshold predicate prunes
+    * map-side — no heap, no shuffle, output rows only for qualifying
+    * pairs. The similarity is rounded BEFORE the threshold compare, so
+    * the qualifying set is a pure function of the rounded value (no
+    * engine can disagree at the boundary without a ≥ 5e-7 cosine
+    * disagreement). At scale the IVF index is the pruning path — cells
+    * whose centroid distance bounds them below the radius are skipped —
+    * with s02/s06's store applying unchanged; this is the exact baseline
+    * that gate verifies against.
+    */
+  def rangeSearch(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      idCol: String, embCol: String, minSim: Double): DataFrame = {
+    val p = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
+    corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        round(cosine(spark, col("emb"), col("p_emb")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   def bruteTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))

@@ -596,6 +596,37 @@ object LlmOps {
         .orderBy("p_id")
     })
 
+  /** s07 — exact cosine RANGE search ([[graft.llm.Similarity.rangeSearch]]
+    * — all corpus vectors with cos ≥ 0.3 of each probe; the radius twin of
+    * s01's top-k, where the result size is data-dependent rather than k).
+    * Broadcast probe set, one codegen'd corpus scan, threshold pruning
+    * map-side, no shuffle. The oracle replays the full dot-product/norm
+    * arithmetic in SQL over the SAME rounded-before-compare contract, so
+    * the qualifying SET (not just counts) is hash-pinned.
+    */
+  val s07 = QSpec(
+    "s07_cosine_range",
+    Some("""WITH p AS (SELECT vec_id AS p_id, embedding AS p_emb
+           |           FROM embeddings WHERE vec_id < 5),
+           |pairs AS (
+           |  SELECT p_id, vec_id AS neighbor_id,
+           |    ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+           |      i -> CAST(embedding[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE)))
+           |    / (SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+           |         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           |       * SQRT(list_sum(list_transform(range(1, len(p_emb) + 1),
+           |         i -> CAST(p_emb[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE))))), 6) AS sim
+           |  FROM embeddings, p WHERE vec_id <> p_id)
+           |SELECT p_id, neighbor_id, sim
+           |FROM pairs WHERE sim >= 0.3
+           |ORDER BY p_id, neighbor_id""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.rangeSearch(s, emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 0.3)
+        .orderBy("p_id", "neighbor_id")
+    })
+
   /** t01 — language-ID heuristic (marker n-gram scores, fixed precedence). */
   val t01 = QSpec(
     "t01_langid",
@@ -1526,5 +1557,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07)
+    mm07, s07)
 }

@@ -40,4 +40,22 @@ class Round10OpsSpec extends SparkSpec {
       .filter(col("t") === 10).select("d").as[BigDecimal].head()
     last shouldBe BigDecimal("1.992187500")
   }
+
+  test("rangeSearch: threshold on the ROUNDED cosine, boundary inclusive") {
+    // probe (1,0): cos to (0.8,0.6) = 0.8 EXACTLY (unit norms) → included
+    // at τ=0.8 (boundary); cos to (0,1) = 0 → excluded; self excluded.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.rangeSearch(spark, emb,
+        emb.filter(col("vec_id") === 1), "vec_id", "embedding", 0.8)
+      .select("p_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    got shouldBe Seq((1L, 3L, 0.8))
+    // just above the rounded value → excluded
+    graft.llm.Similarity.rangeSearch(spark, emb,
+        emb.filter(col("vec_id") === 1), "vec_id", "embedding", 0.800001)
+      .count() shouldBe 0
+  }
 }

@@ -139,4 +139,9 @@ class PlanSpec extends SparkSpec {
     (sh, bc, w) shouldBe ((2, 0, Seq(5)))
     cg should be >= 2
   }
+
+  test("s07 range search: broadcast probes + map-side threshold, sort only") {
+    val (sh, bc, _, w) = finalShape("s07_cosine_range")
+    (sh, bc, w) shouldBe ((1, 1, Seq(2, 2))) // the 1 shuffle is the output sort
+  }
 }
