@@ -77,4 +77,25 @@ class QuickstartSpec extends SparkSpec {
 
     nn.select("neighbor_id").as[Long].collect().head shouldBe 3L
   }
+
+  test("snippet 5: CCNet-style curation — perplexity filter then weighted sample") {
+    // ids ≡ 0 mod 10 so the default calibration slice sees all three;
+    // the reference doc "aab" scores worst (tail), "bbb" best (head)
+    val docs = Seq((10L, "xx", "aab", true), (20L, "xx", "aba", false),
+      (30L, "xx", "bbb", false)).toDF("doc_id", "lang", "text", "is_ref")
+
+    // -- README snippet 5 --
+    import graft.llm.Curation
+    import org.apache.spark.sql.functions._
+    val scored = Curation.perplexityBuckets(docs, "doc_id", "lang", "text",
+      isRef = col("is_ref"))                    // (doc_id, lang, avg_nll, bucket)
+    val kept = docs.join(
+      scored.filter(col("bucket") =!= "tail").select("doc_id"), "doc_id")
+    val sample = Curation.weightedSampleTopK(   // Efraimidis–Spirakis
+      kept.withColumn("w", lit(1.0)), "doc_id", "w", k = 2)
+    // -- end snippet --
+
+    kept.select("doc_id").as[Long].collect().sorted shouldBe Array(20L, 30L)
+    sample.select("doc_id").as[Long].collect().sorted shouldBe Array(20L, 30L)
+  }
 }
