@@ -117,4 +117,25 @@ class PerplexitySampleSpec extends SparkSpec {
     val b = Curation.weightedSampleTopK(df, "id", "w", k = 10).collect()
     a.toSeq shouldBe b.toSeq
   }
+
+  test("both operators are partitioning-invariant (the re-ingestion contract)") {
+    // same rows, adversarially different physical layouts → identical
+    // results: scores/cutoffs are pure functions of values (never of
+    // partition or arrival order), and the sample's ordering key is
+    // totally ordered by (key_micro, id)
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "xx" else "yy",
+        ("ab" * (1 + (i % 5)).toInt) + ("q" * (i % 3).toInt) + "abba", i < 6)
+    }.toDF("doc_id", "lang", "text", "is_ref")
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      Curation.perplexityBuckets(df, "doc_id", "lang", "text",
+        isRef = col("is_ref"), calEvery = 2)
+        .orderBy("doc_id").collect().toSeq
+    buckets(docs.repartition(1)) shouldBe buckets(docs.repartition(7))
+
+    val weighted = (1L to 60L).map(i => (i, 0.05 + (i % 11) / 11.0)).toDF("id", "w")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Curation.weightedSampleTopK(df, "id", "w", k = 12).collect().toSeq
+    sample(weighted.repartition(1)) shouldBe sample(weighted.repartition(9))
+  }
 }
