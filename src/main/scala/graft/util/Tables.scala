@@ -123,6 +123,28 @@ object Tables {
       s"embeddings.embedding has $nullEmb NULL rows / $nullElem rows with " +
         "null elements — the cosine/minhash kernels assume dense vectors; " +
         "the testdata generator changed. Adapt the loader first.")
+    // Value-level slice contracts: t17 fits its reference LM on
+    // source = 'src0' and w11 windows over event_type = 'purchase'. Both
+    // oracles MIRROR the predicate, so a regen that renamed these values
+    // would not error — it would make result and oracle identically EMPTY
+    // and the gate vacuously green. Fail fast on the weakened gate instead.
+    val Array(srcRef, purch) = Seq(
+      load(s, d, "documents")
+        .agg(sum(when(col("source") === "src0", 1).otherwise(0))),
+      load(s, d, "events")
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))))
+      .map(_.head.getLong(0)).toArray
+    System.err.println(
+      s"[graft preflight] slice check: documents[source=src0]=$srcRef " +
+        s"events[purchase]=$purch (contract: both > 0)")
+    require(srcRef > 0,
+      "documents has no source='src0' rows — t17's reference-LM slice is " +
+        "empty and its oracle gate would pass vacuously; the testdata " +
+        "generator changed its source vocabulary. Repoint the t17 slice.")
+    require(purch > 0,
+      "events has no event_type='purchase' rows — w11/j-series windows " +
+        "would be vacuously green; the generator changed its event " +
+        "vocabulary. Repoint the predicates in the affected queries.")
   }
 
   /** Scratch dir (inside the repo) for sink/round-trip queries. Keyed by the

@@ -135,6 +135,18 @@ class TablesSpec extends SparkSpec {
     e.getMessage should include("null elements")
   }
 
+  test("preflight fails fast when a value-level slice contract empties (vacuous-gate guard)") {
+    // source vocabulary drifted: no 'src0' rows → t17's reference slice is
+    // empty and result == oracle == empty would hash-green. Schema is fine;
+    // only the VALUES weaken the gate — preflight must still catch it.
+    val df = spark.range(3).selectExpr("id AS doc_id", "'hello' AS text",
+      "'en' AS lang", "'web' AS source", "5 AS n_chars")
+    val e = intercept[IllegalArgumentException](
+      Tables.preflight(spark, fixtureWith("preflight-no-src0", "documents", df)))
+    e.getMessage should include("src0")
+    e.getMessage should include("vacuous")
+  }
+
   test("on-disk events table normalizes to the ns contract at every sf") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val ev = Tables.events(spark, s"/root/testdata/$sf")
