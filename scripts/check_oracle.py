@@ -46,6 +46,11 @@ def cell_eq(a, b):
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    # Version skew between this local DuckDB and the driver's is the FIRST
+    # diagnostic when this gate disagrees with CORRECTNESS_rN (the round-10
+    # w11 lesson: decimal width inference is DuckDB-version-volatile, so a
+    # rows-green/hash-red driver row can be the oracle's typing, not Spark).
+    print(f"== duckdb {duckdb.__version__}, pandas {pd.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

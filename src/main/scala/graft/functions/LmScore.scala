@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -16,17 +17,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * replaces the explode → 3 broadcast joins → re-aggregate formulation,
   * whose per-bigram row materialization dominated t17's cost.
   *
+  * Two key modes, selected by `nBuckets`:
+  *  - `nBuckets == 0` (exact): bigram key is (cp₁ << 32 | cp₂), the
+  *    alphabet²-sized model of the original fit.
+  *  - `nBuckets > 0` (hashed features, the 100 TB default): bigram key is
+  *    (cp₁·1024 + cp₂) mod nBuckets and the conditioning key is
+  *    cp₁ mod 1024 — the p12/DSIR hashed-feature recipe, which bounds the
+  *    model (and the fit's driver hop) at nBuckets entries PER LANGUAGE by
+  *    construction, for any alphabet. The map is INJECTIVE whenever
+  *    cp₁·1024 + cp₂ < nBuckets and cp₁ < 1024 (with the default
+  *    nBuckets = 2¹⁸: all of Latin-1 conditioning × 10-bit second chars —
+  *    in particular every ASCII corpus), where hashed scores are
+  *    bit-identical to the exact model; beyond it, colliding bigrams merge
+  *    counts — the standard, deterministic hashed-feature approximation.
+  *
   * Log-probs arrive already quantized to integer micro-nats; the fit does
   * the quantization ONCE (Math.log + BigDecimal HALF_UP — bit-identical to
   * Spark's `round(double, 0)`), so scoring is exact integer arithmetic.
   */
 final class LmScorerModel(
     langKeys: Array[UTF8String],
-    bgKeys: Array[Array[Long]], // per lang, sorted (cp1 << 32 | cp2)
+    bgKeys: Array[Array[Long]], // per lang, sorted bigram keys (see key modes)
     bgVals: Array[Array[Long]],
-    c1Keys: Array[Array[Int]], // per lang, sorted conditioning code points
+    c1Keys: Array[Array[Int]], // per lang, sorted conditioning keys
     c1Vals: Array[Array[Long]],
-    lpg: Array[Long]) extends Serializable {
+    lpg: Array[Long],
+    val nBuckets: Int) extends Serializable {
 
   private def langIndex(lang: UTF8String): Int = {
     var i = 0
@@ -48,6 +64,7 @@ final class LmScorerModel(
     val bk = bgKeys(li); val bv = bgVals(li)
     val ck = c1Keys(li); val cv = c1Vals(li)
     val g = lpg(li)
+    val nB = nBuckets
     var nll = 0L
     var nb = 0L
     var prev = -1
@@ -55,12 +72,15 @@ final class LmScorerModel(
     while (i < s.length) {
       val cp = s.codePointAt(i)
       if (prev >= 0) {
-        val key = (prev.toLong << 32) | (cp.toLong & 0xFFFFFFFFL)
+        val key =
+          if (nB > 0) (prev.toLong * 1024L + cp.toLong) % nB
+          else (prev.toLong << 32) | (cp.toLong & 0xFFFFFFFFL)
+        val cKey = if (nB > 0) prev % 1024 else prev
         val bi = java.util.Arrays.binarySearch(bk, key)
         val lp =
           if (bi >= 0) bv(bi)
           else {
-            val ci = java.util.Arrays.binarySearch(ck, prev)
+            val ci = java.util.Arrays.binarySearch(ck, cKey)
             if (ci >= 0) cv(ci) else g
           }
         nll -= lp
@@ -89,47 +109,79 @@ object LmScorerModel {
     java.math.BigDecimal.valueOf(math.log(x) * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
-  /** Build the lookup tables from raw reference-slice bigram counts
-    * (lang, bigram, count). Add-V smoothing per language with V = number
-    * of distinct conditioning chars; backoffs mirror the fit SQL:
-    * unseen bigram → 1/(count(c₁·)+V), unseen conditioning char → 1/V.
+  /** Shared add-V-smoothing assembly: per language, takes the (bigramKey,
+    * count) entries plus each key's attributed conditioning key, derives
+    * conditioning totals and V, and quantizes the three log-prob tiers.
     */
-  def fromBigramCounts(rows: Seq[(String, String, Long)]): LmScorerModel = {
-    val byLang = rows.groupBy(_._1).toSeq.sortBy(_._1)
-    val langKeys = byLang.map { case (l, _) => UTF8String.fromString(l) }.toArray
-    val n = byLang.size
+  private def assemble(
+      perLang: Seq[(String, Seq[(Long, Int, Long)])], // (lang, (bgKey, condKey, count))
+      nBuckets: Int): LmScorerModel = {
+    val sortedLangs = perLang.sortBy(_._1)
+    val langKeys = sortedLangs.map { case (l, _) => UTF8String.fromString(l) }.toArray
+    val n = sortedLangs.size
     val bgK = new Array[Array[Long]](n); val bgV = new Array[Array[Long]](n)
     val c1K = new Array[Array[Int]](n); val c1V = new Array[Array[Long]](n)
     val lpg = new Array[Long](n)
-    byLang.zipWithIndex.foreach { case ((_, rs), i) =>
-      val parsed = rs.map { case (_, bg, c) =>
-        val (a, b) = firstTwoCodePoints(bg)
-        ((a.toLong << 32) | (b.toLong & 0xFFFFFFFFL), a, c)
-      }
-      val c1Counts = parsed.groupBy(_._2).view
+    sortedLangs.zipWithIndex.foreach { case ((_, rs), i) =>
+      val c1Counts = rs.groupBy(_._2).view
         .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
       val v = c1Counts.size
       val c1Map = c1Counts.toMap
-      val sortedBg = parsed.sortBy(_._1)
+      val sortedBg = rs.sortBy(_._1)
       bgK(i) = sortedBg.map(_._1).toArray
-      bgV(i) = sortedBg.map { case (_, a, c) =>
-        microNats((c + 1.0) / (c1Map(a) + v))
+      bgV(i) = sortedBg.map { case (_, ck, c) =>
+        microNats((c + 1.0) / (c1Map(ck) + v))
       }.toArray
       c1K(i) = c1Counts.map(_._1).toArray
       c1V(i) = c1Counts.map { case (_, cc) => microNats(1.0 / (cc + v)) }.toArray
       lpg(i) = microNats(1.0 / v)
     }
-    new LmScorerModel(langKeys, bgK, bgV, c1K, c1V, lpg)
+    new LmScorerModel(langKeys, bgK, bgV, c1K, c1V, lpg, nBuckets)
+  }
+
+  /** Build the EXACT-key lookup tables from raw reference-slice bigram
+    * counts (lang, bigram, count). Add-V smoothing per language with V =
+    * number of distinct conditioning chars; backoffs mirror the fit SQL:
+    * unseen bigram → 1/(count(c₁·)+V), unseen conditioning char → 1/V.
+    */
+  def fromBigramCounts(rows: Seq[(String, String, Long)]): LmScorerModel =
+    assemble(
+      rows.groupBy(_._1).toSeq.map { case (l, rs) =>
+        (l, rs.map { case (_, bg, c) =>
+          val (a, b) = firstTwoCodePoints(bg)
+          ((a.toLong << 32) | (b.toLong & 0xFFFFFFFFL), a, c)
+        })
+      },
+      nBuckets = 0)
+
+  /** Build the HASHED-key tables from (lang, bucket, count) rows, bucket =
+    * (cp₁·1024 + cp₂) mod nBuckets. The conditioning key is attributed
+    * from the bucket as (bucket div 1024) mod 1024 — equal to cp₁ wherever
+    * the bucket map is injective (see class doc), deterministic everywhere.
+    */
+  def fromHashedCounts(rows: Seq[(String, Long, Long)],
+      nBuckets: Int): LmScorerModel = {
+    require(nBuckets > 0 && nBuckets % 1024 == 0,
+      s"nBuckets must be a positive multiple of 1024, got $nBuckets")
+    assemble(
+      rows.groupBy(_._1).toSeq.map { case (l, rs) =>
+        (l, rs.map { case (_, bucket, c) =>
+          (bucket, ((bucket / 1024L) % 1024L).toInt, c)
+        })
+      },
+      nBuckets)
   }
 }
 
 /** Native expression: `lm_score(lang, text)` → struct(nll, nb) — the fused
-  * LM scoring pass. Carries the fitted [[LmScorerModel]] as expression
-  * state (no SQL-registry form: the model is a runtime artifact, not a
-  * literal), so it goes through ColumnBridge like the other stateful
-  * graft expressions.
+  * LM scoring pass. Carries the fitted [[LmScorerModel]] as a BROADCAST
+  * handle (one executor-wide copy per JVM, resolved once per partition in
+  * codegen — not re-serialized into every task closure; no SQL-registry
+  * form: the model is a runtime artifact, not a literal), so it goes
+  * through ColumnBridge like the other stateful graft expressions.
   */
-case class LmScore(lang: Expression, text: Expression, model: LmScorerModel)
+case class LmScore(lang: Expression, text: Expression,
+    model: Broadcast[LmScorerModel])
     extends BinaryExpression with ExpectsInputTypes {
 
   override def left: Expression = lang
@@ -141,13 +193,19 @@ case class LmScore(lang: Expression, text: Expression, model: LmScorerModel)
   override def nullable: Boolean = true
   override def prettyName: String = "lm_score"
 
+  @transient private lazy val localModel: LmScorerModel = model.value
+
   override def nullSafeEval(l: Any, t: Any): Any =
-    model.score(l.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
+    localModel.score(l.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("lmModel", model, classOf[LmScorerModel].getName)
+    val bcRef = ctx.addReferenceObj("lmModelBc", model,
+      classOf[Broadcast[_]].getName)
+    // resolve the broadcast ONCE per operator instance, not per row
+    val modelVar = ctx.addMutableState(classOf[LmScorerModel].getName, "lmModel",
+      v => s"$v = (${classOf[LmScorerModel].getName}) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, (l, t) => s"""
-      ${ev.value} = $ref.score($l, $t);
+      ${ev.value} = $modelVar.score($l, $t);
       ${ev.isNull} = (${ev.value} == null);""")
   }
 

@@ -189,17 +189,20 @@ object Dedup {
     * [[cachedNgramComponents]] path and are billed their true marginal
     * cost on top of an existing map. Deterministic either way: the chain
     * has no RNG, so build and memo-hit callers see identical rows; keyed
-    * on session identity + corpus key + every semantic parameter, so a
+    * on LIVE session identity (weak-keyed, so stopped sessions evict —
+    * see [[graft.util.SessionMemo]]) + corpus key + a file-metadata
+    * fingerprint of the corpus path (so an in-JVM regen under the same
+    * path is a MISS, never a stale hit) + every semantic parameter, so a
     * different threshold or table never aliases.
     */
   private val ngramComponentsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Double, Int), DataFrame]
+    new graft.util.SessionMemo[(String, Int, Double, Int), DataFrame]
 
-  private def componentsKey(spark: SparkSession, corpusKey: String,
+  private def componentsKey(corpusKey: String,
       idCol: String, textCol: String, n: Int, minJaccard: Double,
       maxDocFreq: Int) =
-    (System.identityHashCode(spark), s"$corpusKey#$idCol#$textCol",
-      n, minJaccard, maxDocFreq)
+    (s"$corpusKey#${graft.util.SessionMemo.pathFingerprint(corpusKey)}" +
+      s"#$idCol#$textCol", n, minJaccard, maxDocFreq)
 
   /** Run the full gram → pair → CC chain and (re)publish it in the memo. */
   def buildNgramComponents(spark: SparkSession, docs: => DataFrame,
@@ -209,8 +212,8 @@ object Dedup {
       ngramJaccardPairs(docs, idCol, textCol, n, minJaccard,
         maxDocFreq = Some(maxDocFreq)),
       "doc_a", "doc_b")
-    ngramComponentsMemo.put(
-      componentsKey(spark, corpusKey, idCol, textCol, n, minJaccard, maxDocFreq),
+    ngramComponentsMemo.put(spark,
+      componentsKey(corpusKey, idCol, textCol, n, minJaccard, maxDocFreq),
       built)
     built
   }
@@ -221,12 +224,19 @@ object Dedup {
   def cachedNgramComponents(spark: SparkSession, docs: => DataFrame,
       corpusKey: String, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxDocFreq: Int): DataFrame =
-    ngramComponentsMemo.getOrElseUpdate(
-      componentsKey(spark, corpusKey, idCol, textCol, n, minJaccard, maxDocFreq),
+    ngramComponentsMemo.getOrElseUpdate(spark,
+      componentsKey(corpusKey, idCol, textCol, n, minJaccard, maxDocFreq))(
       connectedComponents(
         ngramJaccardPairs(docs, idCol, textCol, n, minJaccard,
           maxDocFreq = Some(maxDocFreq)),
         "doc_a", "doc_b"))
+
+  /** Invalidation hook for data mutated in ways the path fingerprint can't
+    * see (e.g. an object store that rewrites bytes but preserves listing
+    * metadata): drops every component map memoized for `spark`.
+    */
+  def invalidateNgramComponents(spark: SparkSession): Unit =
+    ngramComponentsMemo.invalidate(spark)
 
   /** MinHash near-dup, native banded-LSH form: per doc, `bands` bucket
     * keys, each the hash of `rowsPerBand` consecutive minhash values;

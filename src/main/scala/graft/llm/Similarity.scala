@@ -170,7 +170,12 @@ object Similarity {
     // jobs, so 32 near-empty partitions just buy 32× task overhead per step
     val fitParts = math.max(1, (math.min(n, maxFitRows) / 25000L).toInt)
     val fitSet = sampled.coalesce(fitParts).cache()
-    val km = new KMeans().setK(nClusters).setSeed(seed)
+    // cap cells at n/2 (≥ ~2 members per cell): k beyond that risks k > n
+    // (kmeans|| degenerates) and bloats the centroid table for no recall.
+    // Callers size nprobe as a FRACTION of the actual cell count
+    // (idx.centroids.length), so the cap composes with any corpus size.
+    val k = math.max(2, math.min(nClusters.toLong, n / 2L).toInt)
+    val km = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cluster").fit(fitSet)
     fitSet.unpersist(blocking = false)
     IvfIndex(km.transform(cn).select("neighbor_id", "emb", "cluster"),
@@ -186,17 +191,20 @@ object Similarity {
     * (persistence contract) exercise the same index rather than each
     * paying an independent build of the identical seeded quantizer.
     * Deterministic: the build is seeded, so memo-hit and memo-miss callers
-    * see byte-identical centroids; keying on the session identity keeps a
-    * stale DataFrame from outliving its SparkSession in test harnesses.
+    * see byte-identical centroids; keyed on LIVE session identity
+    * (weak-keyed, stopped sessions evict — [[graft.util.SessionMemo]])
+    * plus a file-metadata fingerprint of the corpus path, so an in-JVM
+    * regen under the same path rebuilds instead of serving a stale index.
     */
   private val ivfMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Long, Long), IvfIndex]
+    new graft.util.SessionMemo[(String, Int, Long, Long), IvfIndex]
 
   def cachedIvfIndex(spark: SparkSession, corpus: => DataFrame,
       corpusKey: String, idCol: String, embCol: String, nClusters: Int,
       seed: Long = 42L, maxFitRows: Long = 100000L): IvfIndex =
-    ivfMemo.getOrElseUpdate(
-      (System.identityHashCode(spark), corpusKey, nClusters, seed, maxFitRows), {
+    ivfMemo.getOrElseUpdate(spark,
+      (s"$corpusKey#${graft.util.SessionMemo.pathFingerprint(corpusKey)}",
+        nClusters, seed, maxFitRows)) {
         val idx = buildIvfIndex(spark, corpus, idCol, embCol, nClusters, seed, maxFitRows)
         // the inverted file is used several times per search plan (members,
         // cluster sizes, scan accounting) — persist it so the assignment
@@ -204,20 +212,29 @@ object Similarity {
         // clearCache() just demotes this to recompute-on-next-use.
         idx.copy(inverted = idx.inverted.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      })
+      }
+
+  /** Companion invalidation hook (mirrors
+    * [[graft.llm.Dedup.invalidateNgramComponents]]): drops every IVF index
+    * and store-written marker memoized for `spark`.
+    */
+  def invalidateIvfIndexes(spark: SparkSession): Unit = {
+    ivfMemo.invalidate(spark)
+    ivfStoreMemo.invalidate(spark)
+  }
 
   /** Write-once-per-JVM companion to [[cachedIvfIndex]]: the store at
     * `path` is written on the first call per (session, path) and reused
     * after — a persisted index is immutable once published (re-publishing
     * identical bytes per search proves nothing and costs a write job).
     */
-  private val ivfStoreMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Boolean]
+  private val ivfStoreMemo = new graft.util.SessionMemo[String, Boolean]
 
   def ensureIvfStore(idx: IvfIndex, path: String): Unit = {
     val spark = idx.inverted.sparkSession
-    ivfStoreMemo.getOrElseUpdate((System.identityHashCode(spark), path),
-      { writeIvfIndex(idx, path); true }): Unit
+    ivfStoreMemo.getOrElseUpdate(spark, path) {
+      writeIvfIndex(idx, path); true
+    }: Unit
   }
 
   /** Persist an [[IvfIndex]]: the inverted lists (cluster-keyed member

@@ -453,8 +453,13 @@ object LlmOps {
     * against the exact brute-force baseline while scanning ≤ 50 % of the
     * corpus — both computed IN-PLAN (semi-join of exact top-k against IVF
     * top-k for hits; probed-cluster member count over corpus size for the
-    * scan fraction) and pinned by the oracle. Measured: recall 0.94–0.96
-    * at ~31 % scanned with 256 cells / 80 probes (SCALE.md's curve).
+    * scan fraction) and pinned by the oracle. Cells = min(512, n/2) —
+    * sized by [[Similarity.buildIvfIndex]]'s cap — and nprobe = 40 % of
+    * the ACTUAL cell count, so both contract terms track any corpus size
+    * (the round-11 testdata regen dropped 256-cell/80-probe recall to
+    * 0.84 at sf0.1: fixed absolute probe counts do not survive a data
+    * refresh; fractions do — measured after: recall 0.96–1.0 at ≤ 40 %
+    * scanned across sf0.01/sf0.1).
     * Centroids fit on a bounded deterministic sample; assignment is the
     * only full pass. Hyperplane-LSH banding remains the candidate
     * generator for the near-dup regime (d05), where its collision math
@@ -469,8 +474,9 @@ object LlmOps {
       val probes = emb.filter(col("vec_id") < 5)
       // build-once: s06 searches this same fitted index (judge r9 #2) —
       // one seeded k-means fit per JVM, not one per declared query
-      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding", 256)
-      val ann = Similarity.ivfSearch(s, idx, probes, "vec_id", "embedding", 10, 80)
+      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding", 512)
+      val np = math.max(1, idx.centroids.length * 2 / 5) // probe 40 % of cells
+      val ann = Similarity.ivfSearch(s, idx, probes, "vec_id", "embedding", 10, np)
         .select("p_id", "neighbor_id")
       val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", 10)
         .select("p_id", "neighbor_id")
@@ -479,7 +485,7 @@ object LlmOps {
         .crossJoin(exact.agg(count(lit(1)).as("total"),
           countDistinct(col("p_id")).as("n_probes")))
       val sizes = idx.inverted.groupBy("cluster").count()
-      val scanned = Similarity.probeClusters(s, idx, probes, "vec_id", "embedding", 80)
+      val scanned = Similarity.probeClusters(s, idx, probes, "vec_id", "embedding", np)
         .join(sizes, "cluster")
         .agg(coalesce(sum(col("count")), lit(0L)).as("scanned"))
         .crossJoin(emb.agg(count(lit(1)).as("corpus_n")))
@@ -510,14 +516,15 @@ object LlmOps {
       // the same shared fitted quantizer s02 searches (cachedIvfIndex);
       // this query's contract is the PERSISTENCE round-trip, which is
       // index-build-agnostic: stored search must equal in-memory search
-      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding", 256)
+      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding", 512)
+      val np = math.max(1, idx.centroids.length * 2 / 5)
       val path = graft.util.Tables.scratch(d, "s06_ivf")
       Similarity.ensureIvfStore(idx, path)
       val stored = Similarity.readIvfIndex(s, path)
-      val mem = Similarity.ivfSearch(s, idx, probes, "vec_id", "embedding", 10, 80)
+      val mem = Similarity.ivfSearch(s, idx, probes, "vec_id", "embedding", 10, np)
         .select(col("p_id"), col("rank"),
           col("neighbor_id").as("n1"), col("sim").as("s1"))
-      val disk = Similarity.ivfSearch(s, stored, probes, "vec_id", "embedding", 10, 80)
+      val disk = Similarity.ivfSearch(s, stored, probes, "vec_id", "embedding", 10, np)
         .select(col("p_id"), col("rank"),
           col("neighbor_id").as("n2"), col("sim").as("s2"))
       mem.join(disk, Seq("p_id", "rank"), "full_outer")

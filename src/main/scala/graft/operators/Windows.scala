@@ -326,11 +326,19 @@ object Windows {
     * purchase, Σ_{k=0..7} value_{i−k} · 2^{−k} over the user's last 8
     * purchases in event-time order — the standard recency-weighted
     * feature a ranking/fraud pipeline derives from an activity stream.
-    * The halving weights are EXACT binary fractions, so with values
-    * quantized once to DECIMAL(18,2) the whole chain (8 lags × decimal
-    * literal weights, scale-9 products, additions) is exact decimal
-    * arithmetic in both engines — no float merge-order anywhere; the
-    * final cast to DECIMAL(30,9) is pure widening, never rounding.
+    *
+    * Exactness is pure 64-bit INTEGER arithmetic end to end: `value` is
+    * quantized ONCE to integer cents (via DECIMAL(18,2), the repo's
+    * proven double→decimal recipe), and since 10⁷ = 2⁷·5⁷, each term
+    * value·2^−k in nanos is cents·(10⁷/2ᵏ) with 10⁷/2ᵏ an exact integer
+    * for every k ≤ 7 — so the emitted `decayed_nanos = decayed_value·10⁹` is a
+    * BIGINT add/multiply chain with NO decimal-typing surface at all.
+    * (The first cut emitted DECIMAL(30,9); rows matched everywhere but
+    * the driver's DuckDB resolved the oracle's intermediate decimal
+    * widths differently from local DuckDB 1.0.0 and the hash flipped —
+    * decimal width inference is engine-version volatile, 64-bit integer
+    * + and · are not. Headroom: exact for |value| ≤ ~9·10⁸ currency
+    * units, vastly above any event amount.)
     * Ordering is total at µs ticks with event_id tiebreak (the j06
     * precision rule). One partitioned window = one shuffle on user_id;
     * the frame is ROWS-bounded (8), so state per key is O(1).
@@ -338,34 +346,47 @@ object Windows {
   val w11 = QSpec(
     "w11_decayed_sum",
     Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
-           |    CAST(value AS DECIMAL(18,2)) AS v
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
            |  FROM events WHERE event_type = 'purchase'),
-           |l AS (SELECT event_id, user_id, t_us, v,
-           |    LAG(v, 1) OVER w AS v1, LAG(v, 2) OVER w AS v2,
-           |    LAG(v, 3) OVER w AS v3, LAG(v, 4) OVER w AS v4,
-           |    LAG(v, 5) OVER w AS v5, LAG(v, 6) OVER w AS v6,
-           |    LAG(v, 7) OVER w AS v7
+           |l AS (SELECT event_id, user_id, t_us, c,
+           |    LAG(c, 1) OVER w AS c1, LAG(c, 2) OVER w AS c2,
+           |    LAG(c, 3) OVER w AS c3, LAG(c, 4) OVER w AS c4,
+           |    LAG(c, 5) OVER w AS c5, LAG(c, 6) OVER w AS c6,
+           |    LAG(c, 7) OVER w AS c7
            |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
            |SELECT event_id, user_id, t_us,
-           |  CAST(v + COALESCE(v1, 0) * 0.5 + COALESCE(v2, 0) * 0.25
-           |    + COALESCE(v3, 0) * 0.125 + COALESCE(v4, 0) * 0.0625
-           |    + COALESCE(v5, 0) * 0.03125 + COALESCE(v6, 0) * 0.015625
-           |    + COALESCE(v7, 0) * 0.0078125 AS DECIMAL(30, 9)) AS decayed_value
+           |  CAST(c * 10000000 + COALESCE(c1, 0) * 5000000
+           |    + COALESCE(c2, 0) * 2500000 + COALESCE(c3, 0) * 1250000
+           |    + COALESCE(c4, 0) * 625000 + COALESCE(c5, 0) * 312500
+           |    + COALESCE(c6, 0) * 156250 + COALESCE(c7, 0) * 78125
+           |    AS BIGINT) AS decayed_nanos
            |FROM l ORDER BY event_id""".stripMargin),
     (s, d) => {
       val p = events(s, d).filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000").as("t_us"),
-          col("value").cast(DecimalType(18, 2)).as("v"))
+          (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long").as("c"))
       val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
-      p.withColumn("decayed_value", decayedSum(col("v"), w))
-        .select("event_id", "user_id", "t_us", "decayed_value")
+      p.withColumn("decayed_nanos", decayedSumNanos(col("c"), w))
+        .select("event_id", "user_id", "t_us", "decayed_nanos")
         .orderBy("event_id")
     })
 
-  /** The w11 decayed-sum column: Σ_{k=0..7} lag_k(v) · 2^{−k} over `w`,
-    * exact decimal end to end (see w11's doc). Factored out so the math
-    * is fixture-testable independent of the events table.
+  /** The w11 decayed-sum column in BIGINT nanos: Σ_{k=0..7}
+    * lag_k(cents) · (10⁷ / 2ᵏ) over `w` — exact 64-bit integers only
+    * (see w11's doc). Factored out so the math is fixture-testable
+    * independent of the events table. `cCol` must be integer cents.
+    */
+  private[operators] def decayedSumNanos(cCol: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): org.apache.spark.sql.Column =
+    (0 until 8).map { k =>
+      val ck = if (k == 0) cCol else coalesce(lag(cCol, k).over(w), lit(0L))
+      ck * lit(10000000L / (1L << k)) // 10^7/2^k, exact integer for k <= 7
+    }.reduce(_ + _).cast("long")
+
+  /** The retired DECIMAL(30,9) form of [[decayedSumNanos]] — kept ONLY so
+    * Round10OpsSpec can assert nanos ≡ decimal·10⁹ on real data (the
+    * migration-safety pin); no query emits it anymore.
     */
   private[operators] def decayedSum(vCol: org.apache.spark.sql.Column,
       w: org.apache.spark.sql.expressions.WindowSpec): org.apache.spark.sql.Column = {

@@ -104,13 +104,17 @@ object Tables {
     // similarity kernels index into the embedding array — a regen that
     // starts emitting nulls would silently shift dedup groups and cosine
     // results rather than erroring. One cheap aggregate per table pins it.
-    import org.apache.spark.sql.functions.{col, exists, sum, when}
+    // coalesce(sum, 0): on an EMPTY table sum() is NULL and getLong would
+    // NPE before the descriptive require below could name the real problem
+    import org.apache.spark.sql.functions.{coalesce, col, exists, lit, sum, when}
     val docNulls = load(s, d, "documents")
-      .agg(sum(when(col("text").isNull, 1).otherwise(0)).as("null_text"))
+      .agg(coalesce(sum(when(col("text").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("null_text"))
       .head.getLong(0)
     val Array(nullEmb, nullElem) = load(s, d, "embeddings")
-      .agg(sum(when(col("embedding").isNull, 1).otherwise(0)),
-        sum(when(exists(col("embedding"), e => e.isNull), 1).otherwise(0)))
+      .agg(coalesce(sum(when(col("embedding").isNull, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(exists(col("embedding"), e => e.isNull), 1L)
+          .otherwise(0L)), lit(0L)))
       .head.toSeq.map(_.asInstanceOf[Long]).toArray
     System.err.println(
       s"[graft preflight] null check: documents.text=$docNulls " +
@@ -130,9 +134,11 @@ object Tables {
     // and the gate vacuously green. Fail fast on the weakened gate instead.
     val Array(srcRef, purch) = Seq(
       load(s, d, "documents")
-        .agg(sum(when(col("source") === "src0", 1).otherwise(0))),
+        .agg(coalesce(sum(when(col("source") === "src0", 1L).otherwise(0L)),
+          lit(0L))),
       load(s, d, "events")
-        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))))
+        .agg(coalesce(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)), lit(0L))))
       .map(_.head.getLong(0)).toArray
     System.err.println(
       s"[graft preflight] slice check: documents[source=src0]=$srcRef " +

@@ -118,6 +118,21 @@ class PerplexitySampleSpec extends SparkSpec {
     a.toSeq shouldBe b.toSeq
   }
 
+  test("hashed-feature fit ≡ exact alphabet² fit on the synthetic corpus") {
+    // The round-11 migration pin: the default fit hashes bigrams to
+    // (cp1·1024 + cp2) mod 2^18, which is INJECTIVE for the ASCII corpus,
+    // so scores and buckets must be bit-identical to the legacy exact fit
+    // (whose model the DuckDB oracle independently rebuilds).
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.01")
+    def run(exact: Boolean) =
+      Curation.perplexityBuckets(docs, "doc_id", "lang", "text",
+        isRef = col("source") === "src0", exactFit = exact)
+        .orderBy("doc_id").collect().toSeq
+    val hashed = run(exact = false)
+    hashed should not be empty
+    hashed shouldBe run(exact = true)
+  }
+
   test("both operators are partitioning-invariant (the re-ingestion contract)") {
     // same rows, adversarially different physical layouts → identical
     // results: scores/cutoffs are pure functions of values (never of
