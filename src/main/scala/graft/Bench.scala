@@ -102,8 +102,13 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentJson = f"""{"start":$sentStart%.3f,"mid":$sentMid%.3f,"end":$sentEnd%.3f}"""
+    // Pre-filtered noise judgment (round-10 advice #7): identical sentinel
+    // work growing >1.5x start→end means the HOST got contended mid-run —
+    // regression claims read from a flagged file need re-measurement, and
+    // drivers/judges shouldn't have to derive that from the raw sentinel.
+    val noiseSuspect = sentEnd > 1.5 * sentStart
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sentinel":$sentJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sentinel":$sentJson,"noise_suspect":$noiseSuspect,"sf":"$sfDir"}"""
     println(json)
     // stdout capture may truncate (BENCH_r02 lost its tail to a 10 KB cap):
     // persist the full line where the driver/judge can always read it.

@@ -101,6 +101,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT near-dup (Broder's second resemblance
+    * measure): C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| — the measure
+    * that catches a document EMBEDDED in a larger one (boilerplate
+    * wrappers, quote-expansions, a chunk re-shipped inside its source),
+    * which symmetric Jaccard structurally misses: a 100-gram doc inside
+    * a 1000-gram doc has J ≈ 0.1 but C = 1.0. Standard containment-side
+    * dedup keeps the container and drops the contained copy.
+    *
+    * Same gram-bucketed machinery and stop-gram df cap as
+    * [[ngramJaccardPairs]] (the pair fanout argument is identical; only
+    * the normalizer changes), but emitted DIRECTIONALLY: (inner_doc,
+    * outer_doc) with C(inner→outer). Exactness is pure 64-bit integers —
+    * `containment_micro = inter·10⁶ div n_inner` over gram COUNTS, no
+    * floating point anywhere, `div` on positives ≡ DuckDB `//` — so the
+    * qualifying set and every emitted value are bit-deterministic by
+    * construction (no round-before-compare subtlety to even document).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minContainmentMicro: Long,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val allGrams = df.select(col(idCol).as("doc"),
+      explode(array_distinct(wordNGramsFused(df.sparkSession, col(textCol), n))).as("gram"))
+    val grams = maxDocFreq match {
+      case None => allGrams
+      case Some(cap) =>
+        val rare = allGrams.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("gram")
+        allGrams.join(rare, "gram")
+    }
+    val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
+    // both directions (a≠b, not a<b): containment is asymmetric
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc") =!= col("b.doc"))
+      .groupBy(col("a.doc").as("inner_doc"), col("b.doc").as("outer_doc"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "inner_doc")
+        .withColumnRenamed("n_grams", "n_inner"), "inner_doc")
+      .withColumn("containment_micro",
+        expr("inter * 1000000 div n_inner"))
+      .filter(col("containment_micro") >= minContainmentMicro)
+      .select(col("inner_doc"), col("outer_doc"), col("containment_micro"))
+  }
+
   /** Near-dup GROUP assignment: connected components over the near-dup
     * pair graph — the step between pair generation (d02–d05) and keeper
     * selection in a real dedup pipeline (one group ⇒ one retained doc;

@@ -71,6 +71,55 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) multi-vector retrieval:
+    * documents and queries are BAGS of vectors (per-token / per-chunk
+    * embeddings), and relevance of doc d to query q is
+    * Σ over q's vectors of the MAX cosine against any of d's vectors —
+    * the scoring rule that made multi-vector retrieval practical
+    * (every query token finds its best-matching doc token; no single
+    * pooled vector washes the signal out).
+    *
+    * Exactness: each pairwise cosine is quantized ONCE to integer
+    * micro-units (round(sim·10⁶) — the repo's quantize-once recipe; the
+    * codegen'd kernel and the oracle's double loop agree at this
+    * granularity, as s01/d05 pin at the same 1e-6 step); MAX and SUM
+    * then run on exact BIGINTs, so group results are merge-order-free,
+    * and the top-k order is total (score desc, doc id asc).
+    *
+    * Scale shape: probes broadcast (a query batch is small by nature);
+    * the corpus side is ONE scan producing (probe_vec × corpus_vec)
+    * partials that collapse map-side through the two-level aggregate —
+    * max within (p_doc, p_vec, d_doc), sum within (p_doc, d_doc) — and
+    * the only wide exchange carries per-DOC partial rows, not
+    * per-vector-pair rows. At 100 TB the d_doc stream would come from
+    * the IVF index's probed cells (s02's pruning applies per query
+    * vector unchanged); this is the exact scorer that reranks them.
+    *
+    * Output: (p_doc, d_doc, score_micro, rank) — top-k docs per probe
+    * doc, self-doc excluded.
+    */
+  def maxSimTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      docCol: String, vecCol: String, embCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(docCol).as("d_doc"), col(embCol).as("emb"))
+    val p = probes.select(col(docCol).as("p_doc"), col(vecCol).as("p_vec"),
+      col(embCol).as("p_emb"))
+    val best = c.crossJoin(broadcast(p))
+      .filter(col("d_doc") =!= col("p_doc"))
+      .select(col("p_doc"), col("p_vec"), col("d_doc"),
+        round(cosine(spark, col("emb"), col("p_emb")) * lit(1e6), 0)
+          .cast("long").as("sim_micro"))
+      .groupBy("p_doc", "p_vec", "d_doc")
+      .agg(max("sim_micro").as("m"))
+    val scored = best.groupBy("p_doc", "d_doc")
+      .agg(sum("m").as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_doc").orderBy(col("score_micro").desc, col("d_doc"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("p_doc", "d_doc", "score_micro", "rank")
+      .orderBy("p_doc", "rank")
+  }
+
   def bruteTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))

@@ -1204,7 +1204,60 @@ object CorpusOps {
       "doc_id", "quality_score", k = 50)
       .orderBy("rank"))
 
+  /** t18 — lexical diversity profiling: per document, token count,
+    * TYPE count (distinct tokens), HAPAX count (tokens occurring exactly
+    * once in the doc), and the derived type-token and hapax ratios — the
+    * classic lexical-richness signals corpus QA filters rank on
+    * (machine-generated and template text collapses to few types / few
+    * hapaxes; natural prose sits high on both). Complements t02's
+    * length/stopword score and t09's repetition ratio with the
+    * vocabulary-side view.
+    *
+    * Exactness: every emitted value is a BIGINT — counts, and ratios as
+    * `count·10⁶ div n_tokens` floor divisions of positives (≡ DuckDB
+    * `//`), no floating point anywhere. Scale shape: the same two-level
+    * aggregate as every TF computation (t12): explode → groupBy
+    * (doc_id, token) with map-side combine — the only corpus-sized
+    * shuffle, carrying one row per distinct (doc, token) — then the
+    * per-doc rollup over the already-shrunk stream. Nothing is
+    * per-corpus-vocabulary global, so skewed docs parallelize by token.
+    */
+  val t18 = QSpec(
+    "t18_lexical_diversity",
+    Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+           |      x -> x <> '')) AS tok
+           |    FROM documents),
+           |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |    CAST(COUNT(*) AS BIGINT) AS n_types,
+           |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+           |  FROM cnt GROUP BY 1)
+           |SELECT doc_id, n_tokens, n_types, n_hapax,
+           |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_micro,
+           |  CAST(n_hapax * 1000000 // n_tokens AS BIGINT) AS hapax_micro
+           |FROM agg WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin),
+    (s, d) => lexicalDiversity(documents(s, d)))
+
+  /** The t18 aggregate over a (doc_id, text) frame — factored out so the
+    * math is fixture-testable independent of the documents table.
+    */
+  private[operators] def lexicalDiversity(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= "")).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_micro"),
+        expr("n_hapax * 1000000 div n_tokens").as("hapax_micro"))
+      .orderBy("doc_id")
+  }
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    p10, p11, p12, t16, w06, m13, t17, p13)
+    p10, p11, p12, t16, w06, m13, t17, p13, t18)
 }

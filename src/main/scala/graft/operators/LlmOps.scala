@@ -634,6 +634,83 @@ object LlmOps {
         .orderBy("p_id", "neighbor_id")
     })
 
+  /** s08 — late-interaction MaxSim retrieval
+    * ([[graft.llm.Similarity.maxSimTopK]] — ColBERT's scoring rule:
+    * multi-vector docs, relevance = Σ over query vectors of the max
+    * cosine against any doc vector). The synthetic embeddings table is
+    * single-vector, so docs are formed deterministically as
+    * `vec_id div 10` (200 pseudo-docs × 10 vectors); probes are docs
+    * 0–1. Cosines quantize once to micro ints, MAX/SUM run on BIGINTs,
+    * top-5 per probe with total (score desc, doc) order — the oracle
+    * replays the whole two-level aggregate in SQL, so the ranked
+    * result rows themselves are hash-pinned (scale/exactness arguments
+    * at the operator scaladoc).
+    */
+  val s08 = QSpec(
+    "s08_maxsim_topk",
+    Some("""WITH v AS (SELECT vec_id // 10 AS doc, vec_id AS vec, embedding
+           |           FROM embeddings),
+           |p AS (SELECT * FROM v WHERE doc < 2),
+           |pairs AS (
+           |  SELECT p.doc AS p_doc, p.vec AS p_vec, c.doc AS d_doc,
+           |    CAST(ROUND(1000000 * list_sum(list_transform(range(1, len(c.embedding) + 1),
+           |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+           |      / (SQRT(list_sum(list_transform(range(1, len(c.embedding) + 1),
+           |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+           |         * SQRT(list_sum(list_transform(range(1, len(p.embedding) + 1),
+           |           i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))))
+           |      AS BIGINT) AS sim_micro
+           |  FROM v c, p WHERE c.doc <> p.doc),
+           |mx AS (SELECT p_doc, p_vec, d_doc, MAX(sim_micro) AS m
+           |       FROM pairs GROUP BY 1, 2, 3),
+           |sc AS (SELECT p_doc, d_doc, CAST(SUM(m) AS BIGINT) AS score_micro
+           |       FROM mx GROUP BY 1, 2),
+           |r AS (SELECT p_doc, d_doc, score_micro,
+           |    ROW_NUMBER() OVER (PARTITION BY p_doc
+           |                       ORDER BY score_micro DESC, d_doc) AS rank
+           |  FROM sc)
+           |SELECT p_doc, d_doc, score_micro, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 5 ORDER BY p_doc, rank""".stripMargin),
+    (s, d) => {
+      val v = embeddings(s, d).select(expr("vec_id div 10").as("doc"),
+        col("vec_id").as("vec"), col("embedding"))
+      Similarity.maxSimTopK(s, v, v.filter(col("doc") < 2),
+        "doc", "vec", "embedding", 5)
+    })
+
+  /** d16 — asymmetric containment dedup
+    * ([[graft.llm.Dedup.containmentPairs]] — C(A→B) = |∩|/|grams(A)|,
+    * the Broder measure that catches a doc EMBEDDED in a larger one,
+    * which d04's symmetric Jaccard structurally misses). Same gram
+    * bucketing + df ≤ 10 stop-gram cap as d04, mirrored in SQL; every
+    * emitted value is a pure BIGINT (inter·10⁶ div n_inner), so the
+    * qualifying set at θ = 0.8 is bit-deterministic with no
+    * round-before-compare subtlety at all. The corpus holds organic
+    * containment pairs (50 at sf0.01, 524 at sf0.1 — measured, not
+    * planted), so the gate is non-vacuous.
+    */
+  val d16 = QSpec(
+    "d16_containment",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g0 AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |rare AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 10),
+           |g AS (SELECT g0.* FROM g0 JOIN rare USING (gram)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+           |        COUNT(*) AS inter
+           |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT inner_doc, outer_doc,
+           |  CAST(inter * 1000000 // sz.n AS BIGINT) AS containment_micro
+           |FROM pairs JOIN sz ON inner_doc = sz.doc_id
+           |WHERE inter * 1000000 // sz.n >= 800000
+           |ORDER BY inner_doc, outer_doc""".stripMargin),
+    (s, d) => Dedup.containmentPairs(documents(s, d), "doc_id", "text", 3,
+      minContainmentMicro = 800000L, maxDocFreq = Some(10))
+      .orderBy("inner_doc", "outer_doc"))
+
   /** t01 — language-ID heuristic (marker n-gram scores, fixed precedence). */
   val t01 = QSpec(
     "t01_langid",
@@ -1564,5 +1641,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07)
+    mm07, s07, s08, d16)
 }

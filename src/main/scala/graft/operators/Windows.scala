@@ -384,6 +384,67 @@ object Windows {
       ck * lit(10000000L / (1L << k)) // 10^7/2^k, exact integer for k <= 7
     }.reduce(_ + _).cast("long")
 
+  /** w12 — time-weighted average value per user (TWAP — the standard
+    * duration-weighted feature over an irregular event stream: each
+    * purchase's value "holds" until the user's next purchase; the mean
+    * weights each value by how long it held, so bursts of cheap events
+    * can't drown a long-held large value the way a plain avg does).
+    *
+    * Exactness is the w11 recipe extended to weighted means: values
+    * quantize once to integer cents, durations are integer µs (LEAD
+    * over the total (t_us, event_id) order), so numerator Σ c·Δt and
+    * denominator Σ Δt are exact BIGINT sums, and twap_cents is one
+    * floor division of positives — `div` here ≡ DuckDB `//` (the
+    * documented positive-operands contract). Both raw sums are emitted
+    * alongside the quotient, so downstream re-aggregation (e.g. a
+    * cross-user TWAP) stays exact instead of averaging averages.
+    * Same-timestamp purchases get Δt = 0 (weightless, still counted);
+    * users whose entire stream shares one timestamp have Σ Δt = 0 and
+    * are dropped by the HAVING guard on BOTH sides — no division by
+    * zero, no engine-specific NULL/error divergence. One user-partition
+    * window + one group-by = the same single user_id shuffle as w11
+    * (AQE-coalesced); per-row state is O(1).
+    */
+  val w12 = QSpec(
+    "w12_twap",
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           |  FROM events WHERE event_type = 'purchase'),
+           |l AS (SELECT user_id, c,
+           |    LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+           |      - t_us AS dur_us
+           |  FROM p)
+           |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           |  CAST(SUM(dur_us) AS BIGINT) AS dur_us,
+           |  CAST(SUM(c * dur_us) AS BIGINT) AS vdur_cent_us,
+           |  CAST(SUM(c * dur_us) // SUM(dur_us) AS BIGINT) AS twap_cents
+           |FROM l WHERE dur_us IS NOT NULL
+           |GROUP BY user_id HAVING SUM(dur_us) > 0
+           |ORDER BY user_id""".stripMargin),
+    (s, d) => twapPerUser(
+      events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"),
+          (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long").as("c"))))
+
+  /** The w12 TWAP aggregate over a (event_id, user_id, t_us, c) frame —
+    * factored out so the math is fixture-testable independent of the
+    * events table (`c` = integer cents; see w12's doc for exactness).
+    */
+  private[operators] def twapPerUser(p: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    p.withColumn("dur_us", lead(col("t_us"), 1).over(w) - col("t_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("dur_us"),
+        sum(col("c") * col("dur_us")).as("vdur_cent_us"),
+        expr("sum(c * dur_us) div sum(dur_us)").as("twap_cents"))
+      .filter(col("dur_us") > 0)
+      .orderBy("user_id")
+  }
+
   /** The retired DECIMAL(30,9) form of [[decayedSumNanos]] — kept ONLY so
     * Round10OpsSpec can assert nanos ≡ decimal·10⁹ on real data (the
     * migration-safety pin); no query emits it anymore.
@@ -399,5 +460,5 @@ object Windows {
   }
 
   val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08, w09, w10,
-    w11)
+    w11, w12)
 }

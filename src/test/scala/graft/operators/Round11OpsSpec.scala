@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the round-11 operators: w12 TWAP, d16
+  * containment, s08 MaxSim, t18 lexical diversity.
+  */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("twapPerUser: duration-weighted mean, last event weightless, " +
+      "event_id tiebreak, zero-span users dropped") {
+    // user 1: c=100 holds 10µs, c=300 holds 30µs, trailing event dropped
+    //   → vdur = 100·10 + 300·30 = 10000 cent·µs over 40µs → twap 250
+    // user 2: single event → no interval → absent
+    // user 3: both events at one t → Σdur = 0 → dropped by the guard
+    // user 4: same-t pair ordered by event_id (c=100 then c=200), then a
+    //   later event: durs 0 and 5 → twap = 200 (tiebreak-sensitive: the
+    //   wrong order would weight c=100 instead)
+    val p = Seq(
+      (1L, 1L, 0L, 100L), (2L, 1L, 10L, 300L), (3L, 1L, 40L, 0L),
+      (4L, 2L, 0L, 500L),
+      (5L, 3L, 7L, 100L), (6L, 3L, 7L, 200L),
+      (10L, 4L, 0L, 100L), (11L, 4L, 0L, 200L), (12L, 4L, 5L, 0L))
+      .toDF("event_id", "user_id", "t_us", "c")
+    val got = Windows.twapPerUser(p)
+      .select("user_id", "n_intervals", "dur_us", "vdur_cent_us", "twap_cents")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 40L, 10000L, 250L),
+      (4L, 2L, 5L, 1000L, 200L))
+  }
+
+  test("containmentPairs: directional, threshold-inclusive, integer-exact") {
+    // doc 1 ⊂ doc 2: grams(1) = {abc,bcd} all inside grams(2) → C(1→2) = 1
+    //   while C(2→1) = 2/4 = 0.5 → only the inner→outer direction emits
+    // docs 4,5: share 4 of 5 grams each way → C = 0.8 exactly, boundary
+    //   INCLUSIVE → both directions emit 800000
+    // doc 3: disjoint → nothing
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e f"), (3L, "x y z w"),
+      (4L, "p q r s t u v"), (5L, "p q r s t u x"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.containmentPairs(docs, "doc_id", "text", 3,
+        minContainmentMicro = 800000L)
+      .orderBy("inner_doc", "outer_doc")
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 2L, 1000000L), (4L, 5L, 800000L), (5L, 4L, 800000L))
+  }
+
+  test("maxSimTopK: per-query-vector max, per-doc sum, self excluded") {
+    // probe doc 0 = {(1,0), (0,1)}; doc 1 = {(1,0)}: maxes 1.0 and 0.0
+    // → 1000000; doc 2 = {(0.6,0.8)}: maxes 0.6 and 0.8 → 1400000.
+    // Ranking: doc 2 first (higher summed score), doc 0 never scored
+    // against itself.
+    val v = Seq(
+      (0L, 0L, Array(1.0f, 0.0f)), (0L, 1L, Array(0.0f, 1.0f)),
+      (1L, 10L, Array(1.0f, 0.0f)),
+      (2L, 20L, Array(0.6f, 0.8f)))
+      .toDF("doc", "vec", "embedding")
+    val got = graft.llm.Similarity.maxSimTopK(spark, v,
+        v.filter(col("doc") === 0), "doc", "vec", "embedding", 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((0L, 2L, 1400000L, 1L), (0L, 1L, 1000000L, 2L))
+  }
+
+  test("lexicalDiversity: token/type/hapax counts and micro ratios") {
+    // "a b a c": 4 tokens, 3 types, hapaxes {b,c} → ttr 750000, hapax 500000
+    // "x x": 2 tokens, 1 type, 0 hapax
+    // "a  b" (double space): empty token filtered → 2 tokens, 2 types
+    val docs = Seq((1L, "a b a c"), (2L, "x x"), (3L, "a  b"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.lexicalDiversity(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 4L, 3L, 2L, 750000L, 500000L),
+      (2L, 2L, 1L, 0L, 500000L, 0L),
+      (3L, 2L, 2L, 2L, 1000000L, 1000000L))
+  }
+}

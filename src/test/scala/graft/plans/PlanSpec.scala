@@ -144,4 +144,41 @@ class PlanSpec extends SparkSpec {
     val (sh, bc, _, w) = finalShape("s07_cosine_range")
     (sh, bc, w) shouldBe ((1, 1, Seq(2, 2))) // the 1 shuffle is the output sort
   }
+
+  test("w12 twap: window partitioning REUSED by the groupBy — no extra exchange") {
+    val (sh, bc, cg, w) = finalShape("w12_twap")
+    // window's hashpartitioning(user_id) satisfies the aggregate's
+    // clustering, so the whole chain rides ONE user_id exchange + the
+    // output sort — 3 shuffles here would mean the reuse broke
+    (sh, bc, w) shouldBe ((2, 0, Seq(5)))
+    cg should be >= 2
+  }
+
+  test("t18 lexical diversity: two-level agg over a pruned 2-col scan") {
+    val (sh, bc, cg, w) = finalShape("t18_lexical_diversity")
+    // (doc,tok) agg exchange (the only corpus-sized one, map-side
+    // combined) + per-doc rollup + output sort
+    (sh, bc, w) shouldBe ((3, 0, Seq(2)))
+    cg should be >= 3
+  }
+
+  test("d16 containment: gram-bucketed joins, AQE picks the build sides") {
+    val (sh, bc, cg, w) = finalShape("d16_containment")
+    w shouldBe Seq(1, 2, 2, 2) // doc_id-only size scans, 2-col gram scans
+    // AQE broadcasts the rare-gram and size tables at this SF and may
+    // reuse exchanges across the two gram consumers — pin bands, not the
+    // wobble (a lost bucketing would add corpus-sized shuffles far
+    // outside them)
+    sh should (be >= 5 and be <= 8)
+    bc should (be >= 3 and be <= 6)
+    cg should be >= 5
+  }
+
+  test("s08 maxsim: probes broadcast, two-level agg, ranked window") {
+    val (sh, bc, cg, w) = finalShape("s08_maxsim_topk")
+    // max-agg exchange + sum-agg exchange + rank window + output sort;
+    // the probe bag rides ONE broadcast — the corpus is scanned once
+    (sh, bc, w) shouldBe ((4, 1, Seq(2, 2)))
+    cg should be >= 4
+  }
 }
