@@ -34,6 +34,39 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Persisted EXACT-dedup index — the cheap first pass in front of the
+    * d13 near-dup index: the corpus's distinct (fingerprint → keeper)
+    * rows, written once at index-build time. Every arriving batch then
+    * equi-joins its 16-byte fingerprints against the store — O(batch)
+    * work per ingest with NO recall/θ budget at all (exact duplicates
+    * only), which is why production pipelines run this pass before any
+    * minhash machinery: it deletes the easy mass for the price of a
+    * hash join. At 100 TB the index would be written bucketed on `fp`
+    * (x11's co-located-join lever); plain parquet keeps the gate
+    * portable.
+    */
+  def writeExactIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    dedupKeepFirstByFingerprint(corpus, textCol, idCol)
+      .select("fp", "keeper_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental exact-dedup of a batch against a [[writeExactIndex]]
+    * store: (batch_id, status 'dup' | 'new', keeper_id — null for new
+    * docs). The corpus contributes nothing per ingest but the stored
+    * join side.
+    */
+  def matchAgainstExactIndex(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, path: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    batch.select(col(idCol).as("batch_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .join(idx, Seq("fp"), "left")
+      .select(col("batch_id"),
+        when(col("keeper_id").isNotNull, "dup").otherwise("new").as("status"),
+        col("keeper_id"))
+  }
+
   /** Word n-grams as zip_with over shifted slices of the split array:
     * gram[i] = w[i] ⧺ w[i+1] ⧺ … ⧺ w[i+n−1]. Each slice/split evaluates
     * once per ROW — an element_at-per-index formulation re-evaluates the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QSpec
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, MediaMeta, MediaRecord, Multimodal, Similarity, TextAnalysis}
 import graft.util.Tables
 import org.apache.spark.sql.functions._
 
@@ -1226,6 +1226,101 @@ object LlmOps {
           (sum(col("n") * (col("n") - 1)) / 2).cast("long").as("n_dup_pairs"))
     })
 
+  /** mm08 — audio near-dup via landmark fingerprint: the audio member of
+    * the re-encoded-duplicate family (mm06 images, mm07 video). Every
+    * 10th doc's clip re-enters the corpus under id+400000 with IDENTICAL
+    * PCM but a DIFFERENT container — an extra spec-legal LIST/INFO chunk
+    * ([[graft.llm.Multimodal.wavEncodeWithInfoChunk]]) — so byte-level
+    * dedup (d01/d06) can never find these pairs and the REAL chunk-walk
+    * decode + [[graft.llm.Multimodal.audioLandmarkFingerprint]] must.
+    * Dedup is a fingerprint groupBy: O(n) shuffle of tiny keys, nothing
+    * pairwise; dup-pair counts fall out of group sizes. The synthetic
+    * samples are closed-form, so the oracle rebuilds every landmark
+    * WITHOUT a decoder — the hash compare verifies parse → decode →
+    * landmark → group end to end (the mm07 pattern; organic same-seed
+    * collisions, ids ≡ mod 1009, are part of the truth on both sides).
+    */
+  val mm08 = QSpec(
+    "mm08_audio_fingerprint_dedup",
+    Some("""WITH ids AS (SELECT doc_id FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 400000 FROM documents WHERE doc_id % 10 = 0),
+           |sd AS (SELECT doc_id,
+           |    ((CASE WHEN doc_id >= 400000 THEN doc_id - 400000 ELSE doc_id END)
+           |      * 53) % 1009 AS seed
+           |  FROM ids),
+           |lm AS (SELECT doc_id, w,
+           |    list_position(
+           |      list_transform(range(0, 32),
+           |        j -> abs(((seed + 7 * (w * 32 + j)) % 2001) - 1000)),
+           |      list_max(list_transform(range(0, 32),
+           |        j -> abs(((seed + 7 * (w * 32 + j)) % 2001) - 1000)))) - 1 AS off,
+           |    list_max(list_transform(range(0, 32),
+           |      j -> abs(((seed + 7 * (w * 32 + j)) % 2001) - 1000))) AS amp
+           |  FROM sd, UNNEST(range(0, 8)) AS t(w)),
+           |fp AS (SELECT doc_id, string_agg(off || ':' || amp, '-' ORDER BY w) AS fp
+           |       FROM lm GROUP BY doc_id),
+           |g AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp)
+           |SELECT CAST(SUM(n) AS BIGINT) AS n_clips,
+           |  CAST(COUNT(*) AS BIGINT) AS n_distinct_fps,
+           |  CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_dup_pairs
+           |FROM g""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val base = Multimodal.syntheticWav(documents(s, d), "doc_id", 256, 16000)
+      val dups = documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("long")).as[Long].map { id =>
+          val seed = ((id * 53) % 1009).toInt
+          val bytes = Multimodal.wavEncodeWithInfoChunk(16000,
+            i => (seed + 7 * i) % 2001 - 1000, 256, s"reenc-$id")
+          MediaRecord(id + 400000L, bytes,
+            MediaMeta("audio/wav", bytes.length.toLong))
+        }
+      Multimodal.extractAudioFingerprints(base.unionByName(dups))
+        .toDF().groupBy("fp").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).cast("long").as("n_clips"),
+          count(lit(1)).as("n_distinct_fps"),
+          (sum(col("n") * (col("n") - 1)) / 2).cast("long").as("n_dup_pairs"))
+    })
+
+  /** d17 — persisted EXACT-dedup index
+    * ([[graft.llm.Dedup.writeExactIndex]] /
+    * [[graft.llm.Dedup.matchAgainstExactIndex]]): the cheap
+    * fingerprint-equality first pass in front of the d13 minhash index.
+    * The corpus's (fp → keeper) rows are written once; the arriving
+    * batch — every corpus doc re-shipped under id+500000, odd ids
+    * perturbed with a ' novel' suffix — joins its fingerprints against
+    * the store and comes back labeled dup (with keeper attribution) or
+    * new. The oracle rebuilds index, batch, and join wholly in SQL, so
+    * every row's status AND keeper is hash-pinned.
+    */
+  val d17 = QSpec(
+    "d17_exact_index",
+    Some("""WITH idx AS (SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+           |        MIN(doc_id) AS keeper_id
+           |      FROM documents GROUP BY 1),
+           |b AS (SELECT doc_id + 500000 AS batch_id,
+           |        CASE WHEN doc_id % 2 = 0 THEN text
+           |             ELSE text || ' novel' END AS text
+           |      FROM documents),
+           |bf AS (SELECT batch_id,
+           |         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+           |       FROM b)
+           |SELECT batch_id,
+           |  CASE WHEN keeper_id IS NOT NULL THEN 'dup' ELSE 'new' END AS status,
+           |  keeper_id
+           |FROM bf LEFT JOIN idx USING (fp) ORDER BY batch_id""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d)
+      val path = graft.util.Tables.scratch(d, "d17_index")
+      Dedup.writeExactIndex(docs, "doc_id", "text", path)
+      val batch = docs.select((col("doc_id") + 500000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" novel"))).as("text"))
+      Dedup.matchAgainstExactIndex(s, batch, "doc_id", "text", path)
+        .orderBy("batch_id")
+    })
+
   /** t12 — TF-IDF top terms per document: tf per (doc, term) in one
     * shuffle on the composite key, document frequency per term with
     * map-side partial aggregation, corpus size as a broadcast 1-row
@@ -1641,5 +1736,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16)
+    mm07, s07, s08, d16, mm08, d17)
 }

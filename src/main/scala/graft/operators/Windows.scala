@@ -427,6 +427,65 @@ object Windows {
           expr("ts div 1000").as("t_us"),
           (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long").as("c"))))
 
+  /** w13 — OHLC bars (open/high/low/close + count/volume) per user per
+    * hour: the canonical downsampling of an irregular value stream into
+    * fixed time buckets (finance bars, metric rollups, feature-store
+    * hourly aggregates). Open/close are the FIRST/LAST values under the
+    * total (t_us, event_id) order — computed as two row_number windows
+    * over the SAME (user_id, hour) partitioning, which the final groupBy
+    * then reuses: the whole query rides ONE hash exchange plus the
+    * output sort, and every emitted value is an exact BIGINT (integer
+    * cents; no first()/last() nondeterminism anywhere).
+    */
+  val w13 = QSpec(
+    "w13_ohlc",
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+           |    epoch_us(ts) // 3600000000 AS hour,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           |  FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT user_id, hour, c,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id, hour
+           |                       ORDER BY t_us, event_id) AS rna,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id, hour
+           |                       ORDER BY t_us DESC, event_id DESC) AS rnd
+           |  FROM p)
+           |SELECT user_id, CAST(hour AS BIGINT) AS hour,
+           |  CAST(MAX(CASE WHEN rna = 1 THEN c END) AS BIGINT) AS open_cents,
+           |  CAST(MAX(c) AS BIGINT) AS high_cents,
+           |  CAST(MIN(c) AS BIGINT) AS low_cents,
+           |  CAST(MAX(CASE WHEN rnd = 1 THEN c END) AS BIGINT) AS close_cents,
+           |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+           |  CAST(SUM(c) AS BIGINT) AS vol_cents
+           |FROM r GROUP BY user_id, hour ORDER BY user_id, hour""".stripMargin),
+    (s, d) => ohlcBars(
+      events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"),
+          (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long").as("c"))))
+
+  /** The w13 OHLC aggregate over a (event_id, user_id, t_us, c) frame —
+    * factored out for fixture tests (`c` = integer cents).
+    */
+  private[operators] def ohlcBars(p: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val withHour = p.withColumn("hour", expr("t_us div 3600000000"))
+    val wAsc = Window.partitionBy("user_id", "hour")
+      .orderBy(col("t_us"), col("event_id"))
+    val wDesc = Window.partitionBy("user_id", "hour")
+      .orderBy(col("t_us").desc, col("event_id").desc)
+    withHour
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy("user_id", "hour")
+      .agg(max(when(col("rna") === 1, col("c"))).as("open_cents"),
+        max(col("c")).as("high_cents"),
+        min(col("c")).as("low_cents"),
+        max(when(col("rnd") === 1, col("c"))).as("close_cents"),
+        count(lit(1)).as("n_trades"),
+        sum(col("c")).as("vol_cents"))
+      .orderBy("user_id", "hour")
+  }
+
   /** The w12 TWAP aggregate over a (event_id, user_id, t_us, c) frame —
     * factored out so the math is fixture-testable independent of the
     * events table (`c` = integer cents; see w12's doc for exactness).
@@ -460,5 +519,5 @@ object Windows {
   }
 
   val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08, w09, w10,
-    w11, w12)
+    w11, w12, w13)
 }

@@ -65,6 +65,58 @@ class Round11OpsSpec extends SparkSpec {
     got shouldBe Seq((0L, 2L, 1400000L, 1L), (0L, 1L, 1000000L, 2L))
   }
 
+  test("ohlcBars: first/last under total order, hour bucketing, exact sums") {
+    // user 1, hour 0: values 300 (t=0), 100 (t=5), 200 (t=9) → open 300,
+    //   close 200, high 300, low 100, vol 600
+    // user 1, hour 1 (t_us ≥ 3.6e9): single 50 → all four = 50
+    // user 2, hour 0: same-t pair tie-broken by event_id: open c=70
+    //   (e20), close c=80 (e21)
+    val p = Seq(
+      (1L, 1L, 0L, 300L), (2L, 1L, 5L, 100L), (3L, 1L, 9L, 200L),
+      (4L, 1L, 3600000000L, 50L),
+      (20L, 2L, 0L, 70L), (21L, 2L, 0L, 80L))
+      .toDF("event_id", "user_id", "t_us", "c")
+    val got = Windows.ohlcBars(p)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 0L, 300L, 300L, 100L, 200L, 3L, 600L),
+      (1L, 1L, 50L, 50L, 50L, 50L, 1L, 50L),
+      (2L, 0L, 70L, 80L, 70L, 80L, 2L, 150L))
+  }
+
+  test("audio landmark fingerprint survives container re-encode; junk chunk decodes") {
+    // identical PCM, different bytes (extra LIST/INFO chunk) → same fp
+    val f: Int => Int = i => (i * 37) % 2001 - 1000
+    val plain = graft.llm.Multimodal.wavEncode(16000, f, 256)
+    val reenc = graft.llm.Multimodal.wavEncodeWithInfoChunk(16000, f, 256, "tool-v2")
+    plain should not equal reenc
+    val fpA = graft.llm.Multimodal.audioLandmarkFingerprint(
+      graft.llm.Multimodal.wavDecode(plain))
+    val fpB = graft.llm.Multimodal.audioLandmarkFingerprint(
+      graft.llm.Multimodal.wavDecode(reenc))
+    fpA shouldBe fpB
+    fpA.split("-") should have length 8 // 256 samples / 32 per window
+    // hand-check window 0: |37i - 1000| on i=0..31 is max at i=0 (1000)
+    fpA.split("-").head shouldBe "0:1000"
+    // different PCM → different fp (window-0 max moves to the tail)
+    val other = graft.llm.Multimodal.wavEncode(16000, i => i * 30 - 400, 256)
+    graft.llm.Multimodal.audioLandmarkFingerprint(
+      graft.llm.Multimodal.wavDecode(other)) should not equal fpA
+  }
+
+  test("exact index: dup/new labeling with keeper attribution round-trips the store") {
+    val corpus = Seq((10L, "Alpha  beta"), (11L, "alpha beta"), (12L, "gamma"))
+      .toDF("doc_id", "text") // 10 and 11 share a normalized fingerprint
+    val path = tmpDir("d17-idx")
+    graft.llm.Dedup.writeExactIndex(corpus, "doc_id", "text", path)
+    val batch = Seq((100L, "ALPHA BETA"), (101L, "delta")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.matchAgainstExactIndex(spark, batch,
+        "doc_id", "text", path)
+      .orderBy("batch_id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    got shouldBe Seq((100L, "dup", Some(10L)), (101L, "new", None))
+  }
+
   test("lexicalDiversity: token/type/hapax counts and micro ratios") {
     // "a b a c": 4 tokens, 3 types, hapaxes {b,c} → ttr 750000, hapax 500000
     // "x x": 2 tokens, 1 type, 0 hapax

@@ -181,4 +181,22 @@ class PlanSpec extends SparkSpec {
     (sh, bc, w) shouldBe ((4, 1, Seq(2, 2)))
     cg should be >= 4
   }
+
+  test("w13 ohlc: both windows + groupBy ride ONE (user,hour) exchange") {
+    val (sh, bc, cg, w) = finalShape("w13_ohlc")
+    (sh, bc, w) shouldBe ((2, 0, Seq(5))) // partition exchange + output sort
+    cg should be >= 2
+  }
+
+  test("mm08 audio fingerprints: decode scan + fp groupBy, nothing pairwise") {
+    val (sh, bc, cg, w) = finalShape("mm08_audio_fingerprint_dedup")
+    (sh, bc, w) shouldBe ((2, 0, Seq(1, 1))) // doc_id-only scans feed the encoders
+    cg should be >= 2
+  }
+
+  test("d17 exact index: stored fp side broadcast-joined, sort is the only shuffle") {
+    val (sh, bc, cg, w) = finalShape("d17_exact_index")
+    (sh, bc, w) shouldBe ((1, 1, Seq(2, 2))) // batch (doc_id,text) + index (fp,keeper)
+    cg should be >= 2
+  }
 }
