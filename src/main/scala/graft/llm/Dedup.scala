@@ -164,11 +164,19 @@ object Dedup {
         allGrams.join(rare, "gram")
     }
     val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
-    // both directions (a≠b, not a<b): containment is asymmetric
-    val inter = grams.as("a").join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc") =!= col("b.doc"))
-      .groupBy(col("a.doc").as("inner_doc"), col("b.doc").as("outer_doc"))
+    // Containment is asymmetric but the INTERSECTION is not: build it once
+    // over unordered pairs (a < b — halves the join fanout and the pair
+    // aggregate, the two heaviest stages) and emit both directions only
+    // after the counts have collapsed to one row per pair. The oracle's
+    // a≠b self-join pins the semantics unchanged.
+    val undirected = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("da"), col("b.doc").as("db"))
       .agg(count(lit(1)).as("inter"))
+    val inter = undirected.select(explode(array(
+        struct(col("da").as("inner_doc"), col("db").as("outer_doc"), col("inter")),
+        struct(col("db").as("inner_doc"), col("da").as("outer_doc"), col("inter")))).as("e"))
+      .select(col("e.inner_doc"), col("e.outer_doc"), col("e.inter"))
     inter
       .join(sizes.withColumnRenamed("doc", "inner_doc")
         .withColumnRenamed("n_grams", "n_inner"), "inner_doc")

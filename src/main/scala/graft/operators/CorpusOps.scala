@@ -1257,7 +1257,63 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** t19 — boilerplate-gram ratio: per document, the fraction of its
+    * distinct word 3-grams that are CORPUS-COMMON — document frequency
+    * above `greatest(2, n_docs div 250)`, a corpus-RELATIVE bar because an
+    * absolute df cut is vacuous at small corpora and unselective at large
+    * ones (measured: max df is 7 at sf0.01 but 25 at sf0.1). This is the
+    * cross-document boilerplate signal (headers, nav chrome, license
+    * blocks) that RefinedWeb-style line/paragraph filters act on,
+    * complementing t09 (within-doc repetition) and t18 (vocabulary
+    * richness).
+    *
+    * Plan: the d04 gram machinery minus the self-join — distinct grams per
+    * doc, df per gram (map-side combined), the one-row threshold scalar
+    * broadcast, one gram-keyed join back (Zipf-skewed — AQE skew split
+    * applies; no pair fanout exists since the df side is pre-aggregated to
+    * one row per gram), then the per-doc rollup. Outputs are counts and a
+    * ·10⁶ floor division of positives (≡ DuckDB `//`): pure BIGINTs,
+    * bit-deterministic by construction.
+    */
+  val t19 = QSpec(
+    "t19_boilerplate_grams",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |thr AS (SELECT greatest(2, COUNT(*) // 250) AS thr FROM documents),
+           |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |  CAST(SUM(CASE WHEN df.df > thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           |  CAST(SUM(CASE WHEN df.df > thr.thr THEN 1 ELSE 0 END) * 1000000
+           |       // COUNT(*) AS BIGINT) AS boiler_micro
+           |FROM g JOIN df USING (gram) CROSS JOIN thr GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => boilerplateGrams(documents(s, d)))
+
+  /** The t19 aggregate over a (doc_id, text) frame — factored out so the
+    * threshold rule and the micro ratios are fixture-testable independent
+    * of the documents table.
+    */
+  private[operators] def boilerplateGrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        graft.llm.Dedup.wordNGramsFused(s, col("text"), 3))).as("gram"))
+    val thr = docs.agg(
+      greatest(lit(2L), expr("count(1) div 250")).as("thr"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "gram").crossJoin(broadcast(thr))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > col("thr"), 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_grams"), col("n_common"),
+        expr("n_common * 1000000 div n_grams").as("boiler_micro"))
+      .orderBy("doc_id")
+  }
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    p10, p11, p12, t16, w06, m13, t17, p13, t18)
+    p10, p11, p12, t16, w06, m13, t17, p13, t18, t19)
 }

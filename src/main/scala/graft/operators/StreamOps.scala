@@ -606,5 +606,55 @@ object StreamOps {
         .orderBy("user_id")
     })
 
-  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
+  /** st09 — OHLC bars through the STREAMING engine: the st-twin of w13,
+    * and a deliberately DIFFERENT formulation converging to the IDENTICAL
+    * oracle table — open/close come from `min_by`/`max_by` over the
+    * unique (t_us, event_id) struct key (streaming state can't run w13's
+    * row_number windows; an order-keyed extremum aggregate is the
+    * streaming-native way to say "first/last by event time", and complete
+    * mode makes the result invariant to micro-batch placement). One keyed
+    * StateStore aggregate; state per (user, hour) is O(1) — six scalars —
+    * exactly the footprint a 100 TB bar-builder carries per open bucket.
+    */
+  val st09 = QSpec(
+    "st09_stream_ohlc",
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+           |    epoch_us(ts) // 3600000000 AS hour,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           |  FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT user_id, hour, c,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id, hour
+           |                       ORDER BY t_us, event_id) AS rna,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id, hour
+           |                       ORDER BY t_us DESC, event_id DESC) AS rnd
+           |  FROM p)
+           |SELECT user_id, CAST(hour AS BIGINT) AS hour,
+           |  CAST(MAX(CASE WHEN rna = 1 THEN c END) AS BIGINT) AS open_cents,
+           |  CAST(MAX(c) AS BIGINT) AS high_cents,
+           |  CAST(MIN(c) AS BIGINT) AS low_cents,
+           |  CAST(MAX(CASE WHEN rnd = 1 THEN c END) AS BIGINT) AS close_cents,
+           |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+           |  CAST(SUM(c) AS BIGINT) AS vol_cents
+           |FROM r GROUP BY user_id, hour ORDER BY user_id, hour""".stripMargin),
+    (s, d) => {
+      val p = eventStream(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * lit(100)).cast("long").as("c"))
+        .withColumn("hour", expr("t_us div 3600000000"))
+        .withColumn("ord", struct(col("t_us"), col("event_id")))
+      val agg = p.groupBy("user_id", "hour")
+        .agg(min_by(col("c"), col("ord")).as("open_cents"),
+          max(col("c")).as("high_cents"),
+          min(col("c")).as("low_cents"),
+          max_by(col("c"), col("ord")).as("close_cents"),
+          count(lit(1)).as("n_trades"),
+          sum(col("c")).as("vol_cents"))
+      drainToTable(agg, "st09", d, "complete")
+        .orderBy("user_id", "hour")
+    })
+
+  val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
+    st09)
 }

@@ -117,6 +117,23 @@ class Round11OpsSpec extends SparkSpec {
     got shouldBe Seq((100L, "dup", Some(10L)), (101L, "new", None))
   }
 
+  test("boilerplateGrams: corpus-relative df threshold, micro ratio exact") {
+    // 4 docs → thr = greatest(2, 4 div 250) = 2, so common means df ≥ 3.
+    // 'a b c' appears in docs 1,2,3 (df 3 → common); every other gram has
+    // df 1. Docs 1–3: 2 grams, 1 common → 500000; doc 4: 0 common.
+    // doc 5 ("z z z z z"): array_distinct collapses its repeated gram to
+    // one → 1 gram, 0 common (df 1).
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c x"), (3L, "a b c y"),
+      (4L, "p q r s"), (5L, "z z z z z"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.boilerplateGrams(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L), (3L, 2L, 1L, 500000L),
+      (4L, 2L, 0L, 0L), (5L, 1L, 0L, 0L))
+  }
+
   test("lexicalDiversity: token/type/hapax counts and micro ratios") {
     // "a b a c": 4 tokens, 3 types, hapaxes {b,c} → ttr 750000, hapax 500000
     // "x x": 2 tokens, 1 type, 0 hapax

@@ -38,6 +38,15 @@ class StreamOpsSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("st09 streaming OHLC converges to the batch w13 answer") {
+    val streamed = StreamOps.st09.fn(spark, sf)
+    val batch = Windows.w13.fn(spark, sf)
+    streamed.schema.fieldNames shouldBe batch.schema.fieldNames
+    streamed.exceptAll(batch).count() shouldBe 0
+    batch.exceptAll(streamed).count() shouldBe 0
+    batch.count() should be > 0L
+  }
+
   test("st08 merge fold is invariant to micro-batch placement (semilattice)") {
     import spark.implicits._
     // adversarial changelog: same-user same-µs collisions (event_id breaks

@@ -194,6 +194,16 @@ class PlanSpec extends SparkSpec {
     cg should be >= 2
   }
 
+  test("t19 boilerplate grams: gram-keyed join, one-row threshold broadcast") {
+    val (sh, bc, cg, w) = finalShape("t19_boilerplate_grams")
+    // scans: width-0 (the thr COUNT reads no columns), width-1 (the df
+    // side prunes to text only), width-2 (doc_id+text gram side); the df
+    // table and the one-row threshold ride broadcasts at this SF, so the
+    // shuffles are the df agg, the per-doc rollup, and the output sort
+    (sh, bc, w) shouldBe ((4, 2, Seq(0, 1, 2)))
+    cg should be >= 3
+  }
+
   test("d17 exact index: stored fp side broadcast-joined, sort is the only shuffle") {
     val (sh, bc, cg, w) = finalShape("d17_exact_index")
     (sh, bc, w) shouldBe ((1, 1, Seq(2, 2))) // batch (doc_id,text) + index (fp,keeper)
