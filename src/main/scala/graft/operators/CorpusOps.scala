@@ -1313,7 +1313,56 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** t20 — gram NOVELTY under the corpus order: per document, the
+    * fraction of its distinct word 3-grams whose FIRST occurrence
+    * (minimum doc_id corpus-wide) is this document — the "new
+    * information rate" a curriculum / dataset-ordering pass ranks on
+    * (a doc introducing no new grams is pure restatement; early docs
+    * trend novel by construction, which is the point of the signal).
+    * The dual of t19: same gram spine, but the per-gram aggregate is an
+    * ARGMIN attribution (who said it first) instead of a df commonness
+    * cut, and the semantics depend on the corpus ORDER, not its size.
+    *
+    * Plan: distinct grams per doc, min(doc_id) per gram (map-side
+    * combined — min is algebraic), one gram-keyed join back, per-doc
+    * rollup. Outputs counts and a ·10⁶ floor division of positives:
+    * pure BIGINTs, bit-deterministic by construction.
+    */
+  val t20 = QSpec(
+    "t20_gram_novelty",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1000000
+           |       // COUNT(*) AS BIGINT) AS novelty_micro
+           |FROM g JOIN f USING (gram) GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => gramNovelty(documents(s, d)))
+
+  /** The t20 aggregate over a (doc_id, text) frame — factored out so the
+    * first-occurrence attribution is fixture-testable independent of the
+    * documents table.
+    */
+  private[operators] def gramNovelty(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        graft.llm.Dedup.wordNGramsFused(docs.sparkSession, col("text"), 3))).as("gram"))
+    val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_grams").as("novelty_micro"))
+      .orderBy("doc_id")
+  }
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    p10, p11, p12, t16, w06, m13, t17, p13, t18, t19)
+    p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20)
 }

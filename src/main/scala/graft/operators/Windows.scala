@@ -518,6 +518,64 @@ object Windows {
     }.reduce(_ + _).cast(DecimalType(30, 9))
   }
 
+  /** w14 — rolling z-score anomaly flag: each purchase scored against its
+    * user's trailing-8 baseline (ROWS BETWEEN 8 PRECEDING AND 1
+    * PRECEDING under the total (t_us, event_id) order), flagged when
+    * |c − mean| > 3σ — the per-key outlier primitive of metric
+    * monitoring and fraud screens. The K·σ compare is done WITHOUT
+    * sqrt, division, or any float: |c − μ| > Kσ over an n-row frame is
+    * equivalent to (c·n − Σc)² > K²·(n·Σc² − (Σc)²), which is pure
+    * BIGINT on integer cents (worst case here ≈ 6·10¹¹, five orders of
+    * magnitude inside 2⁶³), so the flag set is bit-deterministic on
+    * both engines by construction. A zero-variance baseline flags ANY
+    * deviation — the division-free form handles σ = 0 naturally.
+    * Scale: one user-partitioned window exchange, O(1) frame state per
+    * row; emitted baseline sums let downstream re-scoring with a
+    * different K avoid recomputation.
+    */
+  val w14 = QSpec(
+    "w14_rolling_zscore",
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           |  FROM events WHERE event_type = 'purchase'),
+           |w AS (SELECT user_id, event_id, c,
+           |    COUNT(*) OVER win AS n,
+           |    SUM(c) OVER win AS s,
+           |    SUM(c*c) OVER win AS sq
+           |  FROM p
+           |  WINDOW win AS (PARTITION BY user_id ORDER BY t_us, event_id
+           |                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+           |SELECT user_id, event_id, c, CAST(s AS BIGINT) AS base_sum,
+           |  CAST(sq AS BIGINT) AS base_sumsq,
+           |  CAST(CASE WHEN (c*8 - s)*(c*8 - s) > 9*(8*sq - s*s)
+           |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+           |FROM w WHERE n = 8 ORDER BY user_id, event_id""".stripMargin),
+    (s, d) => rollingZscoreFlags(
+      events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"),
+          (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long").as("c"))))
+
+  /** The w14 scorer over a (event_id, user_id, t_us, c) frame — factored
+    * out for fixture tests (`c` = integer cents; K = 3, baseline = the
+    * 8 preceding rows, rows with a short baseline are not scored).
+    */
+  private[operators] def rollingZscoreFlags(p: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val win = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(-8, -1)
+    p.withColumn("n", count(lit(1)).over(win))
+      .withColumn("base_sum", sum(col("c")).over(win))
+      .withColumn("base_sumsq", sum(col("c") * col("c")).over(win))
+      .filter(col("n") === 8)
+      .select(col("user_id"), col("event_id"), col("c"),
+        col("base_sum"), col("base_sumsq"),
+        when((col("c") * 8 - col("base_sum")) * (col("c") * 8 - col("base_sum"))
+            > lit(9L) * (lit(8L) * col("base_sumsq") - col("base_sum") * col("base_sum")),
+          1L).otherwise(0L).as("is_anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
   val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08, w09, w10,
-    w11, w12, w13)
+    w11, w12, w13, w14)
 }

@@ -117,6 +117,38 @@ class Round11OpsSpec extends SparkSpec {
     got shouldBe Seq((100L, "dup", Some(10L)), (101L, "new", None))
   }
 
+  test("rollingZscoreFlags: trailing-8 baseline, sqrt-free 3-sigma compare") {
+    // user 1: eight purchases alternating 100/102 (t=1..8), then a 200
+    // spike at t=9 and a 101 at t=10.
+    //  t=9 : baseline t1..8 → s=808, sq=81616; (200·8−808)²=627264 >
+    //        9·(8·81616−808²)=9·64 → ANOMALY
+    //  t=10: baseline t2..9 (incl. the spike) → s=908, sq=111616;
+    //        (101·8−908)²=10000 ≤ 9·(8·111616−908²)=616176 → clean
+    // user 2: only 5 purchases → baseline never reaches 8 → no rows
+    val rows = (1 to 8).map(t =>
+        (t.toLong, 1L, t.toLong, if (t % 2 == 1) 100L else 102L)) ++
+      Seq((9L, 1L, 9L, 200L), (10L, 1L, 10L, 101L)) ++
+      (1 to 5).map(t => (100L + t, 2L, t.toLong, 100L))
+    val p = rows.toDF("event_id", "user_id", "t_us", "c")
+    val got = Windows.rollingZscoreFlags(p)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 9L, 200L, 808L, 81616L, 1L),
+      (1L, 10L, 101L, 908L, 111616L, 0L))
+  }
+
+  test("gramNovelty: min-doc first-occurrence attribution, micro ratio") {
+    // doc 1 "a b c d": grams {abc,bcd} both first here → 1000000
+    // doc 2 "b c d e": {bcd (first in doc 1), cde} → 1 of 2 novel
+    // doc 3 "a b c":   {abc (first in doc 1)} → 0 novel
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.gramNovelty(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 2L, 1000000L), (2L, 2L, 1L, 500000L), (3L, 1L, 0L, 0L))
+  }
+
   test("boilerplateGrams: corpus-relative df threshold, micro ratio exact") {
     // 4 docs → thr = greatest(2, 4 div 250) = 2, so common means df ≥ 3.
     // 'a b c' appears in docs 1,2,3 (df 3 → common); every other gram has

@@ -204,6 +204,21 @@ class PlanSpec extends SparkSpec {
     cg should be >= 3
   }
 
+  test("w14 rolling z-score: one user-partition window exchange + output sort") {
+    val (sh, bc, cg, w) = finalShape("w14_rolling_zscore")
+    (sh, bc, w) shouldBe ((2, 0, Seq(5))) // 5-col purchase scan, no joins
+    cg should be >= 1
+  }
+
+  test("t20 gram novelty: gram-keyed min-attribution join, pruned scans") {
+    val (sh, bc, cg, w) = finalShape("t20_gram_novelty")
+    // two (doc_id,text) gram scans (the attribution needs doc_id on both
+    // sides); the min-per-gram table rides an AQE broadcast at this SF;
+    // shuffles: min agg, per-doc rollup, output sort
+    (sh, bc, w) shouldBe ((3, 1, Seq(2, 2)))
+    cg should be >= 3
+  }
+
   test("d17 exact index: stored fp side broadcast-joined, sort is the only shuffle") {
     val (sh, bc, cg, w) = finalShape("d17_exact_index")
     (sh, bc, w) shouldBe ((1, 1, Seq(2, 2))) // batch (doc_id,text) + index (fp,keeper)
