@@ -1313,6 +1313,47 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** j08 — geo RADIUS self-join ([[graft.joins.GeoJoin.radiusJoin]]):
+    * all point pairs within 150 great-circle km, via unit-sphere 3D grid
+    * bucketing — the spatial analog of j02/j03's banded range join, and
+    * the join shape a listings/geo pipeline needs ("comparable sales
+    * within R km"). Points are a01's deterministic key-derived lattice
+    * (the testdata carries no organic lat/lon), which pins the pair set
+    * across regens: 3 pairs at sf0.01, 5 483 at sf0.1 — non-vacuous,
+    * including the polar crowding that breaks naive lat/lon cells and is
+    * exactly why the cells are XYZ (see GeoJoin's scaladoc). The oracle
+    * replays the full O(N²) exact join in SQL, so the hash compare
+    * asserts the grid path's recall is literally 100 %.
+    */
+  val j08 = QSpec(
+    "j08_geo_radius_join",
+    Some("""WITH p AS (SELECT c_custkey AS id,
+           |    CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.25 AS lat,
+           |    CAST((c_custkey * 13) % 360 AS DOUBLE) - 180 + 0.5 AS lon
+           |  FROM customer WHERE c_custkey % 7 = 0)
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |  ROUND(12742.0 * ASIN(SQRT(
+           |    SIN(RADIANS(b.lat - a.lat)/2) * SIN(RADIANS(b.lat - a.lat)/2)
+           |    + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+           |      * SIN(RADIANS(b.lon - a.lon)/2) * SIN(RADIANS(b.lon - a.lon)/2)
+           |  )), 4) AS dist_km
+           |FROM p a JOIN p b ON a.id < b.id
+           |WHERE ROUND(12742.0 * ASIN(SQRT(
+           |    SIN(RADIANS(b.lat - a.lat)/2) * SIN(RADIANS(b.lat - a.lat)/2)
+           |    + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+           |      * SIN(RADIANS(b.lon - a.lon)/2) * SIN(RADIANS(b.lon - a.lon)/2)
+           |  )), 4) <= 150.0
+           |ORDER BY id_a, id_b""".stripMargin),
+    (s, d) => {
+      val pts = customer(s, d)
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("id"),
+          (((col("c_custkey") * 7) % 180).cast("double") - 90 + 0.25).as("lat"),
+          (((col("c_custkey") * 13) % 360).cast("double") - 180 + 0.5).as("lon"))
+      graft.joins.GeoJoin.radiusJoin(pts, "id", "lat", "lon", 150.0)
+        .orderBy("id_a", "id_b")
+    })
+
   /** t20 — gram NOVELTY under the corpus order: per document, the
     * fraction of its distinct word 3-grams whose FIRST occurrence
     * (minimum doc_id corpus-wide) is this document — the "new
@@ -1364,5 +1405,5 @@ object CorpusOps {
 
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20)
+    p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20, j08)
 }

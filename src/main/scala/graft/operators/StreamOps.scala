@@ -655,6 +655,61 @@ object StreamOps {
         .orderBy("user_id", "hour")
     })
 
+  /** st10 — rolling z-score anomaly flags through the STREAMING engine
+    * (w14's st-twin): [[graft.streaming.EventStreams.rollingAnomalies]]
+    * carries each user's trailing-8 baseline as a BOUNDED ring-buffer
+    * state — eight longs per key, the O(1) streaming-feature-store
+    * footprint — across a three-batch event-TIME-sliced backlog
+    * (`maxFilesPerTrigger=1`), i.e. the per-key ordered-log ingest shape.
+    * The slice cutoffs are thirds of the observed purchase time range
+    * (two O(1) driver fetches, the st06 pattern), so batches arrive in
+    * event-time order and the cross-batch ring state reproduces w14's
+    * batch window EXACTLY — which is what the shared oracle asserts: the
+    * same integer compare, the same flag set, bit-identical.
+    */
+  val st10 = QSpec(
+    "st10_stream_zscore",
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           |  FROM events WHERE event_type = 'purchase'),
+           |w AS (SELECT user_id, event_id, c,
+           |    COUNT(*) OVER win AS n,
+           |    SUM(c) OVER win AS s,
+           |    SUM(c*c) OVER win AS sq
+           |  FROM p
+           |  WINDOW win AS (PARTITION BY user_id ORDER BY t_us, event_id
+           |                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+           |SELECT user_id, event_id, c, CAST(s AS BIGINT) AS base_sum,
+           |  CAST(sq AS BIGINT) AS base_sumsq,
+           |  CAST(CASE WHEN (c*8 - s)*(c*8 - s) > 9*(8*sq - s*s)
+           |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+           |FROM w WHERE n = 8 ORDER BY user_id, event_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * lit(100)).cast("long").as("c"))
+      // event-time tercile cutoffs: two O(1) driver fetches (st06 pattern)
+      val Array(lo, hi) = p.agg(min("t_us"), max("t_us")).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val backlog = batchBacklog(s, d, "st10",
+        p.filter(col("t_us") < c1),
+        p.filter(col("t_us") >= c1 && col("t_us") < c2),
+        p.filter(col("t_us") >= c2))
+      val stream = s.readStream.schema(p.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+        .as[graft.streaming.EventStreams.PurchaseCents]
+      val flags = graft.streaming.EventStreams.rollingAnomalies(stream).toDF()
+      drainToTable(flags, "st10", d, "append")
+        .select(col("user_id"), col("event_id"), col("c"),
+          col("base_sum"), col("base_sumsq"), col("is_anomaly"))
+        .orderBy("user_id", "event_id")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09)
+    st09, st10)
 }

@@ -133,6 +133,58 @@ object EventStreams {
       }
   }
 
+  /** One integer-cents purchase (t_us = event-time microseconds). */
+  final case class PurchaseCents(event_id: Long, user_id: Long, t_us: Long, c: Long)
+
+  /** One scored purchase (w14's row shape; see Windows.rollingZscoreFlags). */
+  final case class AnomalyFlag(user_id: Long, event_id: Long, c: Long,
+      base_sum: Long, base_sumsq: Long, is_anomaly: Long)
+
+  /** The last ≤8 cents values per user, in event-time order — the whole
+    * streaming state: eight longs, O(1) per key forever.
+    */
+  final case class CentsRing(cs: Seq[Long])
+
+  /** Streaming rolling z-score anomaly flags — w14's st-twin: each
+    * purchase scored against its user's trailing-8 baseline with the same
+    * sqrt-free integer compare ((c·8 − Σc)² > 9·(8·Σc² − (Σc)²)), carried
+    * across micro-batches in a BOUNDED ring-buffer state (eight longs per
+    * user — the streaming-feature-store footprint, vs st05's grow-boundable
+    * session buffers).
+    *
+    * Ordering contract: rows must arrive in per-user event-time order
+    * ACROSS batches (within a batch they are sorted here) — the per-key
+    * ordered-log ingest shape (e.g. a topic partitioned by user). The
+    * declared query honors it by replaying a time-sliced backlog; an
+    * out-of-order deployment needs a watermark-buffered reorder stage in
+    * front, which is a different operator on purpose: reordering costs
+    * state, and the O(1) ring is the point.
+    */
+  def rollingAnomalies(purchases: Dataset[PurchaseCents]): Dataset[AnomalyFlag] = {
+    import purchases.sparkSession.implicits._
+    purchases
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CentsRing, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[PurchaseCents], state: GroupState[CentsRing]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.t_us, r.event_id))
+          var ring = state.getOption.map(_.cs.toVector).getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[AnomalyFlag]
+          sorted.foreach { e =>
+            if (ring.length == 8) {
+              val s0 = ring.sum
+              val sq = ring.iterator.map(c => c * c).sum
+              val lhs = e.c * 8 - s0
+              val anom = if (lhs * lhs > 9L * (8L * sq - s0 * s0)) 1L else 0L
+              out += AnomalyFlag(uid, e.event_id, e.c, s0, sq, anom)
+            }
+            ring = (ring :+ e.c).takeRight(8)
+          }
+          state.update(CentsRing(ring))
+          out.result().iterator
+      }
+  }
+
   /** Streaming output-mode helper for tests. */
   def completeMode: OutputMode = OutputMode.Complete()
   def updateMode: OutputMode = OutputMode.Update()

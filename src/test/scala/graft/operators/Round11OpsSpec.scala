@@ -117,6 +117,34 @@ class Round11OpsSpec extends SparkSpec {
     got shouldBe Seq((100L, "dup", Some(10L)), (101L, "new", None))
   }
 
+  test("geo radiusJoin: grid recall == brute force, incl. polar crowding") {
+    // 400 deterministic lattice points, including near-polar rows where
+    // lat/lon cells would lose recall — the XYZ cells must reproduce the
+    // exact brute-force pair set at two different radii
+    val pts = (1 to 400).map { k =>
+      (k.toLong,
+        ((k * 7) % 180).toDouble - 90 + 0.25,
+        ((k * 13) % 360).toDouble - 180 + 0.5)
+    }.toDF("id", "lat", "lon")
+    for (r <- Seq(150.0, 400.0)) {
+      val grid = graft.joins.GeoJoin.radiusJoin(pts, "id", "lat", "lon", r)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      val a = pts.select(col("id").as("id_a"), col("lat").as("la"), col("lon").as("oa"))
+      val b = pts.select(col("id").as("id_b"), col("lat").as("lb"), col("lon").as("ob"))
+      val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("dist_km", round(graft.features.Derived.haversineKm(
+          col("la"), col("oa"), col("lb"), col("ob")), 4))
+        .filter(col("dist_km") <= r)
+        .select("id_a", "id_b", "dist_km").orderBy("id_a", "id_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      withClue(s"radius $r: ") {
+        brute.nonEmpty shouldBe true
+        grid shouldBe brute
+      }
+    }
+  }
+
   test("rollingZscoreFlags: trailing-8 baseline, sqrt-free 3-sigma compare") {
     // user 1: eight purchases alternating 100/102 (t=1..8), then a 200
     // spike at t=9 and a 101 at t=10.

@@ -47,6 +47,15 @@ class StreamOpsSpec extends SparkSpec {
     batch.count() should be > 0L
   }
 
+  test("st10 streaming ring-buffer z-score converges to the batch w14 answer") {
+    val streamed = StreamOps.st10.fn(spark, sf)
+    val batch = Windows.w14.fn(spark, sf)
+    streamed.schema.fieldNames shouldBe batch.schema.fieldNames
+    streamed.exceptAll(batch).count() shouldBe 0
+    batch.exceptAll(streamed).count() shouldBe 0
+    batch.count() should be > 0L
+  }
+
   test("st08 merge fold is invariant to micro-batch placement (semilattice)") {
     import spark.implicits._
     // adversarial changelog: same-user same-µs collisions (event_id breaks

@@ -219,6 +219,20 @@ class PlanSpec extends SparkSpec {
     cg should be >= 3
   }
 
+  test("j08 geo radius join: cell equi-join, no nested-loop anywhere") {
+    // probed at sf0.01, not this suite's sf0.001: there the result is
+    // EMPTY (22 global lattice points, no pair within 150 km) and AQE
+    // collapses the whole plan to an empty local relation
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("j08_geo_radius_join")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      "the grid join must never fall back to a nested-loop/cross plan")
+    assert(plan.contains("explode"), "the 27-neighbor explode must be present")
+  }
+
   test("d17 exact index: stored fp side broadcast-joined, sort is the only shuffle") {
     val (sh, bc, cg, w) = finalShape("d17_exact_index")
     (sh, bc, w) shouldBe ((1, 1, Seq(2, 2))) // batch (doc_id,text) + index (fp,keeper)
