@@ -128,6 +128,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rollingAnomalies: ring state is batch-placement invariant over in-order slices") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.PurchaseCents
+    // the w14 fixture series: 8 alternating 100/102, a 200 spike, a 101
+    val rows = (1 to 8).map(t => PurchaseCents(t.toLong, 1L, t.toLong * 1000000L,
+        if (t % 2 == 1) 100L else 102L)) ++
+      Seq(PurchaseCents(9L, 1L, 9000000L, 200L), PurchaseCents(10L, 1L, 10000000L, 101L))
+    def run(batches: Seq[Seq[PurchaseCents]], name: String) = {
+      val input = MemoryStream[PurchaseCents]
+      val q = EventStreams.rollingAnomalies(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).orderBy("event_id")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    val expected = Seq(
+      (1L, 9L, 200L, 808L, 81616L, 1L),
+      (1L, 10L, 101L, 908L, 111616L, 0L))
+    // one batch, one-event batches, and uneven slices — the state carried
+    // across micro-batches must reproduce the identical flag rows
+    run(Seq(rows), "ra_one") shouldBe expected
+    run(rows.map(Seq(_)), "ra_each") shouldBe expected
+    run(Seq(rows.take(3), rows.slice(3, 9), rows.drop(9)), "ra_uneven") shouldBe expected
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventRow]
