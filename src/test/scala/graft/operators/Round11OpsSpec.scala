@@ -145,6 +145,22 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("geo radiusJoin: result set is partitioning-invariant") {
+    val pts = (1 to 300).map { k =>
+      (k.toLong,
+        ((k * 7) % 180).toDouble - 90 + 0.25,
+        ((k * 13) % 360).toDouble - 180 + 0.5)
+    }.toDF("id", "lat", "lon")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      graft.joins.GeoJoin.radiusJoin(df, "id", "lat", "lon", 300.0)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Double)].collect().toSeq
+    val base = pairs(pts)
+    base.nonEmpty shouldBe true
+    pairs(pts.repartition(13)) shouldBe base
+    pairs(pts.repartition(1)) shouldBe base
+  }
+
   test("rollingZscoreFlags: trailing-8 baseline, sqrt-free 3-sigma compare") {
     // user 1: eight purchases alternating 100/102 (t=1..8), then a 200
     // spike at t=9 and a 101 at t=10.
