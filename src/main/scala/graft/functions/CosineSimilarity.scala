@@ -188,5 +188,10 @@ object GraftFunctions {
       registry.registerFunction(na, normalizeAsciiInfo,
         (children: Seq[Expression]) => NormalizeAscii(children.head))
     }
+    val wk = org.apache.spark.sql.catalyst.FunctionIdentifier("wexp_key_q20")
+    if (!registry.functionExists(wk)) {
+      registry.registerFunction(wk, NegLog2Fixed.info,
+        (children: Seq[Expression]) => NegLog2Fixed(children.head))
+    }
   }
 }

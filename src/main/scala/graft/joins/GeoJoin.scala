@@ -65,4 +65,96 @@ object GeoJoin {
       .filter(col("dist_km") <= lit(radiusKm))
       .select(col("id_a"), col("id_b"), col("dist_km"))
   }
+
+  /** k-NEAREST-neighbors-within-radius join — the BOUNDED-OUTPUT form of
+    * [[radiusJoin]] and the production shape at 100 TB (the round-11
+    * verdict's directive #1): each point gets its k nearest neighbors
+    * within `radiusKm`, so the answer is ≤ N·k rows BY CONSTRUCTION where
+    * the all-pairs radius answer grows ~N² once the data's spatial lattice
+    * saturates (SCALE.md's j08 accounting measured 65.4 M qualifying pairs
+    * at 100×).
+    *
+    * The CANDIDATE work is made linear too, which the same XYZ grid alone
+    * cannot do on saturating data (every point would meet every co-located
+    * point): coincident positions are COLLAPSED first — the weighted-point
+    * trick of spatial engines, load-bearing here because the synthetic
+    * lattice piles ~N/360 points onto each of its 360 distinct positions
+    * from sf0.1 up, and city-piled real data behaves the same way.
+    *   1. distinct (lat, lon) POSITIONS — a bounded table (≤ lattice
+    *      cells; 360 here at every bench scale, so position-pair work is
+    *      CONSTANT in N);
+    *   2. per position, its k+1 smallest member ids (one keyed window —
+    *      within a position every member is equidistant from any probe, so
+    *      under the (dist, id) total order only the k+1 smallest ids can
+    *      ever reach a top-k after self-exclusion);
+    *   3. position-level grid join ([[radiusJoin]]'s cells, self-pair
+    *      kept, both directions), DENSE_RANK by rounded distance per probe
+    *      position ≤ k+1 — dense so distance TIES can't cut off a position
+    *      holding a smaller member id, and k+1 distance levels always
+    *      cover ≥ k non-self members (the self level can contribute 0);
+    *   4. expand: members of the probe position × capped members of the
+    *      candidate positions, exact (dist, id) rank, keep k.
+    * Per-probe candidate volume is O(k²) after the caps, so the whole
+    * operator is one bounded-fanout pipeline: output AND work linear in N
+    * at any pile-up (SCALE.md's j09 row shows the measured flat curve).
+    * Points with fewer than k in-radius neighbors emit what exists — the
+    * standard bounded-kNN contract.
+    *
+    * Output: (id, neighbor_id, rank, dist_km), rank 1..≤k under the total
+    * (rounded dist, neighbor id) order; distance rounding before EVERY
+    * compare keeps the ranking engine-deterministic (the repo's
+    * round-before-compare recipe).
+    */
+  def kNearestJoin(pts: DataFrame, idCol: String, latCol: String,
+      lonCol: String, radiusKm: Double, k: Int): DataFrame = {
+    val chord = 2.0 * math.sin((radiusKm + 0.001) / 12742.0)
+    def rad(c: Column) = radians(c)
+    def cellOf(c: Column): Column = floor(c / lit(chord)).cast("long")
+    val base = pts.select(col(idCol).as("id"), col(latCol).as("lat"),
+      col(lonCol).as("lon"))
+    // 1. distinct positions
+    val positions = base.select("lat", "lon").distinct()
+      .withColumn("x", cos(rad(col("lat"))) * cos(rad(col("lon"))))
+      .withColumn("y", cos(rad(col("lat"))) * sin(rad(col("lon"))))
+      .withColumn("z", sin(rad(col("lat"))))
+    // 2. per-position member cap: the k+1 smallest ids
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("lat", "lon").orderBy("id")
+    val topMembers = base
+      .withColumn("mrn", row_number().over(wPos))
+      .filter(col("mrn") <= k + 1)
+      .select(col("lat").as("n_lat"), col("lon").as("n_lon"),
+        col("id").as("neighbor_id"))
+    // 3. position-level grid join (self-pair kept; probe side 1 cell,
+    //    candidate side exploded to its 27 neighbor cells)
+    val a = positions.select(col("lat").as("p_lat"), col("lon").as("p_lon"),
+      cellOf(col("x")).as("cx"), cellOf(col("y")).as("cy"), cellOf(col("z")).as("cz"))
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"), lit(dz.toLong).as("dz"))
+    val b = positions
+      .withColumn("o", explode(array(offs: _*)))
+      .select(col("lat").as("n_lat"), col("lon").as("n_lon"),
+        (cellOf(col("x")) + col("o.dx")).as("cx"),
+        (cellOf(col("y")) + col("o.dy")).as("cy"),
+        (cellOf(col("z")) + col("o.dz")).as("cz"))
+    val wDense = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_lat", "p_lon").orderBy("dist_km")
+    val posPairs = a.join(b, Seq("cx", "cy", "cz"))
+      .withColumn("dist_km", round(Derived.haversineKm(
+        col("p_lat"), col("p_lon"), col("n_lat"), col("n_lon")), 4))
+      .filter(col("dist_km") <= lit(radiusKm))
+      .withColumn("lvl", dense_rank().over(wDense))
+      .filter(col("lvl") <= k + 1)
+      .select("p_lat", "p_lon", "n_lat", "n_lon", "dist_km")
+    // 4. expand to members and take the exact top-k per probe point
+    val cand = posPairs.join(topMembers, Seq("n_lat", "n_lon"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("dist_km"), col("neighbor_id"))
+    base.join(cand,
+        col("lat") === col("p_lat") && col("lon") === col("p_lon"))
+      .filter(col("neighbor_id") =!= col("id"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("neighbor_id"), col("rank"), col("dist_km"))
+  }
 }

@@ -1176,25 +1176,47 @@ object CorpusOps {
 
   /** p13 — weighted sampling without replacement
     * ([[graft.llm.Curation.weightedSampleTopK]] — Efraimidis & Spirakis
-    * 2006, keys −ln(u)/w from the md5 cross-engine hash recipe; scale +
-    * determinism arguments documented there). Weights are the t02 quality
-    * scores, k = 50; the oracle replays hash → key → quantize → rank in
-    * SQL, so the hash compare pins the exact selected set AND its order.
+    * 2006, keys from the md5 cross-engine hash recipe). Weights are the
+    * t02 quality scores, k = 50; the oracle replays hash → key →
+    * quantize → rank in SQL, so the hash compare pins the exact selected
+    * set AND its order. Since round 12 the −ln(u) key is EXACT BY
+    * CONSTRUCTION (verdict directive #7): the oracle unrolls the same
+    * twenty square-and-extract steps as the fused
+    * [[graft.functions.NegLog2Fixed]] kernel — only integer bit ops and
+    * IEEE-exact double ×/÷2/≥ per step, so both engines compute the
+    * identical Q20 integer and therefore the identical key_micro, with
+    * no libm anywhere (the docstring there has the derivation).
     */
+  private def wexpKeySteps: String = (1 to 20).map { j =>
+    s"s$j AS (SELECT * EXCLUDE (m${j - 1}, acc${j - 1}), " +
+      s"CASE WHEN m${j - 1}*m${j - 1} >= 2 THEN m${j - 1}*m${j - 1}/2 " +
+      s"ELSE m${j - 1}*m${j - 1} END AS m$j, " +
+      s"acc${j - 1}*2 + CASE WHEN m${j - 1}*m${j - 1} >= 2 THEN 1 ELSE 0 END AS acc$j " +
+      s"FROM s${j - 1})"
+  }.mkString(",\n")
+
   val p13 = QSpec(
     "p13_weighted_sample",
-    Some("""WITH q AS (SELECT doc_id,
+    Some(s"""WITH q AS (SELECT doc_id,
            |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS word_cnt,
            |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS BIGINT) AS stop_cnt
            |  FROM documents),
            |s AS (SELECT doc_id,
            |    ROUND(LEAST(1.0, word_cnt / 100.0) * (1.0 - stop_cnt / word_cnt), 6) AS quality_score
            |  FROM q),
-           |k AS (SELECT doc_id, quality_score,
-           |    CAST(ROUND(-ln((CAST(('0x' || substr(md5('ws:' || doc_id), 1, 12)) AS BIGINT) + 0.5)
-           |          / 281474976710656.0)
-           |        / GREATEST(quality_score, 0.000001) * 1000000) AS BIGINT) AS key_micro
+           |hh AS (SELECT doc_id, quality_score,
+           |    CAST(('0x' || substr(md5('ws:' || doc_id), 1, 12)) AS BIGINT) * 2 + 1 AS v
            |  FROM s),
+           |s0 AS (SELECT doc_id, quality_score, length(bin(v)) - 1 AS e,
+           |    CAST(v AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(v)) - 1)) AS DOUBLE) AS m0,
+           |    CAST(0 AS BIGINT) AS acc0
+           |  FROM hh),
+           |$wexpKeySteps,
+           |k AS (SELECT doc_id, quality_score,
+           |    CAST(ROUND(CAST((49 - e) * CAST(1048576 AS BIGINT) - acc20 AS DOUBLE)
+           |        * 0.6931471805599453 * 1000000 / 1048576.0
+           |        / GREATEST(quality_score, 0.000001)) AS BIGINT) AS key_micro
+           |  FROM s20),
            |r AS (SELECT doc_id, quality_score, key_micro,
            |    ROW_NUMBER() OVER (ORDER BY key_micro, doc_id) AS rn FROM k)
            |SELECT CAST(rn AS BIGINT) AS rank, doc_id, quality_score, key_micro
@@ -1354,6 +1376,87 @@ object CorpusOps {
         .orderBy("id_a", "id_b")
     })
 
+  /** j09 — k-NEAREST-neighbors geo join
+    * ([[graft.joins.GeoJoin.kNearestJoin]] — the BOUNDED-OUTPUT production
+    * form of j08, verdict directive #1): each lattice point's 3 nearest
+    * neighbors within 2 000 km, ≤ N·k rows by construction where j08's
+    * all-pairs answer grows ~N² on the saturating lattice (65.4 M pairs at
+    * 100×). The operator collapses coincident positions first (the
+    * weighted-point trick — the lattice piles ~N/360 points per position
+    * from sf0.1 up), so position-pair work is CONSTANT in N and the member
+    * expansion is O(k²) per point; the j09 SCALE.md row shows the measured
+    * flat curve against j08's quadratic one. The oracle replays the full
+    * O(N²) exact k-NN in SQL — rank per point under the (rounded dist, id)
+    * total order — so the hash compare asserts the collapsed grid path's
+    * recall is literally 100 %, ranks included.
+    */
+  val j09 = QSpec(
+    "j09_geo_knn_join",
+    Some("""WITH p AS (SELECT c_custkey AS id,
+           |    CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.25 AS lat,
+           |    CAST((c_custkey * 13) % 360 AS DOUBLE) - 180 + 0.5 AS lon
+           |  FROM customer WHERE c_custkey % 7 = 0),
+           |d AS (SELECT a.id AS id, b.id AS neighbor_id,
+           |  ROUND(12742.0 * ASIN(SQRT(
+           |    SIN(RADIANS(b.lat - a.lat)/2) * SIN(RADIANS(b.lat - a.lat)/2)
+           |    + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+           |      * SIN(RADIANS(b.lon - a.lon)/2) * SIN(RADIANS(b.lon - a.lon)/2)
+           |  )), 4) AS dist_km
+           |  FROM p a JOIN p b ON a.id <> b.id),
+           |r AS (SELECT id, neighbor_id, dist_km,
+           |    ROW_NUMBER() OVER (PARTITION BY id
+           |                       ORDER BY dist_km, neighbor_id) AS rank
+           |  FROM d WHERE dist_km <= 2000.0)
+           |SELECT id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist_km
+           |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin),
+    (s, d) => {
+      val pts = customer(s, d)
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("id"),
+          (((col("c_custkey") * 7) % 180).cast("double") - 90 + 0.25).as("lat"),
+          (((col("c_custkey") * 13) % 360).cast("double") - 180 + 0.5).as("lon"))
+      graft.joins.GeoJoin.kNearestJoin(pts, "id", "lat", "lon", 2000.0, 3)
+        .orderBy("id", "rank")
+    })
+
+  /** p14 — quota-capped domain sampling
+    * ([[graft.llm.Curation.domainQuotaSample]] — per-source top-N by
+    * quality rank, verdict directive #6): the curation op real pipelines
+    * run to cap any one domain's share of the training mix (a crawl's
+    * biggest domain must not dominate), DISTINCT from x05's fraction
+    * sampling — the cap is an absolute per-domain rank bar, not a rate.
+    * The cap is corpus-RELATIVE (greatest(5, n_docs div 100) — the t19
+    * lesson: absolute cut-offs are vacuous at sf0.01 and unselective at
+    * sf0.1; this keeps 5/25 per source at sf0.01 and 50/250 at sf0.1) and
+    * quality ties break on the p13 md5-key recipe then doc_id, so the
+    * kept set is deterministic and unbiased w.r.t. ingest order on tied
+    * scores. The oracle replays score → cap → rank in SQL, hash-pinning
+    * the kept rows AND their ranks.
+    */
+  val p14 = QSpec(
+    "p14_domain_quota",
+    Some("""WITH q AS (SELECT doc_id, source,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS word_cnt,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS BIGINT) AS stop_cnt
+           |  FROM documents),
+           |s AS (SELECT doc_id, source,
+           |    ROUND(LEAST(1.0, word_cnt / 100.0) * (1.0 - stop_cnt / word_cnt), 6) AS quality_score
+           |  FROM q),
+           |n AS (SELECT GREATEST(5, COUNT(*) // 100) AS cap FROM documents),
+           |r AS (SELECT source, doc_id, quality_score,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY quality_score DESC,
+           |        CAST(('0x' || substr(md5('quota:' || doc_id), 1, 12)) AS BIGINT),
+           |        doc_id) AS rn
+           |  FROM s)
+           |SELECT source, doc_id, quality_score, CAST(rn AS BIGINT) AS rank
+           |FROM r, n WHERE rn <= cap ORDER BY source, rank""".stripMargin),
+    (s, d) => Curation.domainQuotaSample(
+      LlmOps.scoredDocs(s, d).join(
+        documents(s, d).select("doc_id", "source"), "doc_id"),
+      "doc_id", "source", "quality_score")
+      .orderBy("source", "rank"))
+
   /** t20 — gram NOVELTY under the corpus order: per document, the
     * fraction of its distinct word 3-grams whose FIRST occurrence
     * (minimum doc_id corpus-wide) is this document — the "new
@@ -1405,5 +1508,5 @@ object CorpusOps {
 
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20, j08)
+    p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20, j08, j09, p14)
 }

@@ -691,15 +691,7 @@ object StreamOps {
           expr("ts div 1000").as("t_us"),
           (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
             * lit(100)).cast("long").as("c"))
-      // event-time tercile cutoffs: two O(1) driver fetches (st06 pattern)
-      val Array(lo, hi) = p.agg(min("t_us"), max("t_us")).head() match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
-      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
-      val backlog = batchBacklog(s, d, "st10",
-        p.filter(col("t_us") < c1),
-        p.filter(col("t_us") >= c1 && col("t_us") < c2),
-        p.filter(col("t_us") >= c2))
+      val backlog = tercileBacklog(s, d, "st10", p, "t_us")
       val stream = s.readStream.schema(p.schema)
         .option("maxFilesPerTrigger", "1").parquet(backlog)
         .as[graft.streaming.EventStreams.PurchaseCents]
@@ -710,6 +702,159 @@ object StreamOps {
         .orderBy("user_id", "event_id")
     })
 
+  /** st11 — SLIDING (hopping) event-time window through the STREAMING
+    * engine: w05's st-twin, closing the window-kind gap in the st-suite
+    * (st01 covers tumbling, st05/w02 sessions — sliding was the one
+    * missing grid). The streaming engine expands each event into its 4
+    * overlapping windows exactly like the batch Expand, then runs the
+    * same StateStore-backed aggregate as st01; complete mode makes the
+    * declared table invariant to micro-batch placement, so the shared
+    * DuckDB oracle is w05's VERBATIM — the strongest convergence claim
+    * (streaming result ≡ batch result ≡ oracle, bit-identical). State is
+    * one row per open (window × 4 overlap) bucket, the same bounded
+    * footprint a production hopping-window aggregation carries.
+    */
+  val st11 = QSpec(
+    "st11_stream_sliding",
+    Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events),
+           |w AS (SELECT t, value,
+           |        time_bucket(INTERVAL '30 minutes', t) - (k * INTERVAL '30 minutes') AS wstart
+           |      FROM e, UNNEST(range(0, 4)) AS x(k))
+           |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           | COUNT(*) AS cnt,
+           | CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+           |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val agg = eventStream(s, d)
+        .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts_us"), "2 hours", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value"), 6).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("cnt"), col("sum_value"))
+      drainToTable(agg, "st11", d, "complete")
+        .orderBy("window_start")
+    })
+
+  /** Shared helper for the ordered-log st-twins (st10/st12/st13): slices
+    * `df` into a three-file backlog by event-time terciles of `tCol`
+    * (two O(1) driver fetches — the st06 pattern), so micro-batches
+    * arrive in per-key event-time order and O(1) ring/interval state
+    * reproduces the batch window exactly.
+    */
+  private def tercileBacklog(s: org.apache.spark.sql.SparkSession, d: String,
+      qname: String, df: DataFrame, tCol: String): String = {
+    val Array(lo, hi) = df.agg(min(tCol), max(tCol)).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    batchBacklog(s, d, qname,
+      df.filter(col(tCol) < c1),
+      df.filter(col(tCol) >= c1 && col(tCol) < c2),
+      df.filter(col(tCol) >= c2))
+  }
+
+  /** st12 — SCD2 interval history through the STREAMING engine (w09's
+    * st-twin, the harder state shape the round-11 notes flagged: an OPEN
+    * interval per key, closed by the next state change):
+    * [[graft.streaming.EventStreams.scd2ClosedIntervals]] carries
+    * (value, start, count) per user and emits an interval exactly when a
+    * type change closes it — the emitted valid_to_us IS w09's
+    * LEAD(valid_from). Each user's final interval is still open when the
+    * backlog drains and is correctly NOT emitted (the st05 contract), so
+    * the oracle is w09's construction restricted to closed rows. Backlog
+    * is event-time-tercile-sliced ([[tercileBacklog]]), the per-key
+    * ordered-log ingest shape; within-batch rows are sorted in the state
+    * function.
+    */
+  val st12 = QSpec(
+    "st12_stream_scd2",
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type, ts,
+           |    CASE WHEN LAG(event_type) OVER w IS NULL
+           |              OR event_type <> LAG(event_type) OVER w
+           |         THEN 1 ELSE 0 END AS chg
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), i AS (
+           |  SELECT user_id, event_type, ts,
+           |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                   ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM e
+           |), g AS (
+           |  SELECT user_id, island, event_type,
+           |    MIN(epoch_us(ts)) AS valid_from_us,
+           |    CAST(COUNT(*) AS BIGINT) AS n_events
+           |  FROM i GROUP BY 1, 2, 3
+           |), h AS (
+           |  SELECT user_id, event_type, valid_from_us,
+           |    LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+           |      AS valid_to_us,
+           |    n_events
+           |  FROM g)
+           |SELECT user_id, event_type, valid_from_us, valid_to_us, n_events
+           |FROM h WHERE valid_to_us IS NOT NULL
+           |ORDER BY user_id, valid_from_us""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"))
+      val backlog = tercileBacklog(s, d, "st12", ev, "t_us")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+        .as[graft.streaming.EventStreams.TypedEvent]
+      val closed = graft.streaming.EventStreams.scd2ClosedIntervals(stream).toDF()
+      drainToTable(closed, "st12", d, "append")
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("n_events"))
+        .orderBy("user_id", "valid_from_us")
+    })
+
+  /** st13 — time-decayed sum through the STREAMING engine (w11's st-twin,
+    * verdict directive #4): [[graft.streaming.EventStreams.decayedSums]]
+    * carries the last ≤ 7 cents per user as ring state and emits
+    * Σ_{k=0..7} c_{i−k}·(10⁷/2ᵏ) BIGINT nanos per purchase — the same
+    * exact integer weights as the batch window, so the drained table is
+    * bit-identical to w11's and the oracle is w11's VERBATIM. Backlog and
+    * ordering contract as st10/st12 (event-time terciles, within-batch
+    * sort); state is eight longs per user, the O(1) streaming
+    * feature-store footprint.
+    */
+  val st13 = QSpec(
+    "st13_stream_decayed_sum",
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           |  FROM events WHERE event_type = 'purchase'),
+           |l AS (SELECT event_id, user_id, t_us, c,
+           |    LAG(c, 1) OVER w AS c1, LAG(c, 2) OVER w AS c2,
+           |    LAG(c, 3) OVER w AS c3, LAG(c, 4) OVER w AS c4,
+           |    LAG(c, 5) OVER w AS c5, LAG(c, 6) OVER w AS c6,
+           |    LAG(c, 7) OVER w AS c7
+           |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
+           |SELECT event_id, user_id, t_us,
+           |  CAST(c * 10000000 + COALESCE(c1, 0) * 5000000
+           |    + COALESCE(c2, 0) * 2500000 + COALESCE(c3, 0) * 1250000
+           |    + COALESCE(c4, 0) * 625000 + COALESCE(c5, 0) * 312500
+           |    + COALESCE(c6, 0) * 156250 + COALESCE(c7, 0) * 78125
+           |    AS BIGINT) AS decayed_nanos
+           |FROM l ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * lit(100)).cast("long").as("c"))
+      val backlog = tercileBacklog(s, d, "st13", p, "t_us")
+      val stream = s.readStream.schema(p.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+        .as[graft.streaming.EventStreams.PurchaseCents]
+      val decayed = graft.streaming.EventStreams.decayedSums(stream).toDF()
+      drainToTable(decayed, "st13", d, "append")
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("decayed_nanos"))
+        .orderBy("event_id")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09, st10)
+    st09, st10, st11, st12, st13)
 }

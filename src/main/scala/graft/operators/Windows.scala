@@ -377,7 +377,7 @@ object Windows {
     * (see w11's doc). Factored out so the math is fixture-testable
     * independent of the events table. `cCol` must be integer cents.
     */
-  private[operators] def decayedSumNanos(cCol: org.apache.spark.sql.Column,
+  private[graft] def decayedSumNanos(cCol: org.apache.spark.sql.Column,
       w: org.apache.spark.sql.expressions.WindowSpec): org.apache.spark.sql.Column =
     (0 until 8).map { k =>
       val ck = if (k == 0) cCol else coalesce(lag(cCol, k).over(w), lit(0L))
@@ -393,7 +393,13 @@ object Windows {
     * Exactness is the w11 recipe extended to weighted means: values
     * quantize once to integer cents, durations are integer µs (LEAD
     * over the total (t_us, event_id) order), so numerator Σ c·Δt and
-    * denominator Σ Δt are exact BIGINT sums, and twap_cents is one
+    * denominator Σ Δt are exact BIGINT sums — with a VERIFIED headroom
+    * bound (the w14 discipline, round-11 advice): per user,
+    * Σ c·Δt ≤ max(c)·Σ Δt ≤ max(c)·stream_span, measured
+    * 47 639 cents · 2.59e12 µs ≈ 1.2e17 on the shipped corpus, 75× under
+    * 2⁶³ (Round12OpsSpec pins ≥ 10×; a corpus outside it — values ≳ 10⁶
+    * currency units held ≳ a decade — needs DECIMAL(38,0) sums or ms
+    * durations instead). twap_cents is one
     * floor division of positives — `div` here ≡ DuckDB `//` (the
     * documented positive-operands contract). Both raw sums are emitted
     * alongside the quotient, so downstream re-aggregation (e.g. a

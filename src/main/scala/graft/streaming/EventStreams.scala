@@ -185,6 +185,106 @@ object EventStreams {
       }
   }
 
+  /** One closed SCD2 validity interval (w09's row shape minus the final
+    * open interval — see [[scd2ClosedIntervals]]).
+    */
+  final case class Scd2Row(user_id: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long, n_events: Long)
+
+  /** The open interval carried per user: current state value, its start,
+    * and how many events confirmed it — three scalars, O(1) per key.
+    */
+  final case class Scd2State(event_type: String, valid_from_us: Long, n: Long)
+
+  /** One typed event for the SCD2 stream (t_us = event-time microseconds). */
+  final case class TypedEvent(event_id: Long, user_id: Long, t_us: Long,
+      event_type: String)
+
+  /** Streaming SCD2 history build — w09's st-twin: each user's event log
+    * collapses into validity intervals of their event_type "state", with an
+    * interval EMITTED exactly when it closes (the next change arrives; its
+    * t_us is the closing interval's valid_to, which is precisely w09's
+    * LEAD(valid_from)). The user's final, still-open interval stays in
+    * state and is deliberately NOT emitted — the same contract as st05's
+    * un-closed last session — so the drained output equals w09's batch
+    * table restricted to `valid_to_us IS NOT NULL`, which is what the
+    * shared oracle shape asserts.
+    *
+    * State is O(1) per key ([[Scd2State]]: value, start, count) — the
+    * dimension-history footprint a 100 TB CDC pipeline carries per entity —
+    * vs the batch form's two window passes over the full log. Ordering
+    * contract as [[rollingAnomalies]]: per-user event-time order ACROSS
+    * batches (the per-key ordered-log ingest shape; rows within a batch are
+    * sorted here), honored by the declared query's time-sliced backlog.
+    */
+  def scd2ClosedIntervals(events: Dataset[TypedEvent]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.t_us, r.event_id))
+          val out = Seq.newBuilder[Scd2Row]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if s.event_type == e.event_type =>
+                cur = Some(s.copy(n = s.n + 1))
+              case Some(s) =>
+                out += Scd2Row(uid, s.event_type, s.valid_from_us, e.t_us, s.n)
+                cur = Some(Scd2State(e.event_type, e.t_us, 1L))
+              case None =>
+                cur = Some(Scd2State(e.event_type, e.t_us, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** One decayed-sum feature row (w11's row shape). */
+  final case class DecayedRow(event_id: Long, user_id: Long, t_us: Long,
+      decayed_nanos: Long)
+
+  /** Streaming truncated-EWMA decayed sum — w11's st-twin: for every
+    * purchase, Σ_{k=0..7} cents_{i−k} · (10⁷/2ᵏ) in BIGINT nanos (the
+    * exact integer weights of Windows.decayedSumNanos — 10⁷/2ᵏ is an exact
+    * integer for k ≤ 7, so the emitted value is a pure 64-bit add/multiply
+    * chain, bit-identical to the batch window's). State is the user's last
+    * ≤ 7 cents values ([[CentsRing]] reused at capacity 7 — the previous
+    * lags; the current row is weight 2⁰) — O(1) per key forever, the
+    * recency-feature footprint a streaming feature store carries. Ordering
+    * contract as [[rollingAnomalies]]: per-user event-time order across
+    * batches, rows within a batch sorted here.
+    */
+  def decayedSums(purchases: Dataset[PurchaseCents]): Dataset[DecayedRow] = {
+    import purchases.sparkSession.implicits._
+    purchases
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CentsRing, DecayedRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[PurchaseCents], state: GroupState[CentsRing]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.t_us, r.event_id))
+          // ring = previous cents, oldest..newest, ≤ 7 entries
+          var ring = state.getOption.map(_.cs.toVector).getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[DecayedRow]
+          sorted.foreach { e =>
+            var acc = e.c * 10000000L
+            var k = 1
+            var i = ring.length - 1
+            while (i >= 0 && k <= 7) {
+              acc += ring(i) * (10000000L >> k) // 10^7/2^k, exact for k ≤ 7
+              i -= 1; k += 1
+            }
+            out += DecayedRow(e.event_id, uid, e.t_us, acc)
+            ring = (ring :+ e.c).takeRight(7)
+          }
+          state.update(CentsRing(ring))
+          out.result().iterator
+      }
+  }
+
   /** Streaming output-mode helper for tests. */
   def completeMode: OutputMode = OutputMode.Complete()
   def updateMode: OutputMode = OutputMode.Update()

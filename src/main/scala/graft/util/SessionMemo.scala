@@ -7,21 +7,27 @@ import org.apache.spark.sql.SparkSession
   * [[graft.llm.Similarity.cachedIvfIndex]] (the "index built once by a
   * batch job, consumed by many queries" pattern those docstrings argue for).
   *
-  * Why this shape (round-11 advice hardening):
-  *  - the outer map is WEAK-KEYED on the SparkSession OBJECT, so a stopped
-  *    and GC'd session evicts its whole memo — and with it the only strong
-  *    references pinning the memoized frames' persisted/localCheckpointed
-  *    blocks, which Spark's ContextCleaner then reclaims. The previous
-  *    `System.identityHashCode(spark)` keying could never evict, and a
-  *    recycled identity hash could even hand a dead session's DataFrame to
-  *    a new session. SparkSession does not override equals/hashCode, so
-  *    WeakHashMap's equality IS session identity here.
-  *  - path-shaped corpus keys should include [[SessionMemo.pathFingerprint]]
-  *    so regenerating data under the SAME path within one JVM is a memo
-  *    MISS, never a stale hit.
-  *  - [[invalidate]] is the explicit hook for anything the fingerprint
-  *    can't see (e.g. object-store overwrites that preserve listing
-  *    metadata).
+  * Eviction model (corrected per round-12 advice — the round-11 version
+  * claimed WeakHashMap GC would evict stopped sessions, which it CANNOT:
+  * memoized values are DataFrames/index frames that strongly reference
+  * their SparkSession through QueryExecution, and a WeakHashMap value that
+  * strongly references its own key pins the entry forever — the documented
+  * WeakHashMap caveat). Eviction is therefore DETERMINISTIC, not GC-based:
+  *  - a SparkListener registered once per SparkContext clears every entry
+  *    on `onApplicationEnd`, so a stopped context (which is what
+  *    `SparkSession.stop()` stops — child sessions share it) releases the
+  *    memoized frames, and with them the only strong references pinning
+  *    persisted/localCheckpointed blocks;
+  *  - [[invalidate]] is the explicit per-session hook for anything earlier
+  *    (mid-life regens, object-store overwrites the fingerprint can't see).
+  * The WeakHashMap keying is kept for its IDENTITY semantics (SparkSession
+  * doesn't override equals/hashCode), not for its GC behavior; it
+  * additionally evicts the rare session that is discarded while still
+  * value-less.
+  *
+  * Path-shaped corpus keys should include [[SessionMemo.pathFingerprint]]
+  * so regenerating data under the SAME path within one JVM is a memo MISS,
+  * never a stale hit.
   *
   * Access is synchronized on the outer map only for the short lookup of the
   * per-session TrieMap; builds run outside the lock (two racing first
@@ -31,10 +37,29 @@ final class SessionMemo[K, V] {
   private val perSession =
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[K, V]]()
 
+  /** Contexts that already carry this memo's end-of-application sweeper
+    * (weak: a GC'd context needs no eviction — its blocks died with it).
+    */
+  private val sweeperInstalled =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]()
+
+  private def ensureSweeper(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (!sweeperInstalled.containsKey(sc)) {
+      sweeperInstalled.put(sc, java.lang.Boolean.TRUE)
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          perSession.synchronized { perSession.clear() }
+      })
+    }
+  }
+
   private def mapFor(spark: SparkSession): scala.collection.concurrent.TrieMap[K, V] =
     perSession.synchronized {
       var m = perSession.get(spark)
       if (m == null) {
+        ensureSweeper(spark)
         m = scala.collection.concurrent.TrieMap.empty[K, V]
         perSession.put(spark, m)
       }
@@ -53,30 +78,60 @@ final class SessionMemo[K, V] {
     */
   def invalidate(spark: SparkSession): Unit =
     perSession.synchronized { perSession.remove(spark): Unit }
+
+  /** Test hook: number of sessions currently holding memo entries. */
+  private[graft] def liveSessionCount: Int =
+    perSession.synchronized { perSession.size }
 }
 
 object SessionMemo {
   /** Cheap file-metadata fingerprint of a corpus path: fold every file's
     * (relative name, length, mtime) under `path` — sorted, so listing
-    * order can't flip it — into one hash. Local-FS metadata only (no data
-    * read), so it costs one directory walk per memo lookup; a regen under
-    * the same path changes mtimes and therefore the key. Non-existent
-    * paths (corpus keys that aren't paths) fingerprint to a constant.
+    * order can't flip it — into one hash. No data is read, so it costs one
+    * directory listing per memo lookup; a regen under the same path changes
+    * mtimes and therefore the key.
+    *
+    * Scheme-aware (round-12 advice — the previous java.nio-only walk made
+    * every `hdfs://`/`s3a://` key collapse to the constant "nofs", silently
+    * disabling the regen-under-same-path protection exactly where regens
+    * are most common): URIs with a scheme list through the Hadoop
+    * FileSystem API under the active session's Hadoop conf; scheme-less
+    * paths keep the cheap local walk. A path that neither resolves nor
+    * exists fingerprints to "nofs" (corpus keys that aren't paths at all) —
+    * remote stores whose listing metadata survives an overwrite still need
+    * [[SessionMemo.invalidate]], as the caller docstrings state.
     */
   def pathFingerprint(path: String): String = {
-    val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(root)) return "nofs"
     val md = java.security.MessageDigest.getInstance("MD5")
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val stream = java.nio.file.Files.walk(root)
-    try {
-      stream.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p)) {
-          entries += s"${root.relativize(p)}|${java.nio.file.Files.size(p)}" +
-            s"|${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    if (path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) {
+      try {
+        val conf = org.apache.spark.sql.SparkSession.active
+          .sessionState.newHadoopConf()
+        val uri = new java.net.URI(path)
+        val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+        val root = new org.apache.hadoop.fs.Path(path)
+        if (!fs.exists(root)) return "nofs"
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val st = it.next()
+          entries += s"${st.getPath.toString.stripPrefix(root.toString)}" +
+            s"|${st.getLen}|${st.getModificationTime}"
         }
-      }
-    } finally stream.close()
+      } catch { case scala.util.control.NonFatal(_) => return "nofs" }
+    } else {
+      val root = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(root)) return "nofs"
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        stream.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            entries += s"${root.relativize(p)}|${java.nio.file.Files.size(p)}" +
+              s"|${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+          }
+        }
+      } finally stream.close()
+    }
     entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString.take(16)
   }

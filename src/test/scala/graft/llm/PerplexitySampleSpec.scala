@@ -77,17 +77,48 @@ class PerplexitySampleSpec extends SparkSpec {
     }
   }
 
-  /** Independent reimplementation of the p13 key: md5(salt‖id) → first 12
-    * hex chars → 48-bit uniform → −ln(u)/max(w,1e-6) in integer micros.
+  /** Independent reimplementation of the p13 key (round-12 exact form):
+    * md5(salt‖id) → first 12 hex chars → 48-bit draw h → −log₂((h+0.5)/2⁴⁸)
+    * in Q20 fixed point via square-and-extract (written here from the
+    * recurrence, not by calling the production kernel) → micro-nats / w.
     */
   private def expectedKey(id: Long, w: Double, salt: String = "ws:"): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$salt$id".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
     val h = java.lang.Long.parseLong(hex.substring(0, 12), 16)
-    val u = (h + 0.5) / 281474976710656.0
-    BigDecimal(-math.log(u) / math.max(w, 0.000001) * 1e6)
+    val v = 2 * h + 1
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    var m = v.toDouble / (1L << e).toDouble
+    var acc = 0L
+    for (_ <- 0 until 20) {
+      val m2 = m * m
+      if (m2 >= 2.0) { acc = acc * 2 + 1; m = m2 / 2 } else { acc = acc * 2; m = m2 }
+    }
+    val q20 = (49L - e) * 1048576L - acc
+    BigDecimal(q20.toDouble * 0.6931471805599453 * 1e6 / 1048576.0
+        / math.max(w, 0.000001))
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  test("exact Q20 key selects the identical set+order as the retired ln key " +
+      "on the real corpora (the migration-safety pin)") {
+    // The Q20 key is a ≤2⁻²⁰-nat quantization of the same Efraimidis-
+    // Spirakis ranking; on the shipped quality-score weights the k=50
+    // selection and its rank order must be unchanged at BOTH verify SFs.
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val weights = graft.operators.LlmOps.scoredDocs(spark, sf)
+        .select("doc_id", "quality_score")
+      def sel(f: => org.apache.spark.sql.DataFrame) =
+        f.select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+      withClue(s"$sf: ") {
+        val now = sel(Curation.weightedSampleTopK(
+          weights, "doc_id", "quality_score", k = 50))
+        now should have size 50
+        now shouldBe sel(Curation.weightedSampleTopKLegacyLn(
+          weights, "doc_id", "quality_score", k = 50))
+      }
+    }
   }
 
   test("weightedSampleTopK matches an independent key reimplementation") {
@@ -131,6 +162,25 @@ class PerplexitySampleSpec extends SparkSpec {
     val hashed = run(exact = false)
     hashed should not be empty
     hashed shouldBe run(exact = true)
+  }
+
+  test("hashed fit outside the injective region: deterministic scores, " +
+      "observable (not silent) divergence regime") {
+    // conditioning code points ≥ 256 (CJK) put bigrams outside the
+    // cp₁·1024+cp₂ < 2¹⁸ region: the fit must still work (collisions just
+    // merge counts — the hashed-feature contract), stay deterministic, and
+    // log the per-language out-of-region count (round-11 advice; the log
+    // goes to stderr, the behavioral pin here is rows + determinism)
+    val df = docsDf(
+      (1L, "zh", "你好你界", true),
+      (2L, "zh", "你界好你", false),
+      (3L, "zh", "好好好好", false))
+    def run() = Curation.perplexityBuckets(df, "doc_id", "lang", "text",
+        isRef = col("is_ref"), calEvery = 1)
+      .orderBy("doc_id").collect().toSeq
+    val a = run()
+    a should have size 3
+    a shouldBe run()
   }
 
   test("both operators are partitioning-invariant (the re-ingestion contract)") {

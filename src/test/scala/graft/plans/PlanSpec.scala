@@ -238,4 +238,28 @@ class PlanSpec extends SparkSpec {
     (sh, bc, w) shouldBe ((1, 1, Seq(2, 2))) // batch (doc_id,text) + index (fp,keeper)
     cg should be >= 2
   }
+
+  test("j09 geo k-NN join: collapsed-position grid, no nested-loop anywhere") {
+    // probed at sf0.01 (the j08 rule: sf0.001's 21 global points make the
+    // radius graph near-empty and AQE collapses the plan)
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("j09_geo_knn_join")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      "the position grid join must never fall back to a nested-loop/cross plan")
+    assert(plan.contains("explode"), "the 27-neighbor explode must be present")
+  }
+
+  test("p14 domain quota: one source-partition window + cap broadcast") {
+    val (sh, bc, cg, w) = finalShape("p14_domain_quota")
+    // scans: documents (doc_id,text) for scores, (doc_id,source) for the
+    // domain, (doc_id) for the cap count; shuffles: the source-partition
+    // rank window, its upstream agg, the output sort; the cap scalar and
+    // BOTH sides feeding the doc_id score join ride broadcasts at this SF
+    (sh, bc) shouldBe ((3, 3))
+    w.max should be <= 2 // every documents scan stays column-pruned
+    cg should be >= 2
+  }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
@@ -152,6 +153,75 @@ class EventStreamsSpec extends SparkSpec {
     run(Seq(rows), "ra_one") shouldBe expected
     run(rows.map(Seq(_)), "ra_each") shouldBe expected
     run(Seq(rows.take(3), rows.slice(3, 9), rows.drop(9)), "ra_uneven") shouldBe expected
+  }
+
+  test("scd2ClosedIntervals: closes on change, merges same-state runs, " +
+      "holds the final interval open; batch-placement invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{Scd2Row, TypedEvent}
+    // user 1: A A B A → closed [A,0→20)(n=2), [B,20→30)(n=1); the final A
+    // stays open and must never be emitted. user 2: a single X → still
+    // open, nothing emitted.
+    val rows = Seq(
+      TypedEvent(1L, 1L, 0L, "A"), TypedEvent(2L, 1L, 10L, "A"),
+      TypedEvent(3L, 1L, 20L, "B"), TypedEvent(4L, 1L, 30L, "A"),
+      TypedEvent(5L, 2L, 5L, "X"))
+    def run(batches: Seq[Seq[TypedEvent]], name: String) = {
+      val input = MemoryStream[TypedEvent]
+      val q = EventStreams.scd2ClosedIntervals(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).orderBy("user_id", "valid_from_us")
+        .as[Scd2Row].collect().toSeq
+    }
+    val expected = Seq(
+      Scd2Row(1L, "A", 0L, 20L, 2L),
+      Scd2Row(1L, "B", 20L, 30L, 1L))
+    run(Seq(rows), "scd2_one") shouldBe expected
+    run(rows.map(Seq(_)), "scd2_each") shouldBe expected
+    run(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)), "scd2_uneven") shouldBe expected
+  }
+
+  test("decayedSums: exact 10^7/2^k nano weights, ring carried across " +
+      "batches; batch-placement invariant and ≡ the batch window form") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{DecayedRow, PurchaseCents}
+    // 3 purchases, cents 100, 200, 400:
+    //  e1: 100·10^7                               = 1_000_000_000
+    //  e2: 200·10^7 + 100·5·10^6                  = 2_500_000_000
+    //  e3: 400·10^7 + 200·5·10^6 + 100·2.5·10^6   = 5_250_000_000
+    val rows = Seq(PurchaseCents(1L, 1L, 10L, 100L),
+      PurchaseCents(2L, 1L, 20L, 200L), PurchaseCents(3L, 1L, 30L, 400L)) ++
+      // user 2: ten 1-cent rows then a 2: the 8-lag truncation must drop
+      // the oldest lags (decayed = 2·10^7 + Σ_{k=1..7} 10^7/2^k = 39843750·…)
+      (1 to 10).map(t => PurchaseCents(10L + t, 2L, t * 100L, 1L)) :+
+      PurchaseCents(21L, 2L, 1100L, 2L)
+    def run(batches: Seq[Seq[PurchaseCents]], name: String) = {
+      val input = MemoryStream[PurchaseCents]
+      val q = EventStreams.decayedSums(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).orderBy("event_id").as[DecayedRow].collect().toSeq
+    }
+    val one = run(Seq(rows), "ds_one")
+    one.take(3).map(_.decayed_nanos) shouldBe
+      Seq(1000000000L, 2500000000L, 5250000000L)
+    // user 2's last row: 2·10^7 + 1·(5000000+2500000+1250000+625000+312500
+    //   +156250+78125) = 29_921_875
+    one.last.decayed_nanos shouldBe 29921875L
+    run(rows.map(Seq(_)), "ds_each") shouldBe one
+    run(Seq(rows.take(5), rows.slice(5, 11), rows.drop(11)), "ds_uneven") shouldBe one
+    // ≡ the batch window form (w11's decayedSumNanos) on the same rows
+    val batch = rows.toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    val fromWindow = batch.withColumn("decayed_nanos",
+        graft.operators.Windows.decayedSumNanos(col("c"), w))
+      .select("event_id", "user_id", "t_us", "decayed_nanos")
+      .orderBy("event_id").as[DecayedRow].collect().toSeq
+    one shouldBe fromWindow
   }
 
   test("mapGroupsWithState keeps running per-user totals across batches") {
