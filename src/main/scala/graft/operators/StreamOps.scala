@@ -855,6 +855,54 @@ object StreamOps {
         .orderBy("event_id")
     })
 
+  /** st14 — latest-record-per-key through the STREAMING engine (w07's
+    * st-twin): [[graft.streaming.EventStreams.latestPerKey]] maintains the
+    * per-user argmax under the (t_us µs-tick, event_id) total order as
+    * O(1) keyed state — the incrementally-maintained CDC current-state
+    * view, vs w07's full-log window recompute. argmax under a total order
+    * is a semilattice fold, so the final state needs NO ordering contract:
+    * the backlog is sliced by event_id RESIDUE (deliberately scrambling
+    * event time across batches), and the drained result must still equal
+    * w07's batch answer. Update-mode emission appends every state change
+    * to the sink; the final state per user is recovered from the drained
+    * updates by the same total order (the st06 max-reconstruction
+    * pattern — sound because every emitted row is a prefix-maximum, so
+    * the overall maximum IS the final state).
+    */
+  val st14 = QSpec(
+    "st14_stream_latest_per_key",
+    Some("""WITH r AS (SELECT user_id, event_id, event_type, value,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id
+           |                       ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events)
+           |SELECT user_id, event_id AS last_event_id,
+           |  event_type AS last_event_type, value AS last_value
+           |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"), col("value"))
+      // event_id-residue slices: each batch spans the full time range, so
+      // the semilattice invariance (NOT arrival order) is what's exercised
+      val backlog = batchBacklog(s, d, "st14",
+        ev.filter(col("event_id") % 3 === 0),
+        ev.filter(col("event_id") % 3 === 1),
+        ev.filter(col("event_id") % 3 === 2))
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+        .as[graft.streaming.EventStreams.FullEvent]
+      val updates = graft.streaming.EventStreams.latestPerKey(stream).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("t_us").desc, col("event_id").desc)
+      drainToTable(updates, "st14", d, "update")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09, st10, st11, st12, st13)
+    st09, st10, st11, st12, st13, st14)
 }

@@ -285,6 +285,33 @@ object EventStreams {
       }
   }
 
+  /** One full-payload event row for the latest-per-key compaction. */
+  final case class FullEvent(event_id: Long, user_id: Long, t_us: Long,
+      event_type: String, value: Double)
+
+  /** Streaming latest-record-per-key compaction — w07's st-twin (the CDC
+    * current-state view, maintained incrementally instead of recomputed):
+    * state per user is ONE row — the argmax under the (t_us, event_id)
+    * total order — updated per micro-batch and emitted whenever it
+    * changes (update-mode semantics). argmax under a total order is a
+    * SEMILATTICE fold (the st08 cdcMergeStep argument), so the final
+    * state is invariant to ANY micro-batch placement or arrival order —
+    * no ordering contract needed, unlike the ring-state twins (st10/
+    * st13). O(1) state per key forever.
+    */
+  def latestPerKey(events: Dataset[FullEvent]): Dataset[FullEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FullEvent, FullEvent](GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[FullEvent], state: GroupState[FullEvent]) =>
+          val best = (state.getOption.iterator ++ rows)
+            .maxBy(r => (r.t_us, r.event_id))
+          state.update(best)
+          best
+      }
+  }
+
   /** Streaming output-mode helper for tests. */
   def completeMode: OutputMode = OutputMode.Complete()
   def updateMode: OutputMode = OutputMode.Update()

@@ -224,6 +224,32 @@ class EventStreamsSpec extends SparkSpec {
     one shouldBe fromWindow
   }
 
+  test("latestPerKey: semilattice argmax state — identical final state " +
+      "under scrambled, duplicated, and per-row batch placements") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.FullEvent
+    val rows = Seq(
+      FullEvent(1L, 1L, 10L, "view", 1.0),
+      FullEvent(2L, 1L, 30L, "purchase", 9.0), // the winner for user 1
+      FullEvent(3L, 1L, 20L, "click", 2.0),
+      FullEvent(4L, 2L, 5L, "view", 3.0),
+      FullEvent(5L, 2L, 5L, "click", 4.0))     // same t: event_id breaks tie
+    def finalState(batches: Seq[Seq[FullEvent]], name: String) = {
+      val input = MemoryStream[FullEvent]
+      val q = EventStreams.latestPerKey(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[FullEvent].collect()
+        .groupBy(_.user_id).view
+        .mapValues(_.maxBy(r => (r.t_us, r.event_id))).toMap
+    }
+    val want = Map(1L -> rows(1), 2L -> rows(4))
+    finalState(Seq(rows), "lpk_one") shouldBe want
+    finalState(rows.reverse.map(Seq(_)), "lpk_rev") shouldBe want // arrival ≠ event order
+    finalState(Seq(rows.drop(3), rows.take(3), rows), "lpk_dup") shouldBe want // replays
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventRow]
