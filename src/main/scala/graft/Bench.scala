@@ -84,6 +84,7 @@ object Bench {
         // between runs: queries must not leak cached state into each
         // other's timings, but teardown isn't billed to the query
         spark.catalog.clearCache()
+        graft.util.Tables.dropGraftTempViews(spark)
         elapsed
       }
       val best =

@@ -36,8 +36,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that cache internally (dedup shingles, minhash features)
-      // must not pin storage memory for the remaining queries
+      // must not pin storage memory for the remaining queries; streaming
+      // memory-sink views likewise must not pin their drained results
       spark.catalog.clearCache()
+      graft.util.Tables.dropGraftTempViews(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

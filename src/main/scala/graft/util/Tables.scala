@@ -160,4 +160,18 @@ object Tables {
     val sf = new java.io.File(sfDir).getName
     s"/root/repo/target/qtmp/$sf/$qname"
   }
+
+  /** Drop every `__graft_*` temp view — the memory-sink tables the
+    * streaming queries drain into (StreamOps.drainToTable). Each sink
+    * holds its FULL drained result on the heap and the view is the only
+    * reference keeping it alive; without this, a harness running many
+    * queries in one JVM accumulates every st-query's result for the rest
+    * of the run (at gsf10 the round-12 st-twins alone pin ~10 M rows —
+    * measured as the x04 OOM that killed the first r12 bench chain).
+    * Call between queries, after the current result is materialized.
+    */
+  def dropGraftTempViews(s: SparkSession): Unit =
+    s.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("__graft_"))
+      .foreach(t => s.catalog.dropTempView(t.name))
 }
