@@ -67,6 +67,68 @@ object Dedup {
         col("keeper_id"))
   }
 
+  /** Bloom sidecar for a [[writeExactIndex]] store — written once at
+    * index-build time next to the parquet (`<path>/_graft_bloom.bin`):
+    * a Bloom filter over xxhash64(fp) at the given fpp. At ingest,
+    * [[matchAgainstExactIndexBloom]] broadcasts this bitmap and rows it
+    * rejects are DEFINITE non-members — they short-circuit to
+    * status 'new' without ever touching the index join. The long-key
+    * reduction (fp → xxhash64) is sound for the gate: a 2⁻⁶⁴ collision
+    * can only turn a true 'new' into a 'maybe' that the exact join then
+    * resolves — never the reverse. ~9.6 bits/key at fpp 1 %: the 16-byte
+    * fp index summarized ~13× smaller, which is what makes the gate
+    * broadcastable long after the index itself has outgrown broadcast.
+    */
+  def writeExactIndexBloom(spark: SparkSession, path: String,
+      fpp: Double = 0.01): Unit = {
+    val keys = spark.read.parquet(path).select(xxhash64(col("fp")).as("k"))
+      .cache()
+    val n = math.max(keys.count(), 1L) // materializes the cache
+    val bloom = keys.stat.bloomFilter("k", n, fpp)
+    keys.unpersist()
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(path, "_graft_bloom.bin"))
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** [[matchAgainstExactIndex]] behind the [[writeExactIndexBloom]] gate:
+    * identical output (the d17 oracle pins it row-for-row), different
+    * plan. The batch's fingerprints first probe the broadcast bloom via
+    * the codegen'd [[graft.functions.BloomMightContainLong]]; rejected
+    * rows are emitted as 'new' directly — at 100 TB that's the index-side
+    * shuffle/lookup SKIPPED for the (1−fpp)·new fraction of every ingest,
+    * for the price of one KB–MB broadcast — and only 'maybe' rows pay the
+    * exact fp join, whose left-join semantics then clean up the fpp
+    * stragglers. The same runtime-filter shape as x10, but against a
+    * PERSISTED index artifact with short-circuit classification rather
+    * than inline inner-join pruning.
+    */
+  def matchAgainstExactIndexBloom(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, path: String): DataFrame = {
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(path, "_graft_bloom.bin"))
+    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    val bc = spark.sparkContext.broadcast(bloom)
+    val fps = batch.select(col(idCol).as("batch_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .withColumn("maybe",
+        graft.functions.BloomMightContainLong(bc, xxhash64(col("fp"))))
+    val definiteNew = fps.filter(!col("maybe"))
+      .select(col("batch_id"), lit("new").as("status"),
+        lit(null).cast("long").as("keeper_id"))
+    val idx = spark.read.parquet(path)
+    val checked = fps.filter(col("maybe"))
+      .join(idx, Seq("fp"), "left")
+      .select(col("batch_id"),
+        when(col("keeper_id").isNotNull, "dup").otherwise("new").as("status"),
+        col("keeper_id"))
+    // both legs re-derive `fps` from the batch scan (cheap, fused,
+    // scan-shaped) — no cache: at ingest scale the scan is the batch
+    // shard, read twice map-side, vs materializing it in executor memory
+    definiteNew.unionByName(checked)
+  }
+
   /** Word n-grams as zip_with over shifted slices of the split array:
     * gram[i] = w[i] ⧺ w[i+1] ⧺ … ⧺ w[i+n−1]. Each slice/split evaluates
     * once per ROW — an element_at-per-index formulation re-evaluates the
@@ -576,6 +638,48 @@ object Dedup {
         call_function("minhash_bands", col("shingles"), lit(bands), lit(rowsPerBand)))
         .as("bk"))
     (shingled, bandKeys)
+  }
+
+  /** STREAM-safe LSH band-key projection — [[shingleAndBand]]'s key half
+    * without the cache (streaming DataFrames can't be cached, and the
+    * keys are consumed exactly once by the stateful bucket operator):
+    * one (id, bk) row per band per doc, same fused shingle kernel and
+    * xxhash64 bucket keys as the batch path, so a streaming consumer's
+    * buckets are IDENTICAL to [[minhashPairs]]'s candidate buckets —
+    * which is exactly the equivalence st15's shared oracle asserts.
+    */
+  private[graft] def streamBandKeys(df: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double, nTables: Int = 8,
+      rowsPerBand: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val bands = bandsFor(minJaccard, nTables, rowsPerBand)
+    df.select(col(idCol).as("id"),
+      array_distinct(wordNGramsFused(df.sparkSession, col(textCol), 3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), explode(
+        call_function("minhash_bands", col("shingles"), lit(bands), lit(rowsPerBand)))
+        .as("bk"))
+  }
+
+  /** Exact-Jaccard verification of an externally-generated candidate pair
+    * set (doc_a, doc_b) against the corpus — [[minhashPairs]]'s verify
+    * stage factored out for consumers that produce candidates elsewhere
+    * (st15's streaming bucket state). Pair-proportional cost: shingles
+    * are joined in for candidate rows only.
+    */
+  private[graft] def verifyCandidatePairs(docs: DataFrame, candKeys: DataFrame,
+      idCol: String, textCol: String, minJaccard: Double): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val shingled = docs.select(col(idCol).as("id"),
+      array_distinct(wordNGramsFused(s, col(textCol), 3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hs", call_function("sorted_hashes", col("shingles")))
+    val cand = candKeys
+      .join(shingled.select(col("id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(shingled.select(col("id").as("doc_b"), col("hs").as("hb")), "doc_b")
+    verifyJaccard(cand, minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Exact-Jaccard verification over candidate rows carrying (ha, hb)

@@ -425,6 +425,48 @@ object CorpusOps {
         round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
       .orderBy("o_orderpriority"))
 
+  /** x13 — grouped APPROX quantiles (x08's documented escape hatch made
+    * real, the round-11 SCALE.md x08 row's named alternative): per-priority
+    * p50/p90 via `approx_percentile` (GK sketch — mergeable partials, ONE
+    * scan, no per-group distinct-value table), where exact x08 pays the
+    * 45.7 s-at-100× per-group sort SCALE.md keeps flagging. Sketch values
+    * aren't cross-engine-stable, so the declared output is the
+    * bounded-boolean contract every quantile sketch is sold on — the
+    * returned value's RANK sits within ε of the target percentile — with
+    * both rank counts computed IN-PLAN (conditional agg after a broadcast
+    * join of the 5-row sketch output back onto orders) and pinned TRUE by
+    * the oracle. ε = accuracy⁻¹ + 1/n: the sketch's documented rank-error
+    * bound plus the per-group discreteness slack — data-derived, never an
+    * absolute tolerance (the s02 lesson).
+    */
+  val x13 = QSpec(
+    "x13_grouped_quantiles_approx",
+    Some("""SELECT o_orderpriority, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val acc = 1000
+      val o = orders(s, d).select("o_orderpriority", "o_totalprice")
+      val approx = o.groupBy("o_orderpriority")
+        .agg(expr(s"approx_percentile(o_totalprice, array(0.5D, 0.9D), $acc)").as("ap"))
+        .select(col("o_orderpriority"), col("ap")(0).as("v50"), col("ap")(1).as("v90"))
+      def rankOk(le: org.apache.spark.sql.Column, lt: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column, p: Double): org.apache.spark.sql.Column = {
+        val eps = lit(1.0 / acc) + lit(1.0) / n
+        (le.cast("double") / n >= lit(p) - eps) && (lt.cast("double") / n <= lit(p) + eps)
+      }
+      o.join(broadcast(approx), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("o_totalprice") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("o_totalprice") <= col("v90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("o_totalprice") < col("v90"), 1L).otherwise(0L)).as("lt90"))
+        .select(col("o_orderpriority"), col("n"),
+          rankOk(col("le50"), col("lt50"), col("n"), 0.5).as("p50_ok"),
+          rankOk(col("le90"), col("lt90"), col("n"), 0.9).as("p90_ok"))
+        .orderBy("o_orderpriority")
+    })
+
   /** j03 — the j02 range join written as a PLAIN SQL inequality join and
     * left to the optimizer: [[graft.plans.RangeJoinRewrite]] (injected via
     * SparkSessionExtensions in production, `ensureInjected` here) detects
@@ -1507,6 +1549,7 @@ object CorpusOps {
   }
 
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
-    mm04, mm05, q30, x07, q31, x08, j03, j04, j05, j06, j07, p07, p08, p09,
-    p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20, j08, j09, p14)
+    mm04, mm05, q30, x07, q31, x08, x13, j03, j04, j05, j06, j07, p07, p08,
+    p09, p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20, j08, j09,
+    p14)
 }

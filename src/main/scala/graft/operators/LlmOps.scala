@@ -1362,6 +1362,36 @@ object LlmOps {
         .orderBy("batch_id")
     })
 
+  /** d18 — the d17 index ingest behind a PERSISTED Bloom gate
+    * ([[graft.llm.Dedup.writeExactIndexBloom]] /
+    * [[graft.llm.Dedup.matchAgainstExactIndexBloom]]): the bloom sidecar
+    * is written once at index-build time (~9.6 bits/key at fpp 1 % — the
+    * 16-byte-fp index summarized ~13× smaller), broadcast at ingest, and
+    * probed by the codegen'd BloomMightContainLong; batch rows it rejects
+    * are DEFINITE non-members and short-circuit to status 'new' without
+    * touching the index join — at 100 TB that's the index-side lookup
+    * skipped for ~all genuinely-novel rows of every ingest shard. Same
+    * batch construction as d17 (every doc re-shipped under id+500000, odd
+    * ids perturbed), and the oracle is d17's exact SQL — the gate must be
+    * output-INVISIBLE, which is the whole contract of a Bloom pre-filter:
+    * false positives fall through to the exact left join, false negatives
+    * cannot exist.
+    */
+  val d18 = QSpec(
+    "d18_bloom_index_gate",
+    d17.oracle,
+    (s, d) => {
+      val docs = documents(s, d)
+      val path = graft.util.Tables.scratch(d, "d18_index")
+      Dedup.writeExactIndex(docs, "doc_id", "text", path)
+      Dedup.writeExactIndexBloom(s, path)
+      val batch = docs.select((col("doc_id") + 500000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" novel"))).as("text"))
+      Dedup.matchAgainstExactIndexBloom(s, batch, "doc_id", "text", path)
+        .orderBy("batch_id")
+    })
+
   /** t12 — TF-IDF top terms per document: tf per (doc, term) in one
     * shuffle on the composite key, document frequency per term with
     * map-side partial aggregation, corpus size as a broadcast 1-row
@@ -1777,5 +1807,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09)
+    mm07, s07, s08, d16, mm08, d17, s09, d18)
 }

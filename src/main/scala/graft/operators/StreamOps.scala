@@ -903,6 +903,45 @@ object StreamOps {
         .orderBy("user_id")
     })
 
+  /** st15 — streaming MinHash-LSH near-dup detection (d02's st-twin, the
+    * INGEST-time form of corpus dedup): each arriving micro-batch's docs
+    * are banded into their LSH buckets in-stream (the same fused shingle +
+    * xxhash64 band keys as the batch path —
+    * [[graft.llm.Dedup.streamBandKeys]]) and checked against per-bucket
+    * membership state ([[graft.streaming.DocStreams.lshCandidatePairs]]) —
+    * d02's bucket self-join with the bucket index held as KEYED STATE
+    * instead of re-shuffled per run, i.e. d13's persisted LSH index
+    * maintained incrementally by the streaming engine. The drained
+    * candidate pairs (dedup'd across bands, the batch path's `.distinct()`)
+    * then pass the SAME pair-proportional exact-Jaccard verify stage, and
+    * the oracle is d02's exact ALL-PAIRS SQL — streaming recall is pinned
+    * against brute force, not against the batch LSH. The backlog slices by
+    * doc_id RESIDUE (every batch spans the whole corpus): per-bucket pair
+    * enumeration makes the emitted pair SET placement-invariant (each
+    * unordered pair emits when its later member arrives), which the shared
+    * hash gate proves, not just asserts.
+    */
+  val st15 = QSpec(
+    "st15_stream_lsh_dedup",
+    LlmOps.d02.oracle,
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val backlog = batchBacklog(s, d, "st15",
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+      val keys = graft.llm.Dedup.streamBandKeys(stream, "doc_id", "text", 0.5)
+        .as[graft.streaming.BandKeyRow]
+      val cands = graft.streaming.DocStreams.lshCandidatePairs(keys).toDF()
+      val pairs = drainToTable(cands, "st15", d, "append")
+        .select("doc_a", "doc_b").distinct()
+      graft.llm.Dedup.verifyCandidatePairs(docs, pairs, "doc_id", "text", 0.5)
+        .orderBy("doc_a", "doc_b")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09, st10, st11, st12, st13, st14)
+    st09, st10, st11, st12, st13, st14, st15)
 }

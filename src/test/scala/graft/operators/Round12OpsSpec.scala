@@ -153,6 +153,83 @@ class Round12OpsSpec extends SparkSpec {
     (short & exact).size.toDouble / exact.size should be >= 0.9
   }
 
+  test("x13: approx-quantile rank contract holds on real orders and the " +
+      "check itself is non-vacuous (a wrong value fails it)") {
+    val got = graft.SparkEntry.queries("x13_grouped_quantiles_approx")(
+        spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Boolean, Boolean)].collect().toSeq
+    got should have size 5
+    got.map(_._2).sum shouldBe 15000L
+    all(got.map(_._3)) shouldBe true
+    all(got.map(_._4)) shouldBe true
+    // non-vacuity: run the SAME rank predicate against a deliberately
+    // wrong "p50" (each group's MINIMUM price) — it must fail for every
+    // group, proving the booleans can actually go false
+    val o = graft.util.Tables.orders(spark, "/root/testdata/sf0.01")
+      .select("o_orderpriority", "o_totalprice")
+    val wrong = o.groupBy("o_orderpriority")
+      .agg(min("o_totalprice").as("v50"))
+    val checked = o.join(broadcast(wrong), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= col("v50"), 1L).otherwise(0L)).as("le"),
+        sum(when(col("o_totalprice") < col("v50"), 1L).otherwise(0L)).as("lt"))
+      .select(((col("le").cast("double") / col("n") >=
+          lit(0.5) - (lit(0.001) + lit(1.0) / col("n"))) &&
+        (col("lt").cast("double") / col("n") <=
+          lit(0.5) + (lit(0.001) + lit(1.0) / col("n")))).as("ok"))
+      .as[Boolean].collect().toSeq
+    checked should have size 5
+    all(checked) shouldBe false
+  }
+
+  test("d18 bloom gate: output equals the ungated index ingest row for row " +
+      "on a hand fixture (whitespace/case dups, novel rows, fp attribution)") {
+    // fp = md5(lower(ws-normalized)): docs 1 and 2 collide → keeper 1
+    val docs = Seq((1L, "alpha beta"), (2L, "Alpha  BETA"), (3L, "gamma ray"),
+      (4L, "delta flyer")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-d18-fixture").toString + "/idx"
+    graft.llm.Dedup.writeExactIndex(docs, "doc_id", "text", path)
+    graft.llm.Dedup.writeExactIndexBloom(spark, path)
+    val batch = Seq((10L, "ALPHA beta"), (11L, "epsilon"), (12L, "gamma  ray"),
+      (13L, "zeta")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("batch_id")
+        .as[(Long, String, Option[Long])].collect().toSeq
+    val gated = rows(graft.llm.Dedup.matchAgainstExactIndexBloom(
+      spark, batch, "doc_id", "text", path))
+    gated shouldBe rows(graft.llm.Dedup.matchAgainstExactIndex(
+      spark, batch, "doc_id", "text", path))
+    gated shouldBe Seq((10L, "dup", Some(1L)), (11L, "new", None),
+      (12L, "dup", Some(3L)), (13L, "new", None))
+  }
+
+  test("d18 bloom gate: the sidecar actually prunes — ≥ 90 % of novel fps " +
+      "rejected without touching the index") {
+    val corpus = (1 to 200).map(i => (i.toLong, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-d18-prune").toString + "/idx"
+    graft.llm.Dedup.writeExactIndex(corpus, "doc_id", "text", path)
+    graft.llm.Dedup.writeExactIndexBloom(spark, path)
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(path, "_graft_bloom.bin"))
+    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    val novelKeys = (1 to 200).map(i => (i.toLong, s"novel payload $i"))
+      .toDF("doc_id", "text")
+      .select(xxhash64(graft.llm.TextAnalysis.fingerprint(col("text"))))
+      .as[Long].collect()
+    val pruned = novelKeys.count(k => !bloom.mightContainLong(k))
+    pruned should be >= 180 // fpp 1 % leaves ~2 expected false positives
+    // and every INDEXED fp must pass (no false negatives, ever)
+    val idxKeys = corpus
+      .select(xxhash64(graft.llm.TextAnalysis.fingerprint(col("text"))))
+      .as[Long].collect()
+    all(idxKeys.map(bloom.mightContainLong)) shouldBe true
+  }
+
   test("w12 TWAP headroom audit: Σ c·dur per user is bounded by " +
       "max-cents × stream-span, ≥ 10× inside 2^63 on the shipped corpus") {
     // the round-11 advice: the scaladoc's 'exact BIGINT sums' claim needs a

@@ -252,6 +252,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("explode"), "the 27-neighbor explode must be present")
   }
 
+  test("x13 approx grouped quantiles: one-pass sketch agg + broadcast-back, " +
+      "pruned 2-col scans") {
+    val (sh, bc, cg, w) = finalShape("x13_grouped_quantiles_approx")
+    // orders scanned twice (sketch pass + rank-count pass), both pruned to
+    // (o_orderpriority, o_totalprice); the 5-row sketch output rides a
+    // broadcast back; shuffles: sketch agg, rank-count agg, output sort
+    (sh, bc, w) shouldBe ((3, 1, Seq(2, 2)))
+    cg should be >= 2
+  }
+
+  test("d18 bloom index gate: short-circuit leg is scan-only, index side " +
+      "broadcast, sort is the only shuffle") {
+    val (sh, bc, cg, w) = finalShape("d18_bloom_index_gate")
+    // batch (doc_id,text) scanned by both legs; index (fp,keeper) joins
+    // the maybe-leg via broadcast at this SF; the definite-new leg is a
+    // pure filter-project — no exchange anywhere but the output sort
+    (sh, bc, w) shouldBe ((1, 1, Seq(2, 2, 2)))
+    cg should be >= 2
+  }
+
   test("p14 domain quota: one source-partition window + cap broadcast") {
     val (sh, bc, cg, w) = finalShape("p14_domain_quota")
     // scans: documents (doc_id,text) for scores, (doc_id,source) for the
