@@ -105,6 +105,73 @@ object GeoJoin {
     * compare keeps the ranking engine-deterministic (the repo's
     * round-before-compare recipe).
     */
+  /** TWO-TABLE k-nearest join — "nearest facility": each PROBE point gets
+    * its k nearest BUILD points within `radiusKm` (listings → comparable
+    * sales, users → closest store/POP). Same position-collapse pipeline as
+    * [[kNearestJoin]] with the asymmetric simplifications a two-table join
+    * earns: no self-exclusion, so the build-side member cap and the
+    * per-probe-position distance-level cap are both k (not k+1) — a member
+    * cut by the id cap has k smaller-id co-located (equidistant) members
+    * ahead of it, and a position at distance level k+1 has ≥ k members at
+    * strictly smaller levels ahead of it, so neither can reach a top-k.
+    * Probe positions collapse too (coincident probes share ALL candidate
+    * work and fan back out in the final member join). Output:
+    * (id, neighbor_id, rank, dist_km), rank 1..≤k under the
+    * (rounded dist, neighbor id) total order; probes with fewer than k
+    * in-radius build points emit what exists.
+    */
+  def kNearestJoinAgainst(probe: DataFrame, probeIdCol: String,
+      build: DataFrame, buildIdCol: String, latCol: String, lonCol: String,
+      radiusKm: Double, k: Int): DataFrame = {
+    val chord = 2.0 * math.sin((radiusKm + 0.001) / 12742.0)
+    def rad(c: Column) = radians(c)
+    def cellOf(c: Column): Column = floor(c / lit(chord)).cast("long")
+    def withXyz(df: DataFrame): DataFrame = df
+      .withColumn("x", cos(rad(col("lat"))) * cos(rad(col("lon"))))
+      .withColumn("y", cos(rad(col("lat"))) * sin(rad(col("lon"))))
+      .withColumn("z", sin(rad(col("lat"))))
+    val pBase = probe.select(col(probeIdCol).as("id"),
+      col(latCol).as("lat"), col(lonCol).as("lon"))
+    val bBase = build.select(col(buildIdCol).as("neighbor_id"),
+      col(latCol).as("lat"), col(lonCol).as("lon"))
+    val pPos = withXyz(pBase.select("lat", "lon").distinct())
+      .select(col("lat").as("p_lat"), col("lon").as("p_lon"),
+        cellOf(col("x")).as("cx"), cellOf(col("y")).as("cy"),
+        cellOf(col("z")).as("cz"))
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"),
+        lit(dz.toLong).as("dz"))
+    val bPos = withXyz(bBase.select("lat", "lon").distinct())
+      .withColumn("o", explode(array(offs: _*)))
+      .select(col("lat").as("n_lat"), col("lon").as("n_lon"),
+        (cellOf(col("x")) + col("o.dx")).as("cx"),
+        (cellOf(col("y")) + col("o.dy")).as("cy"),
+        (cellOf(col("z")) + col("o.dz")).as("cz"))
+    val wMembers = org.apache.spark.sql.expressions.Window
+      .partitionBy("lat", "lon").orderBy("neighbor_id")
+    val topMembers = bBase
+      .withColumn("mrn", row_number().over(wMembers))
+      .filter(col("mrn") <= k)
+      .select(col("lat").as("n_lat"), col("lon").as("n_lon"), col("neighbor_id"))
+    val wDense = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_lat", "p_lon").orderBy("dist_km")
+    val posPairs = pPos.join(bPos, Seq("cx", "cy", "cz"))
+      .withColumn("dist_km", round(Derived.haversineKm(
+        col("p_lat"), col("p_lon"), col("n_lat"), col("n_lon")), 4))
+      .filter(col("dist_km") <= lit(radiusKm))
+      .withColumn("lvl", dense_rank().over(wDense))
+      .filter(col("lvl") <= k)
+      .select("p_lat", "p_lon", "n_lat", "n_lon", "dist_km")
+    val cand = posPairs.join(topMembers, Seq("n_lat", "n_lon"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("dist_km"), col("neighbor_id"))
+    pBase.join(cand,
+        col("lat") === col("p_lat") && col("lon") === col("p_lon"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("neighbor_id"), col("rank"), col("dist_km"))
+  }
+
   def kNearestJoin(pts: DataFrame, idCol: String, latCol: String,
       lonCol: String, radiusKm: Double, k: Int): DataFrame = {
     val chord = 2.0 * math.sin((radiusKm + 0.001) / 12742.0)

@@ -1461,6 +1461,60 @@ object CorpusOps {
         .orderBy("id", "rank")
     })
 
+  /** j10 — TWO-TABLE geo k-nearest join
+    * ([[graft.joins.GeoJoin.kNearestJoinAgainst]] — "nearest facility",
+    * the asymmetric form j08/j09 can't express as self-joins): every
+    * supplier-lattice point gets its 2 nearest customer-lattice points
+    * within 2 000 km. The supplier lattice uses different multipliers AND
+    * half-cell offsets (11/17, +0.75/+0.25) so probe positions never
+    * coincide with build positions — distances are organic, not planted
+    * zeros. Probe and build sides BOTH collapse to distinct positions
+    * before the grid join (coincident probes share all candidate work),
+    * and the two-table asymmetry tightens j09's caps: no self-exclusion,
+    * so member cap and distance-level cap are k, not k+1. Output ≤ k rows
+    * per probe by construction. The oracle replays the full O(N·M) exact
+    * k-NN in SQL — rank per probe under the (rounded dist, id) total
+    * order — so the hash compare asserts the collapsed grid path's recall
+    * is literally 100 %, ranks included.
+    */
+  val j10 = QSpec(
+    "j10_geo_nearest_facility",
+    Some("""WITH p AS (SELECT s_suppkey AS id,
+           |    CAST((s_suppkey * 11) % 180 AS DOUBLE) - 90 + 0.75 AS lat,
+           |    CAST((s_suppkey * 17) % 360 AS DOUBLE) - 180 + 0.25 AS lon
+           |  FROM supplier),
+           |b AS (SELECT c_custkey AS neighbor_id,
+           |    CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.25 AS lat,
+           |    CAST((c_custkey * 13) % 360 AS DOUBLE) - 180 + 0.5 AS lon
+           |  FROM customer WHERE c_custkey % 7 = 0),
+           |d AS (SELECT p.id, b.neighbor_id,
+           |  ROUND(12742.0 * ASIN(SQRT(
+           |    SIN(RADIANS(b.lat - p.lat)/2) * SIN(RADIANS(b.lat - p.lat)/2)
+           |    + COS(RADIANS(p.lat)) * COS(RADIANS(b.lat))
+           |      * SIN(RADIANS(b.lon - p.lon)/2) * SIN(RADIANS(b.lon - p.lon)/2)
+           |  )), 4) AS dist_km
+           |  FROM p CROSS JOIN b),
+           |r AS (SELECT id, neighbor_id, dist_km,
+           |    ROW_NUMBER() OVER (PARTITION BY id
+           |                       ORDER BY dist_km, neighbor_id) AS rank
+           |  FROM d WHERE dist_km <= 2000.0)
+           |SELECT id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist_km
+           |FROM r WHERE rank <= 2 ORDER BY id, rank""".stripMargin),
+    (s, d) => {
+      val probes = supplier(s, d)
+        .select(col("s_suppkey").as("id"),
+          (((col("s_suppkey") * 11) % 180).cast("double") - 90 + 0.75).as("lat"),
+          (((col("s_suppkey") * 17) % 360).cast("double") - 180 + 0.25).as("lon"))
+      val stores = customer(s, d)
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("id"),
+          (((col("c_custkey") * 7) % 180).cast("double") - 90 + 0.25).as("lat"),
+          (((col("c_custkey") * 13) % 360).cast("double") - 180 + 0.5).as("lon"))
+      graft.joins.GeoJoin.kNearestJoinAgainst(
+        probes, "id", stores, "id", "lat", "lon", 2000.0, 2)
+        .orderBy("id", "rank")
+    })
+
   /** p14 — quota-capped domain sampling
     * ([[graft.llm.Curation.domainQuotaSample]] — per-source top-N by
     * quality rank, verdict directive #6): the curation op real pipelines
@@ -1551,5 +1605,5 @@ object CorpusOps {
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, x13, j03, j04, j05, j06, j07, p07, p08,
     p09, p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20, j08, j09,
-    p14)
+    j10, p14)
 }

@@ -79,6 +79,69 @@ class Round12OpsSpec extends SparkSpec {
     run(pts.repartition(1)) shouldBe base
   }
 
+  /** Exact O(N·M) two-table k-NN replay (no self-exclusion). */
+  private def bruteKnnAgainst(probe: org.apache.spark.sql.DataFrame,
+      build: org.apache.spark.sql.DataFrame, r: Double, k: Int) = {
+    val a = probe.select(col("id"), col("lat").as("la"), col("lon").as("oa"))
+    val b = build.select(col("id").as("neighbor_id"),
+      col("lat").as("lb"), col("lon").as("ob"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("dist_km"), col("neighbor_id"))
+    a.crossJoin(b)
+      .withColumn("dist_km", round(graft.features.Derived.haversineKm(
+        col("la"), col("oa"), col("lb"), col("ob")), 4))
+      .filter(col("dist_km") <= r)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("id", "neighbor_id", "rank", "dist_km")
+      .orderBy("id", "rank")
+  }
+
+  test("kNearestJoinAgainst: two-table grid+collapse == brute force, " +
+      "including coincident build piles and sparse probes") {
+    // build: the 800-point lattice (piles of 2-3 per position past the 360
+    // wrap); probes: offset lattice so positions never coincide with build
+    val build = lattice(800)
+    val probes = (1 to 90).map { j =>
+      (j.toLong, ((j * 11) % 180).toDouble - 90 + 0.75,
+        ((j * 17) % 360).toDouble - 180 + 0.25)
+    }.toDF("id", "lat", "lon")
+    for ((r, k) <- Seq((2000.0, 2), (900.0, 3))) {
+      val got = graft.joins.GeoJoin.kNearestJoinAgainst(
+          probes, "id", build, "id", "lat", "lon", r, k)
+        .orderBy("id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+      val want = bruteKnnAgainst(probes, build, r, k)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      withClue(s"radius $r k $k: ") {
+        want.nonEmpty shouldBe true
+        got shouldBe want
+      }
+    }
+    // sparse build: most probes lack k in-radius neighbors → emit what
+    // exists, never more than k per probe
+    val sparse = lattice(25)
+    val got = graft.joins.GeoJoin.kNearestJoinAgainst(
+        probes, "id", sparse, "id", "lat", "lon", 1500.0, 2)
+    got.orderBy("id", "rank").as[(Long, Long, Long, Double)].collect().toSeq shouldBe
+      bruteKnnAgainst(probes, sparse, 1500.0, 2)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    got.groupBy("id").count().agg(max("count")).as[Long].head() should be <= 2L
+  }
+
+  test("kNearestJoinAgainst: COINCIDENT probe and build positions rank " +
+      "the distance-0 neighbors first") {
+    // probes sit exactly ON build positions (same lattice) → dist 0 pairs
+    val build = lattice(400)
+    val probes = lattice(50).select((col("id") + 1000L).as("id"),
+      col("lat"), col("lon"))
+    val got = graft.joins.GeoJoin.kNearestJoinAgainst(
+        probes, "id", build, "id", "lat", "lon", 2000.0, 3)
+      .orderBy("id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+    got shouldBe bruteKnnAgainst(probes, build, 2000.0, 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.exists(_._4 == 0.0), "fixture must exercise distance-0 pairs")
+  }
+
   test("domainQuotaSample: corpus-relative cap, rank by score desc, " +
       "md5 tiebreak on equal scores") {
     // 220 docs over 2 domains → cap = greatest(5, 220 div 100) = 5.
