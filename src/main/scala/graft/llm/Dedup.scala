@@ -525,6 +525,37 @@ object Dedup {
       java.nio.file.Paths.get(path, "_graft_index.json"), meta)
   }
 
+  /** Append a new shard to a [[writeMinhashIndex]] store — incremental
+    * index MAINTENANCE, the missing half of the d13 ingest lifecycle: a
+    * production pipeline doesn't rebuild its LSH index per shard, it
+    * appends each deduped shard's band keys + sorted hashes (parquet
+    * append — at 100 TB these are partition adds to the bucketed bands
+    * table, a metadata operation). The shard pays its shingle + signature
+    * cost exactly once, here; matching future batches against the grown
+    * index is then identical to matching against a one-shot rebuild over
+    * the union corpus — which d19's exact cross-set oracle asserts against
+    * brute force, not against the rebuild. The stored LSH parameters must
+    * match the requested ones (same loud refusal as
+    * [[minhashPairsAgainstIndex]] — a θ/r mismatch would silently mix
+    * incompatible signatures into one key space).
+    */
+  def appendToMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String, minJaccard: Double, nTables: Int = 8,
+      rowsPerBand: Int = 3): Unit = {
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_graft_index.json"))
+    val expected = s"""{"minJaccard": $minJaccard, "nTables": $nTables, """ +
+      s""""rowsPerBand": $rowsPerBand, "bands": ${bandsFor(minJaccard, nTables, rowsPerBand)}}"""
+    require(meta == expected,
+      s"index at $path was built with $meta, append requested $expected")
+    val (shingled, keys) = shingleAndBand(batch, idCol, textCol,
+      bandsFor(minJaccard, nTables, rowsPerBand), rowsPerBand)
+    keys.write.mode("append").parquet(s"$path/bands")
+    shingled.select(col("id"), col("hs"))
+      .write.mode("append").parquet(s"$path/hashes")
+    shingled.unpersist() // both consumers materialized — no cache leak
+  }
+
   /** Incremental near-dup against a [[writeMinhashIndex]] index: the
     * batch contributes its own shingles + keys; the corpus side comes
     * entirely from the stored parquet. The index's recorded LSH

@@ -364,6 +364,45 @@ object LlmOps {
         .orderBy("new_id", "corpus_id")
     })
 
+  /** d19 — persisted-index APPEND ([[Dedup.appendToMinhashIndex]] — the
+    * index-maintenance half of the d13 lifecycle): the index is built from
+    * shard 0 (doc_id ≡ 0 mod 3), shard 1 is APPENDED (its keys + hashes
+    * written once, no rebuild of shard 0), and shard 2 then matches
+    * against the GROWN index. The oracle replays the exact cross-set
+    * Jaccard of shard 2 × (shards 0 ∪ 1) — so the gate asserts the
+    * appended index equals a one-shot rebuild over the union corpus
+    * against BRUTE FORCE, recall included, not merely self-consistency.
+    * At 100 TB this is the difference between O(shard) and O(corpus) per
+    * ingest on the index-build side, same as the match side already was.
+    */
+  val d19 = QSpec(
+    "d19_index_append",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS inter
+           |      FROM g a JOIN g b ON a.gram = b.gram
+           |      WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 < 2
+           |      GROUP BY 1, 2)
+           |SELECT new_id, corpus_id,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           |FROM p JOIN sz sa ON new_id = sa.doc_id JOIN sz sb ON corpus_id = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+           |ORDER BY new_id, corpus_id""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d)
+      val idx = graft.util.Tables.scratch(d, "d19_index")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", idx, 0.5)
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", idx, 0.5)
+      Dedup.minhashPairsAgainstIndex(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", idx, 0.5)
+        .orderBy("new_id", "corpus_id")
+    })
+
   /** d14 — keeper selection over near-dup groups: d07's components joined
     * with t02's quality score; the highest-quality doc per group survives
     * (doc id breaks rounded-score ties). Keep-BEST — the curation upgrade
@@ -1807,5 +1846,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19)
 }

@@ -293,6 +293,35 @@ class Round12OpsSpec extends SparkSpec {
     all(idxKeys.map(bloom.mightContainLong)) shouldBe true
   }
 
+  test("appendToMinhashIndex: grown index ≡ one-shot rebuild, wrong params " +
+      "refused loudly, write+append reruns idempotent") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-d19-fixture").toString
+    def rows(path: String) =
+      graft.llm.Dedup.minhashPairsAgainstIndex(probe, "doc_id", "text", path, 0.5)
+        .orderBy("new_id", "corpus_id")
+        .as[(Long, Long, Double)].collect().toSeq
+    graft.llm.Dedup.writeMinhashIndex(a, "doc_id", "text", s"$root/grown", 0.5)
+    graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown", 0.5)
+    graft.llm.Dedup.writeMinhashIndex(a.unionByName(b), "doc_id", "text",
+      s"$root/rebuilt", 0.5)
+    val grown = rows(s"$root/grown")
+    grown.nonEmpty shouldBe true
+    grown shouldBe rows(s"$root/rebuilt")
+    // parameter mismatch is refused, not silently mixed into the key space
+    an[IllegalArgumentException] should be thrownBy
+      graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown", 0.7)
+    // the declared query's rerun shape (bench min-of-2): overwrite + append
+    // again must land in the same state, not accumulate
+    graft.llm.Dedup.writeMinhashIndex(a, "doc_id", "text", s"$root/grown", 0.5)
+    graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown", 0.5)
+    rows(s"$root/grown") shouldBe grown
+  }
+
   test("w12 TWAP headroom audit: Σ c·dur per user is bounded by " +
       "max-cents × stream-span, ≥ 10× inside 2^63 on the shipped corpus") {
     // the round-11 advice: the scaladoc's 'exact BIGINT sums' claim needs a
