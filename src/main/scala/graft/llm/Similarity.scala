@@ -455,6 +455,50 @@ object Similarity {
     finishTopK(cand, k)
   }
 
+  /** IVF + SQ8 composed ANN — the FAISS "IVF-PQ" pipeline shape, and the
+    * 100 TB default for vector search: three index layers each bound a
+    * different cost. The coarse quantizer (IVF cells) bounds WHICH
+    * vectors are scanned (members of `nprobe` cells per probe, the s02
+    * path); the SQ8 codes bound the scan PAYLOAD per vector (8-bit
+    * codes, 4× smaller than the float vectors, integer-only distance);
+    * and the exact cosine kernel touches only the `shortlist` survivors
+    * (the s09 ADC + re-rank tail). Probed-cell members get their
+    * symmetric integer code distance; the bounded-heap aggregate (s01's
+    * TopKSim pattern) shrinks every partition to `shortlist` rows per
+    * probe BEFORE the exchange; the shortlist broadcasts back onto the
+    * inverted file for the exact re-rank. qdist ≤ dim·255² ≈ 4.2e6 ≪ 2⁵³
+    * so the negated-double heap order is the exact integer order.
+    * Output: (p_id, neighbor_id, rank, sim) like [[bruteTopK]].
+    */
+  def ivfSq8Search(spark: SparkSession, idx: IvfIndex, cb: Sq8Codebook,
+      probes: DataFrame, idCol: String, embCol: String, k: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val p = probeClusters(spark, idx, probes, idCol, embCol, nprobe)
+      .withColumn("p_code", sq8Codes(col("p_emb"), cb))
+      .select("p_id", "cluster", "p_code")
+    val qdist = aggregate(
+      zip_with(col("code"), col("p_code"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val short = idx.inverted
+      .withColumn("code", sq8Codes(col("emb"), cb))
+      .join(broadcast(p), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        (-qdist).cast("double").as("negq"))
+      .groupBy("p_id")
+      .agg(call_function("topk_sim", col("negq"), col("neighbor_id"),
+        lit(shortlist)).as("top"))
+      .select(col("p_id"), explode(col("top.id")).as("neighbor_id"))
+    val pe = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
+    val cand = idx.inverted.select(col("neighbor_id"), col("emb"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(pe), Seq("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        cosine(spark, col("emb"), col("p_emb")).as("sim"))
+    finishTopK(cand, k)
+  }
+
   /** Candidate pairs for the embedding near-dup regime: 64-bit hyperplane
     * signature split into four 16-bit bands (the same band geometry as
     * SimHash d03), candidates = pairs colliding in at least one band.

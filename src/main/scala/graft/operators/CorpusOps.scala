@@ -1602,8 +1602,51 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** j11 — point-in-box ZONE-TAGGING join
+    * ([[graft.joins.GeoJoin.zoneTag]] — geofencing: every customer point
+    * tagged with the MIN-id supplier service box containing it plus the
+    * count of covering boxes, the containment join j08–j10's distance
+    * joins can't express). Zones are a second deterministic lattice
+    * (23/29 multipliers, INTEGER corners) of 20°×30° boxes, so
+    * containment is integer-vs-quarter-degree compares with no rounding
+    * subtlety and no boundary ties; a cell grid at exactly the box
+    * dimensions yields every (point, covering-box) candidate ONCE (≤ 4
+    * cells per box, exactly 1 per point — see zoneTag's scaladoc), and
+    * both sides collapse to distinct positions first (360 point
+    * positions, ≤ 2 100 box corners on the saturating lattices). The
+    * oracle replays the full O(N·M) containment join in SQL, so the hash
+    * compare asserts the grid path finds every covering box — recall
+    * literally 100 %, counts included.
+    */
+  val j11 = QSpec(
+    "j11_geo_zone_tag",
+    Some("""WITH z AS (SELECT s_suppkey AS zone_id,
+           |    CAST((s_suppkey * 23) % 140 AS DOUBLE) - 70 AS lat0,
+           |    CAST((s_suppkey * 29) % 300 AS DOUBLE) - 150 AS lon0
+           |  FROM supplier),
+           |p AS (SELECT c_custkey AS id,
+           |    CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.25 AS lat,
+           |    CAST((c_custkey * 13) % 360 AS DOUBLE) - 180 + 0.5 AS lon
+           |  FROM customer)
+           |SELECT p.id, MIN(z.zone_id) AS zone_id, COUNT(*) AS n_zones
+           |FROM p JOIN z
+           |  ON p.lat >= z.lat0 AND p.lat <= z.lat0 + 20
+           | AND p.lon >= z.lon0 AND p.lon <= z.lon0 + 30
+           |GROUP BY p.id ORDER BY p.id""".stripMargin),
+    (s, d) => {
+      val pts = customer(s, d).select(col("c_custkey").as("id"),
+        (((col("c_custkey") * 7) % 180).cast("double") - 90 + 0.25).as("lat"),
+        (((col("c_custkey") * 13) % 360).cast("double") - 180 + 0.5).as("lon"))
+      val zones = supplier(s, d).select(col("s_suppkey").as("zone_id"),
+        (((col("s_suppkey") * 23) % 140).cast("double") - 70).as("lat0"),
+        (((col("s_suppkey") * 29) % 300).cast("double") - 150).as("lon0"))
+      graft.joins.GeoJoin.zoneTag(pts, "id", "lat", "lon",
+        zones, "zone_id", "lat0", "lon0", 20.0, 30.0)
+        .orderBy("id")
+    })
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, x13, j03, j04, j05, j06, j07, p07, p08,
     p09, p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20, j08, j09,
-    j10, p14)
+    j10, p14, j11)
 }

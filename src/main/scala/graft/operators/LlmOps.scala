@@ -1843,8 +1843,57 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** s10 — IVF + SQ8 composed ANN
+    * ([[graft.llm.Similarity.ivfSq8Search]] — the FAISS IVF-PQ pipeline:
+    * coarse cells bound WHICH vectors are scanned, 8-bit codes bound the
+    * scan PAYLOAD, and the exact cosine kernel touches only the
+    * shortlist — the three-layer index production vector stores run at
+    * corpus scale). Searches the SAME shared fitted quantizer as s02/s06
+    * (cachedIvfIndex — one seeded k-means fit per JVM) with s09's
+    * closed-form SQ8 codebook inside the probed cells.
+    *
+    * The declared output is the s02-style bounded-boolean contract with
+    * every term a FRACTION of data-derived quantities (the s02 regen
+    * lesson): recall@10 ≥ 0.9 against the in-plan exact baseline over 16
+    * probes, probed-cell scan fraction ≤ 50 %, and exact-kernel touch
+    * fraction = shortlist/corpus ≤ 10 %.
+    */
+  val s10 = QSpec(
+    "s10_ivf_pq_ann",
+    Some("""SELECT CAST(16 AS BIGINT) AS n_probes,
+           | TRUE AS recall_ge_090, TRUE AS scan_frac_le_050,
+           | TRUE AS rerank_frac_le_010""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 16)
+      val k = 10
+      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding", 512)
+      val np = math.max(1, idx.centroids.length * 2 / 5) // probe 40 % of cells
+      val cb = Similarity.fitSq8(s, emb, "embedding")
+      val ann = Similarity.ivfSq8Search(s, idx, cb, probes, "vec_id",
+        "embedding", k, np, shortlist = 4 * k)
+        .select("p_id", "neighbor_id")
+      val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", k)
+        .select("p_id", "neighbor_id")
+      val rec = exact.join(ann, Seq("p_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("total"),
+          countDistinct(col("p_id")).as("n_probes")))
+      val sizes = idx.inverted.groupBy("cluster").count()
+      val scanned = Similarity.probeClusters(s, idx, probes, "vec_id", "embedding", np)
+        .join(sizes, "cluster")
+        .agg(coalesce(sum(col("count")), lit(0L)).as("scanned"))
+        .crossJoin(emb.agg(count(lit(1)).as("corpus_n")))
+      rec.crossJoin(scanned).select(
+        col("n_probes"),
+        (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"),
+        (col("scanned").cast("double") / (col("n_probes") * col("corpus_n")) <= 0.5)
+          .as("scan_frac_le_050"),
+        (lit(4.0 * k) / col("corpus_n") <= 0.1).as("rerank_frac_le_010"))
+    })
+
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, s10)
 }

@@ -689,9 +689,67 @@ object Relational {
         .orderBy("o_orderkey")
     })
 
+  /** q39 — malformed-CSV row policy: the three ingest modes a production
+    * CSV loader needs, exercised on a scratch CSV of `customer` plus
+    * three PLANTED type-malformed lines (non-numeric key ×2, non-numeric
+    * balance) written as a sibling file in the scan dir. PERMISSIVE
+    * captures them in the corrupt-record column (nulls + raw line),
+    * DROPMALFORMED drops exactly those rows, FAILFAST throws on first
+    * touch. Declared output: parsed-row and captured-corrupt counts
+    * under PERMISSIVE, survivors under DROPMALFORMED, and whether
+    * FAILFAST threw — the oracle derives every count from the live
+    * customer table (+ the planted 3), so the gate scales with the data
+    * instead of pinning constants.
+    */
+  val q39 = QSpec(
+    "q39_csv_malformed_modes",
+    Some("""SELECT CAST((SELECT COUNT(*) FROM customer) + 3 AS BIGINT) AS n_permissive,
+           | CAST(3 AS BIGINT) AS n_corrupt,
+           | CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_dropmalformed,
+           | TRUE AS failfast_threw""".stripMargin),
+    (s, d) => {
+      val p = scratch(d, "q39_csv")
+      customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        .coalesce(1).write.mode("overwrite").csv(p)
+      val bad = new java.io.File(p, "part-z-planted-bad.csv")
+      val w = new java.io.PrintWriter(bad, "UTF-8")
+      try w.print("oops,Bad Key,1.5\n12x,Bad Key Two,2.5\n99,Bad Balance,abc\n")
+      finally w.close()
+      val strict = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType)))
+      val withCorrupt = StructType(strict.fields :+
+        StructField("_corrupt_record", StringType))
+      // cache before counting: Spark (correctly) refuses lazy queries that
+      // reference ONLY the internal corrupt-record column on a raw scan
+      val permissive = s.read.schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record").csv(p)
+        .cache()
+      val nPerm = permissive.count()
+      val nCorrupt = permissive.filter(col("_corrupt_record").isNotNull).count()
+      permissive.unpersist(blocking = false)
+      // .rdd.count(), not .count(): a bare CSV count() never parses a
+      // field (Spark counts records schema-free), so DROPMALFORMED would
+      // keep the planted rows and FAILFAST would never see them. The RDD
+      // conversion requires the FULL row schema, forcing the parse that
+      // the mode semantics are about.
+      val nDrop = s.read.schema(strict).option("mode", "DROPMALFORMED")
+        .csv(p).rdd.count()
+      val threw =
+        try {
+          s.read.schema(strict).option("mode", "FAILFAST").csv(p).rdd.count()
+          false
+        } catch { case _: org.apache.spark.SparkException => true }
+      import s.implicits._
+      Seq((nPerm, nCorrupt, nDrop, threw))
+        .toDF("n_permissive", "n_corrupt", "n_dropmalformed", "failfast_threw")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35, q36,
-    q37, q38)
+    q37, q38, q39)
 }

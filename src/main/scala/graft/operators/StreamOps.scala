@@ -942,6 +942,43 @@ object StreamOps {
         .orderBy("doc_a", "doc_b")
     })
 
+  /** st16 — streaming exact-dedup KEEPER INDEX (d06's st-twin,
+    * [[graft.streaming.DocStreams.fpKeeperUpdates]]): each arriving
+    * document's 128-bit fingerprint probes per-fp state holding
+    * (keeper = min id so far, copies so far) — d17's persisted exact
+    * index maintained INCREMENTALLY by the streaming engine, the
+    * ingest-time "have we seen this document?" gate in front of a 100 TB
+    * corpus. Duplicate arrivals emit keeper REVISIONS (one row per
+    * fp-batch, not per doc) and the drained revision log compacts to
+    * exactly d06's (fp, keeper_id, n_copies) table under min/max — the
+    * oracle is d06's, shared verbatim, so batch-placement invariance is
+    * proven by the hash gate, not asserted. The backlog slices by doc_id
+    * residue in DESCENDING residue order, so later batches carry smaller
+    * ids and keepers genuinely revise across batches rather than landing
+    * right on the first write.
+    */
+  val st16 = QSpec(
+    "st16_stream_exact_dedup_index",
+    LlmOps.d06.oracle,
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val backlog = batchBacklog(s, d, "st16",
+        docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 0))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+      val rows = stream.select(
+        graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"),
+        col("doc_id").as("id")).as[graft.streaming.FpRow]
+      val upd = graft.streaming.DocStreams.fpKeeperUpdates(rows).toDF()
+      drainToTable(upd, "st16", d, "append")
+        .groupBy("fp")
+        .agg(min("keeper_id").as("keeper_id"), max("n_copies").as("n_copies"))
+        .orderBy("keeper_id")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09, st10, st11, st12, st13, st14, st15)
+    st09, st10, st11, st12, st13, st14, st15, st16)
 }

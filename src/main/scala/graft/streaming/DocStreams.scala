@@ -18,6 +18,21 @@ final case class CandPair(doc_a: Long, doc_b: Long)
   */
 final case class BucketState(ids: Array[Long])
 
+/** One (fingerprint, doc id) row flowing into the streaming exact-dedup
+  * index (st16's input shape).
+  */
+final case class FpRow(fp: String, id: Long)
+
+/** Per-fingerprint dedup-index state: the keeper (min doc id seen) and
+  * the copy count so far — exactly one d06 output row, held as state.
+  */
+final case class FpKeeperState(keeper: Long, n: Long)
+
+/** One keeper-index revision: the CURRENT (keeper, copies) for `fp`
+  * after folding in a micro-batch's arrivals.
+  */
+final case class FpKeeperUpdate(fp: String, keeper_id: Long, n_copies: Long)
+
 /** Streaming document-dedup operators (the d02 family's st-twins). */
 object DocStreams {
 
@@ -73,6 +88,40 @@ object DocStreams {
           }
           if (fresh.nonEmpty) state.update(BucketState(old ++ fresh))
           out.result().iterator
+      }
+  }
+
+  /** Streaming exact-dedup KEEPER INDEX — d06's st-twin and the
+    * ingest-time "have we seen this document?" gate: per-fingerprint
+    * state holds (keeper = min doc id so far, copies so far) — one d06
+    * output row per key, i.e. d17's persisted exact index maintained
+    * incrementally by the streaming engine instead of rebuilt from the
+    * corpus. Each micro-batch folds its arrivals for a fingerprint into
+    * ONE emitted revision carrying the group's current (keeper, count),
+    * so duplicate arrivals revise an existing identity rather than
+    * emitting new rows, and emission volume is bounded by (distinct fps
+    * in the batch), not batch size. Keeper only decreases and count only
+    * increases, so the drained revision log compacts to EXACTLY the
+    * batch d06 table under (min keeper, max count) — for ANY micro-batch
+    * placement of the corpus, which is why st16 can share d06's oracle
+    * verbatim. State per key is two longs: O(distinct docs) total, the
+    * same footprint d17 persists to parquet.
+    */
+  def fpKeeperUpdates(rows: Dataset[FpRow]): Dataset[FpKeeperUpdate] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.fp)
+      .flatMapGroupsWithState[FpKeeperState, FpKeeperUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[FpRow], state: GroupState[FpKeeperState]) =>
+          var mn = Long.MaxValue
+          var c = 0L
+          it.foreach { r => if (r.id < mn) mn = r.id; c += 1L }
+          val prev = state.getOption
+          val next = FpKeeperState(
+            math.min(prev.map(_.keeper).getOrElse(Long.MaxValue), mn),
+            prev.map(_.n).getOrElse(0L) + c)
+          state.update(next)
+          Iterator.single(FpKeeperUpdate(fp, next.keeper, next.n))
       }
   }
 }

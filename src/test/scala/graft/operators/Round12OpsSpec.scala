@@ -340,4 +340,118 @@ class Round12OpsSpec extends SparkSpec {
     assert(bound > 0 && bound < BigInt(Long.MaxValue) / 10,
       s"w12 worst-case Σ c·dur bound $bound must sit ≥10× under 2^63")
   }
+
+  /** Brute-force point-in-box replay: cross join + exact containment. */
+  private def bruteZoneTag(pts: org.apache.spark.sql.DataFrame,
+      zones: org.apache.spark.sql.DataFrame, h: Double, w: Double) =
+    pts.crossJoin(zones)
+      .filter(col("lat") >= col("lat0") && col("lat") <= col("lat0") + h &&
+        col("lon") >= col("lon0") && col("lon") <= col("lon0") + w)
+      .groupBy("id")
+      .agg(min("zone_id").as("zone_id"), count(lit(1)).as("n_zones"))
+
+  test("zoneTag: grid+collapse == brute-force containment replay, incl. " +
+      "overlapping boxes, coincident points/boxes, straddled cells, " +
+      "and untagged points dropping out") {
+    // points: a coincident pair (1, 2), a point inside two overlapping
+    // boxes (3), a point exactly on a box edge (4), a point in no box
+    // (5), and a point whose box's corner lies in the NEIGHBORING grid
+    // cell (6: box corner at (12, 17) covers (25.5, 33.5) from cells
+    // (0,0)/(1,1) away)
+    val pts = Seq(
+      (1L, 5.25, 10.5), (2L, 5.25, 10.5), (3L, -15.75, 40.5),
+      (4L, 20.0, 30.0), (5L, 80.25, 170.5), (6L, 25.5, 33.5))
+      .toDF("id", "lat", "lon")
+    // boxes 20×30: two coincident corners (ids 101 < 107), two
+    // overlapping boxes over point 3, the edge box for 4, the
+    // straddling box for 6
+    val zones = Seq(
+      (101L, 0.0, 0.0), (107L, 0.0, 0.0), (202L, -20.0, 30.0),
+      (203L, -30.0, 20.0), (301L, 0.0, 0.0), (401L, 12.0, 17.0))
+      .toDF("zone_id", "lat0", "lon0")
+    val got = graft.joins.GeoJoin.zoneTag(pts, "id", "lat", "lon",
+      zones, "zone_id", "lat0", "lon0", 20.0, 30.0)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = bruteZoneTag(pts, zones, 20.0, 30.0)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got shouldBe want
+    // the fixture exercises what it claims: 5 is untagged, 3 sees two
+    // zones, 1 and 2 share the coincident-corner boxes' min id 101
+    got.map(_._1) should not contain 5L
+    want.find(_._1 == 3L).get._3 should be >= 2L
+    got.filter(t => t._1 == 1L || t._1 == 2L).map(_._2).toSet shouldBe Set(101L)
+  }
+
+  test("zoneTag is partitioning-invariant") {
+    val pts = lattice(400)
+    val zones = (1 to 40).map { k =>
+      (k.toLong, ((k * 23) % 140).toDouble - 70, ((k * 29) % 300).toDouble - 150)
+    }.toDF("zone_id", "lat0", "lon0")
+    def run(p: org.apache.spark.sql.DataFrame) =
+      graft.joins.GeoJoin.zoneTag(p, "id", "lat", "lon",
+        zones, "zone_id", "lat0", "lon0", 20.0, 30.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    run(pts) shouldBe run(pts.repartition(13))
+  }
+
+  test("ivfSq8Search: full-coverage settings == exact bruteTopK; " +
+      "restricted settings stay within k rows per probe with contiguous ranks") {
+    // 4 well-separated direction clusters in 4-d so the seeded k-means is
+    // stable; 10 vectors per cluster with small deterministic jitter
+    val vecs = (0 until 40).map { i =>
+      val c = i % 4
+      val base = Array.fill(4)(0.05f)
+      base(c) = 1.0f
+      base((c + 1) % 4) += (i / 4) * 0.01f
+      (i.toLong, base)
+    }.toDF("id", "emb")
+    val idx = graft.llm.Similarity.buildIvfIndex(spark, vecs, "id", "emb", 4)
+    val cb = graft.llm.Similarity.fitSq8(spark, vecs, "emb")
+    val probes = vecs.filter(col("id") < 6)
+    // nprobe = all cells, shortlist = corpus → candidate set is ALL
+    // non-self pairs and the exact re-rank must equal brute force
+    val full = graft.llm.Similarity.ivfSq8Search(spark, idx, cb, probes,
+      "id", "emb", 5, nprobe = idx.centroids.length, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val brute = graft.llm.Similarity.bruteTopK(spark, vecs, probes, "id", "emb", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    full shouldBe brute
+    // restricted: 2 of the cells, 8-candidate shortlist — bounded output,
+    // contiguous ranks from 1, no self matches
+    val got = graft.llm.Similarity.ivfSq8Search(spark, idx, cb, probes,
+      "id", "emb", 5, nprobe = 2, shortlist = 8).collect()
+    val byProbe = got.groupBy(_.getLong(0))
+    byProbe.foreach { case (p, rows) =>
+      rows.length should be <= 5
+      rows.map(_.getLong(2)).sorted.toSeq shouldBe (1L to rows.length).toSeq
+      rows.map(_.getLong(1)) should not contain p
+    }
+  }
+
+  test("q39 CSV malformed modes on a hand fixture: corrupt capture, drop, " +
+      "failfast throw") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("q39fix").toFile
+    val f = new java.io.File(dir, "data.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.print("1,alpha,1.5\n2,beta,2.5\noops,gamma,3.5\n4,delta,abc\n")
+    finally w.close()
+    val strict = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val withCorrupt = StructType(strict.fields :+
+      StructField("_corrupt_record", StringType))
+    val perm = spark.read.schema(withCorrupt).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.getAbsolutePath).cache()
+    perm.count() shouldBe 4
+    perm.filter(col("_corrupt_record").isNotNull).count() shouldBe 2
+    perm.unpersist(blocking = false)
+    // .rdd.count() forces the full-schema parse — a bare count() counts
+    // CSV records without parsing any field, so neither mode would fire
+    spark.read.schema(strict).option("mode", "DROPMALFORMED")
+      .csv(dir.getAbsolutePath).rdd.count() shouldBe 2
+    an[org.apache.spark.SparkException] should be thrownBy
+      spark.read.schema(strict).option("mode", "FAILFAST")
+        .csv(dir.getAbsolutePath).rdd.count()
+  }
 }

@@ -265,6 +265,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("explode"), "the 27-neighbor explode must be present")
   }
 
+  test("j11 zone tag: collapsed-position cell equi-join, no nested-loop anywhere") {
+    // probed at sf0.01 (the j08–j10 rule: sf0.001's handful of global
+    // points leaves the containment graph near-empty under AQE collapse)
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("j11_geo_zone_tag")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      "the cell-grid containment join must never fall back to a nested-loop/cross plan")
+    assert(plan.contains("explode"), "the box→cells explode must be present")
+  }
+
   test("x13 approx grouped quantiles: one-pass sketch agg + broadcast-back, " +
       "pruned 2-col scans") {
     val (sh, bc, cg, w) = finalShape("x13_grouped_quantiles_approx")

@@ -58,4 +58,53 @@ class DocStreamsSpec extends SparkSpec {
     got.sorted shouldBe Seq((2L, 5L), (2L, 9L), (5L, 9L))
     all(got.map(p => p._1 < p._2)) shouldBe true
   }
+
+  private var m = 0
+
+  private def drainFp(batches: Seq[Seq[FpRow]]): Seq[FpKeeperUpdate] = {
+    implicit val sqlCtx = spark.sqlContext
+    m += 1
+    val view = s"fp_keeper_test_$m"
+    val input = MemoryStream[FpRow]
+    val query = DocStreams.fpKeeperUpdates(input.toDS())
+      .writeStream.format("memory").queryName(view)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(view).as[FpKeeperUpdate].collect().toSeq
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(view)
+    }
+  }
+
+  test("fpKeeperUpdates: compacted revision log == batch keep-first table " +
+      "under every micro-batch placement") {
+    val rows = Seq(FpRow("a", 9), FpRow("a", 4), FpRow("a", 7),
+      FpRow("b", 2), FpRow("b", 5), FpRow("c", 8))
+    val want = Map("a" -> (4L, 3L), "b" -> (2L, 2L), "c" -> (8L, 1L))
+    def compact(log: Seq[FpKeeperUpdate]) =
+      log.groupBy(_.fp).map { case (fp, us) =>
+        fp -> (us.map(_.keeper_id).min, us.map(_.n_copies).max)
+      }
+    compact(drainFp(Seq(rows))) shouldBe want // one batch
+    compact(drainFp(rows.map(Seq(_)))) shouldBe want // one row per batch
+    compact(drainFp(Seq(rows.take(1), rows.slice(1, 4), rows.drop(4)))) shouldBe want
+    compact(drainFp(Seq(rows.reverse))) shouldBe want // scrambled arrival
+    compact(drainFp(Seq(rows.take(2), Seq.empty, rows.drop(2)))) shouldBe want
+  }
+
+  test("fpKeeperUpdates: one revision per fp per batch; keeper only " +
+      "decreases and count only increases along each fp's log") {
+    val log = drainFp(Seq(
+      Seq(FpRow("x", 9), FpRow("x", 6), FpRow("y", 3)),
+      Seq(FpRow("x", 2), FpRow("y", 7), FpRow("y", 8))))
+    log.count(_.fp == "x") shouldBe 2 // batch-folding: not one per doc
+    log.count(_.fp == "y") shouldBe 2
+    val xs = log.filter(_.fp == "x").sortBy(_.n_copies)
+    xs.map(u => (u.keeper_id, u.n_copies)) shouldBe Seq((6L, 2L), (2L, 3L))
+  }
 }
