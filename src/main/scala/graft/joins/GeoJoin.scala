@@ -259,6 +259,7 @@ object GeoJoin {
       lonCol: String, zones: DataFrame, zoneIdCol: String,
       lat0Col: String, lon0Col: String,
       boxLatDeg: Double, boxLonDeg: Double): DataFrame = {
+    require(boxLatDeg > 0 && boxLonDeg > 0, "box dimensions must be positive")
     val pts = points.select(col(idCol).as("id"),
       col(latCol).as("lat"), col(lonCol).as("lon"))
     val ppos = pts.select("lat", "lon").distinct()

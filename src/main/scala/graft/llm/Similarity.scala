@@ -411,6 +411,42 @@ object Similarity {
         .cast("long"))
   }
 
+  /** Shared ADC tail for the SQ8 family ([[sq8TopK]], [[ivfSq8Search]]):
+    * symmetric integer code distance over `cand` (which must carry
+    * (p_id, neighbor_id, code, p_code)) → `shortlist` best candidates per
+    * probe via the bounded-heap aggregate (s01's TopKSim pattern, fed
+    * −qdist: partial aggregation shrinks every partition to `shortlist`
+    * rows per probe BEFORE the exchange — the code scan never rides a
+    * corpus-sized window shuffle; qdist ≤ dim·255² ≈ 4.2e6 ≪ 2⁵³, so the
+    * double negation is exact and the heap order is the integer order) →
+    * exact-cosine re-rank of the shortlist only: the shortlist
+    * (probes·shortlist rows) BROADCASTS back onto `corpus`
+    * ((neighbor_id, emb)), so the exact kernel touches shortlist
+    * candidates, not the corpus.
+    */
+  private def sq8ShortlistRerank(cand: DataFrame, corpus: DataFrame,
+      pe: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    val qdist = aggregate(
+      zip_with(col("code"), col("p_code"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val short = cand
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        (-qdist).cast("double").as("negq"))
+      .groupBy("p_id")
+      .agg(call_function("topk_sim", col("negq"), col("neighbor_id"),
+        lit(shortlist)).as("top"))
+      .select(col("p_id"), explode(col("top.id")).as("neighbor_id"))
+    val rerank = corpus
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(pe), Seq("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        cosine(spark, col("emb"), col("p_emb")).as("sim"))
+    finishTopK(rerank, k)
+  }
+
   /** PQ/SQ8 ANN top-k: rank the corpus per probe by SYMMETRIC quantized
     * distance Σᵢ (cᵃᵢ − cᵇᵢ)² — pure BIGINT on 8-bit codes, 4× smaller
     * than the float vectors (the PQ trade every vector store sells) —
@@ -428,31 +464,9 @@ object Similarity {
       sq8Codes(col(embCol), cb).as("code"))
     val p = probes.select(col(idCol).as("p_id"),
       sq8Codes(col(embCol), cb).as("p_code"))
-    val qdist = aggregate(
-      zip_with(col("code"), col("p_code"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    // shortlist via the bounded-heap aggregate (s01's TopKSim pattern, fed
-    // −qdist): partial aggregation shrinks every partition to `shortlist`
-    // rows per probe BEFORE the exchange — the code scan never rides a
-    // corpus-sized window shuffle. qdist ≤ dim·255² ≈ 4.2e6 ≪ 2⁵³, so the
-    // double negation is exact and the heap order is the integer order.
-    val short = c.crossJoin(broadcast(p))
-      .filter(col("neighbor_id") =!= col("p_id"))
-      .select(col("p_id"), col("neighbor_id"), (-qdist).cast("double").as("negq"))
-      .groupBy("p_id")
-      .agg(call_function("topk_sim", col("negq"), col("neighbor_id"),
-        lit(shortlist)).as("top"))
-      .select(col("p_id"), explode(col("top.id")).as("neighbor_id"))
-    // exact re-rank on the shortlist only: the shortlist (probes·shortlist
-    // rows) BROADCASTS back onto the corpus scan, so the exact cosine
-    // kernel touches shortlist candidates, not the corpus
     val pe = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
-    val cand = c.select(col("neighbor_id"), col("emb"))
-      .join(broadcast(short), Seq("neighbor_id"))
-      .join(broadcast(pe), Seq("p_id"))
-      .select(col("p_id"), col("neighbor_id"),
-        cosine(spark, col("emb"), col("p_emb")).as("sim"))
-    finishTopK(cand, k)
+    sq8ShortlistRerank(c.crossJoin(broadcast(p)),
+      c.select(col("neighbor_id"), col("emb")), pe, k, shortlist)
   }
 
   /** IVF + SQ8 composed ANN — the FAISS "IVF-PQ" pipeline shape, and the
@@ -477,26 +491,12 @@ object Similarity {
     val p = probeClusters(spark, idx, probes, idCol, embCol, nprobe)
       .withColumn("p_code", sq8Codes(col("p_emb"), cb))
       .select("p_id", "cluster", "p_code")
-    val qdist = aggregate(
-      zip_with(col("code"), col("p_code"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    val short = idx.inverted
+    val cand = idx.inverted
       .withColumn("code", sq8Codes(col("emb"), cb))
       .join(broadcast(p), Seq("cluster"))
-      .filter(col("neighbor_id") =!= col("p_id"))
-      .select(col("p_id"), col("neighbor_id"),
-        (-qdist).cast("double").as("negq"))
-      .groupBy("p_id")
-      .agg(call_function("topk_sim", col("negq"), col("neighbor_id"),
-        lit(shortlist)).as("top"))
-      .select(col("p_id"), explode(col("top.id")).as("neighbor_id"))
     val pe = probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
-    val cand = idx.inverted.select(col("neighbor_id"), col("emb"))
-      .join(broadcast(short), Seq("neighbor_id"))
-      .join(broadcast(pe), Seq("p_id"))
-      .select(col("p_id"), col("neighbor_id"),
-        cosine(spark, col("emb"), col("p_emb")).as("sim"))
-    finishTopK(cand, k)
+    sq8ShortlistRerank(cand,
+      idx.inverted.select(col("neighbor_id"), col("emb")), pe, k, shortlist)
   }
 
   /** Candidate pairs for the embedding near-dup regime: 64-bit hyperplane

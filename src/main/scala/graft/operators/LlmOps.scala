@@ -3,6 +3,7 @@ package graft.operators
 import graft.QSpec
 import graft.llm.{Dedup, MediaMeta, MediaRecord, Multimodal, Similarity, TextAnalysis}
 import graft.util.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over documents/embeddings:
@@ -486,6 +487,31 @@ object LlmOps {
         "vec_id", "embedding", 10)
     })
 
+  /** Shared ANN-contract numerators (s02/s09/s10): hits of `ann` inside
+    * the in-plan exact baseline (left-semi on (p_id, neighbor_id)),
+    * baseline size, probe count, and corpus size — every bounded-boolean
+    * ANN contract selects its fractions from these four counts.
+    */
+  private def annRecallCounts(exact: DataFrame, ann: DataFrame,
+      emb: DataFrame): DataFrame =
+    exact.join(ann, Seq("p_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("total"),
+        countDistinct(col("p_id")).as("n_probes")))
+      .crossJoin(emb.agg(count(lit(1)).as("corpus_n")))
+
+  /** Probed-cell member count for the IVF scan-fraction contract term
+    * (s02/s10): how many corpus vectors the `np`-cell probe actually
+    * scans, summed over probes.
+    */
+  private def ivfProbeScanCount(s: SparkSession, idx: Similarity.IvfIndex,
+      probes: DataFrame, np: Int): DataFrame = {
+    val sizes = idx.inverted.groupBy("cluster").count()
+    Similarity.probeClusters(s, idx, probes, "vec_id", "embedding", np)
+      .join(sizes, "cluster")
+      .agg(coalesce(sum(col("count")), lit(0L)).as("scanned"))
+  }
+
   /** s02 — ANN top-k via IVF coarse quantization (the 100 TB scale path
     * for top-k). Recall < 1 by construction, so the declared output is the
     * bounded-boolean contract every ANN index is sold on: recall@10 ≥ 0.9
@@ -519,20 +545,13 @@ object LlmOps {
         .select("p_id", "neighbor_id")
       val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", 10)
         .select("p_id", "neighbor_id")
-      val rec = exact.join(ann, Seq("p_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(exact.agg(count(lit(1)).as("total"),
-          countDistinct(col("p_id")).as("n_probes")))
-      val sizes = idx.inverted.groupBy("cluster").count()
-      val scanned = Similarity.probeClusters(s, idx, probes, "vec_id", "embedding", np)
-        .join(sizes, "cluster")
-        .agg(coalesce(sum(col("count")), lit(0L)).as("scanned"))
-        .crossJoin(emb.agg(count(lit(1)).as("corpus_n")))
-      rec.crossJoin(scanned).select(
-        col("n_probes"),
-        (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"),
-        (col("scanned").cast("double") / (col("n_probes") * col("corpus_n")) <= 0.5)
-          .as("scan_frac_le_050"))
+      annRecallCounts(exact, ann, emb)
+        .crossJoin(ivfProbeScanCount(s, idx, probes, np))
+        .select(
+          col("n_probes"),
+          (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"),
+          (col("scanned").cast("double") / (col("n_probes") * col("corpus_n")) <= 0.5)
+            .as("scan_frac_le_050"))
     })
 
   /** s06 — PERSISTED IVF index ([[Similarity.writeIvfIndex]] /
@@ -748,11 +767,7 @@ object LlmOps {
         .select("p_id", "neighbor_id")
       val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", k)
         .select("p_id", "neighbor_id")
-      val rec = exact.join(ann, Seq("p_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(exact.agg(count(lit(1)).as("total"),
-          countDistinct(col("p_id")).as("n_probes")))
-      rec.crossJoin(emb.agg(count(lit(1)).as("corpus_n"))).select(
+      annRecallCounts(exact, ann, emb).select(
         col("n_probes"),
         (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"),
         (lit(4.0 * k) / col("corpus_n") <= 0.1).as("rerank_frac_le_010"))
@@ -1875,21 +1890,14 @@ object LlmOps {
         .select("p_id", "neighbor_id")
       val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", k)
         .select("p_id", "neighbor_id")
-      val rec = exact.join(ann, Seq("p_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(exact.agg(count(lit(1)).as("total"),
-          countDistinct(col("p_id")).as("n_probes")))
-      val sizes = idx.inverted.groupBy("cluster").count()
-      val scanned = Similarity.probeClusters(s, idx, probes, "vec_id", "embedding", np)
-        .join(sizes, "cluster")
-        .agg(coalesce(sum(col("count")), lit(0L)).as("scanned"))
-        .crossJoin(emb.agg(count(lit(1)).as("corpus_n")))
-      rec.crossJoin(scanned).select(
-        col("n_probes"),
-        (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"),
-        (col("scanned").cast("double") / (col("n_probes") * col("corpus_n")) <= 0.5)
-          .as("scan_frac_le_050"),
-        (lit(4.0 * k) / col("corpus_n") <= 0.1).as("rerank_frac_le_010"))
+      annRecallCounts(exact, ann, emb)
+        .crossJoin(ivfProbeScanCount(s, idx, probes, np))
+        .select(
+          col("n_probes"),
+          (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"),
+          (col("scanned").cast("double") / (col("n_probes") * col("corpus_n")) <= 0.5)
+            .as("scan_frac_le_050"),
+          (lit(4.0 * k) / col("corpus_n") <= 0.1).as("rerank_frac_le_010"))
     })
 
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,

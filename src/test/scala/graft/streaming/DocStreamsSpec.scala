@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** [[DocStreams.lshCandidatePairs]] — the st15 stateful bucket operator —
@@ -15,12 +16,19 @@ class DocStreamsSpec extends SparkSpec {
 
   private var n = 0
 
-  private def drain(batches: Seq[Seq[BandKeyRow]]): Seq[(Long, Long)] = {
+  /** Feed `batches` through a stateful doc-stream operator via
+    * MemoryStream and collect the appended output. A batch given as an
+    * empty slice adds no data and the engine runs NO micro-batch for it —
+    * such a placement is two batches with a no-op drain between, not an
+    * empty-batch execution (MemoryStream cannot force one).
+    */
+  private def drainOp[I: Encoder, O: Encoder](op: Dataset[I] => Dataset[O])(
+      batches: Seq[Seq[I]]): Seq[O] = {
     implicit val sqlCtx = spark.sqlContext
     n += 1
-    val view = s"lsh_cand_test_$n"
-    val input = MemoryStream[BandKeyRow]
-    val query = DocStreams.lshCandidatePairs(input.toDS())
+    val view = s"doc_streams_test_$n"
+    val input = MemoryStream[I]
+    val query = op(input.toDS())
       .writeStream.format("memory").queryName(view)
       .outputMode("append").start()
     try {
@@ -28,13 +36,17 @@ class DocStreamsSpec extends SparkSpec {
         if (b.nonEmpty) input.addData(b: _*)
         query.processAllAvailable()
       }
-      spark.table(view).as[CandPair].collect()
-        .map(p => (p.doc_a, p.doc_b)).toSeq
+      spark.table(view).as[O].collect().toSeq
     } finally {
       query.stop()
       spark.catalog.dropTempView(view)
     }
   }
+
+  private def drain(batches: Seq[Seq[BandKeyRow]]): Seq[(Long, Long)] =
+    drainOp(DocStreams.lshCandidatePairs)(batches).map(p => (p.doc_a, p.doc_b))
+
+  private val drainFp = drainOp(DocStreams.fpKeeperUpdates) _
 
   test("pair emission equals the batch bucket self-join under every placement") {
     // buckets: 100 → {1,2,3}; 200 → {2,3}; 300 → {4} (singleton, no pairs)
@@ -47,6 +59,8 @@ class DocStreamsSpec extends SparkSpec {
     drain(keys.map(Seq(_))).toSet shouldBe want // one row per batch
     drain(Seq(keys.take(2), keys.slice(2, 4), keys.drop(4))).toSet shouldBe want
     drain(Seq(keys.reverse)).toSet shouldBe want // scrambled arrival
+    // empty slice = no micro-batch runs for it (see drainOp) — this is a
+    // two-batch placement with a no-op drain between, not an empty batch
     drain(Seq(keys.take(3), Seq.empty, keys.drop(3))).toSet shouldBe want
   }
 
@@ -57,28 +71,6 @@ class DocStreamsSpec extends SparkSpec {
     // exactly three emissions, no duplicates, all ascending
     got.sorted shouldBe Seq((2L, 5L), (2L, 9L), (5L, 9L))
     all(got.map(p => p._1 < p._2)) shouldBe true
-  }
-
-  private var m = 0
-
-  private def drainFp(batches: Seq[Seq[FpRow]]): Seq[FpKeeperUpdate] = {
-    implicit val sqlCtx = spark.sqlContext
-    m += 1
-    val view = s"fp_keeper_test_$m"
-    val input = MemoryStream[FpRow]
-    val query = DocStreams.fpKeeperUpdates(input.toDS())
-      .writeStream.format("memory").queryName(view)
-      .outputMode("append").start()
-    try {
-      batches.foreach { b =>
-        if (b.nonEmpty) input.addData(b: _*)
-        query.processAllAvailable()
-      }
-      spark.table(view).as[FpKeeperUpdate].collect().toSeq
-    } finally {
-      query.stop()
-      spark.catalog.dropTempView(view)
-    }
   }
 
   test("fpKeeperUpdates: compacted revision log == batch keep-first table " +
@@ -94,6 +86,7 @@ class DocStreamsSpec extends SparkSpec {
     compact(drainFp(rows.map(Seq(_)))) shouldBe want // one row per batch
     compact(drainFp(Seq(rows.take(1), rows.slice(1, 4), rows.drop(4)))) shouldBe want
     compact(drainFp(Seq(rows.reverse))) shouldBe want // scrambled arrival
+    // empty slice = no micro-batch runs for it (see drainOp)
     compact(drainFp(Seq(rows.take(2), Seq.empty, rows.drop(2)))) shouldBe want
   }
 
