@@ -265,16 +265,8 @@ object GeoJoin {
     val ppos = pts.select("lat", "lon").distinct()
       .withColumn("cla", floor(col("lat") / boxLatDeg).cast("long"))
       .withColumn("clo", floor(col("lon") / boxLonDeg).cast("long"))
-    val zpos = zones.select(col(zoneIdCol).as("zid"),
-        col(lat0Col).as("lat0"), col(lon0Col).as("lon0"))
-      .groupBy("lat0", "lon0")
-      .agg(min("zid").as("zmin"), count(lit(1)).as("zcnt"))
-      .withColumn("cla", explode(sequence(
-        floor(col("lat0") / boxLatDeg).cast("long"),
-        floor((col("lat0") + boxLatDeg) / boxLatDeg).cast("long"))))
-      .withColumn("clo", explode(sequence(
-        floor(col("lon0") / boxLonDeg).cast("long"),
-        floor((col("lon0") + boxLonDeg) / boxLonDeg).cast("long"))))
+    val zpos = zoneCells(zones, zoneIdCol, lat0Col, lon0Col,
+      boxLatDeg, boxLonDeg)
     val tagged = ppos.join(zpos, Seq("cla", "clo"))
       .filter(col("lat") >= col("lat0") &&
         col("lat") <= col("lat0") + boxLatDeg &&
@@ -284,5 +276,125 @@ object GeoJoin {
       .agg(min("zmin").as("zone_id"), sum("zcnt").as("n_zones"))
     pts.join(tagged, Seq("lat", "lon"))
       .select(col("id"), col("zone_id"), col("n_zones"))
+  }
+
+  /** Collapsed zone-corner CELL table shared by [[zoneTag]] and
+    * [[zoneTagEachRow]]: coincident boxes pre-reduce to (min zone id,
+    * zone count) per corner — which composes exactly under the callers'
+    * final min/sum — then each corner explodes to its ≤ 2×2 covered grid
+    * cells (grid pitch = exactly the box dims, so a box overlaps at most
+    * 2 cells per axis).
+    */
+  private def zoneCells(zones: DataFrame, zoneIdCol: String,
+      lat0Col: String, lon0Col: String,
+      boxLatDeg: Double, boxLonDeg: Double): DataFrame =
+    zones.select(col(zoneIdCol).as("zid"),
+        col(lat0Col).as("lat0"), col(lon0Col).as("lon0"))
+      .groupBy("lat0", "lon0")
+      .agg(min("zid").as("zmin"), count(lit(1)).as("zcnt"))
+      .withColumn("cla", explode(sequence(
+        floor(col("lat0") / boxLatDeg).cast("long"),
+        floor((col("lat0") + boxLatDeg) / boxLatDeg).cast("long"))))
+      .withColumn("clo", explode(sequence(
+        floor(col("lon0") / boxLonDeg).cast("long"),
+        floor((col("lon0") + boxLonDeg) / boxLonDeg).cast("long"))))
+
+  /** [[zoneTag]] without the point-side position collapse — tags each
+    * point ROW independently, which is exactly what a STREAMING points
+    * frame needs: the static zone side pre-reduces to the same collapsed
+    * cell table ([[zoneCells]], planned per micro-batch like any
+    * stream-static broadcast join), each arriving point equi-joins its
+    * single (cla, clo) cell, and the only stateful step is the final
+    * per-point min/sum aggregate (O(1) state per point id, complete-mode
+    * convergent because every candidate for a point arrives in the
+    * point's own micro-batch). Batch callers should prefer [[zoneTag]] —
+    * the position collapse there can only shrink the join. Output:
+    * (id, zone_id, n_zones), inner semantics (uncovered points drop out).
+    */
+  def zoneTagEachRow(points: DataFrame, idCol: String, latCol: String,
+      lonCol: String, zones: DataFrame, zoneIdCol: String,
+      lat0Col: String, lon0Col: String,
+      boxLatDeg: Double, boxLonDeg: Double): DataFrame = {
+    require(boxLatDeg > 0 && boxLonDeg > 0, "box dimensions must be positive")
+    val zc = zoneCells(zones, zoneIdCol, lat0Col, lon0Col,
+      boxLatDeg, boxLonDeg)
+    points.select(col(idCol).as("id"),
+        col(latCol).as("lat"), col(lonCol).as("lon"))
+      .withColumn("cla", floor(col("lat") / boxLatDeg).cast("long"))
+      .withColumn("clo", floor(col("lon") / boxLonDeg).cast("long"))
+      .join(zc, Seq("cla", "clo"))
+      .filter(col("lat") >= col("lat0") &&
+        col("lat") <= col("lat0") + boxLatDeg &&
+        col("lon") >= col("lon0") &&
+        col("lon") <= col("lon0") + boxLonDeg)
+      .groupBy("id")
+      .agg(min("zmin").as("zone_id"), sum("zcnt").as("n_zones"))
+  }
+
+  /** Box-box OVERLAP join with PER-A aggregates — "how many b-boxes does
+    * each a-box intersect, and which is the smallest-id one": the
+    * coverage/conflict query between two zone layers (service areas ×
+    * listing clusters, districts × parcels). Boxes are axis-aligned,
+    * closed intervals, no antimeridian wrap; a pair overlaps iff the
+    * intervals intersect on BOTH axes (touching edges count).
+    *
+    * Plan shape — never a nested loop, never a pair materialization: the
+    * grid pitch is the LARGER of the two box dims per axis, so EACH side
+    * covers at most 2 cells per axis (≤ 4 cells); overlapping boxes must
+    * share the cell containing their intersection's min corner, so the
+    * pair is counted ONLY there (`floor(greatest(alat, blat)/pitch) =
+    * cla`, likewise lon) — an exact dedup by filter, no distinct().
+    * Both sides collapse to distinct corners first (the zoneTag/j09
+    * weighted-point trick): the b side pre-reduces to (min id, count)
+    * per corner, which composes exactly under the final min/sum, and the
+    * a side re-attaches ids by corner at the end. On saturating lattices
+    * the collapsed sides are CONSTANT in N; on organic data the collapse
+    * is a map-side pre-aggregation that can only shrink the join. The
+    * declared output is one row per a-box — LINEAR — while the pair
+    * relation it aggregates may grow quadratically; that mass exists
+    * only inside the per-cell join, pre-reduced by the corner counts
+    * (the j11 lesson: never materialize the quadratic replay).
+    * Output: (box_id, n_overlaps, min_b_id), inner semantics.
+    */
+  def boxOverlapStats(
+      a: DataFrame, aIdCol: String, aLat0Col: String, aLon0Col: String,
+      aLatDeg: Double, aLonDeg: Double,
+      b: DataFrame, bIdCol: String, bLat0Col: String, bLon0Col: String,
+      bLatDeg: Double, bLonDeg: Double): DataFrame = {
+    require(aLatDeg > 0 && aLonDeg > 0 && bLatDeg > 0 && bLonDeg > 0,
+      "box dimensions must be positive")
+    val gLat = math.max(aLatDeg, bLatDeg)
+    val gLon = math.max(aLonDeg, bLonDeg)
+    def cells(df: DataFrame, latC: String, lonC: String,
+        dLat: Double, dLon: Double): DataFrame = df
+      .withColumn("cla", explode(sequence(
+        floor(col(latC) / gLat).cast("long"),
+        floor((col(latC) + dLat) / gLat).cast("long"))))
+      .withColumn("clo", explode(sequence(
+        floor(col(lonC) / gLon).cast("long"),
+        floor((col(lonC) + dLon) / gLon).cast("long"))))
+    val ab = a.select(col(aIdCol).as("box_id"),
+      col(aLat0Col).as("alat"), col(aLon0Col).as("alon"))
+    val apos = cells(ab.select("alat", "alon").distinct(),
+      "alat", "alon", aLatDeg, aLonDeg)
+    val bpos = cells(
+      b.select(col(bIdCol).as("bid"),
+          col(bLat0Col).as("blat"), col(bLon0Col).as("blon"))
+        .groupBy("blat", "blon")
+        .agg(min("bid").as("bmin"), count(lit(1)).as("bcnt")),
+      "blat", "blon", bLatDeg, bLonDeg)
+    val perCorner = apos.join(bpos, Seq("cla", "clo"))
+      .filter(col("alat") <= col("blat") + bLatDeg &&
+        col("blat") <= col("alat") + aLatDeg &&
+        col("alon") <= col("blon") + bLonDeg &&
+        col("blon") <= col("alon") + aLonDeg)
+      .filter(floor(greatest(col("alat"), col("blat")) / gLat)
+          .cast("long") === col("cla") &&
+        floor(greatest(col("alon"), col("blon")) / gLon)
+          .cast("long") === col("clo"))
+      .groupBy("alat", "alon")
+      .agg(sum("bcnt").as("n_overlaps"), min("bmin").as("min_b_id"))
+    ab.join(perCorner, Seq("alat", "alon"))
+      .select(col("box_id"), col("n_overlaps"), col("min_b_id"))
   }
 }

@@ -268,8 +268,24 @@ object Multimodal {
     * oracle rebuild every landmark without a decoder.
     */
   def audioLandmarkFingerprint(a: WavAudio, windowSize: Int = 32): String = {
-    val n = a.samples.length
+    val lm = landmarks(a, windowSize)
     val sb = new StringBuilder
+    var w = 0
+    while (w < lm.length) {
+      if (w > 0) sb.append('-')
+      sb.append(lm(w)._1).append(':').append(lm(w)._2)
+      w += 1
+    }
+    sb.toString
+  }
+
+  /** Per-window (offset, amplitude) landmark pairs — the shared core of
+    * [[audioLandmarkFingerprint]] (string form) and
+    * [[extractLandmarkVectors]] (vector form). First max on ties.
+    */
+  private def landmarks(a: WavAudio, windowSize: Int): Array[(Int, Int)] = {
+    val n = a.samples.length
+    val out = Array.newBuilder[(Int, Int)]
     var w = 0
     while (w * windowSize < n) {
       val end = math.min((w + 1) * windowSize, n)
@@ -280,11 +296,43 @@ object Multimodal {
         if (amp > bestAmp) { bestAmp = amp; bestOff = i - w * windowSize }
         i += 1
       }
-      if (w > 0) sb.append('-')
-      sb.append(bestOff).append(':').append(bestAmp)
+      out += ((bestOff, bestAmp))
       w += 1
     }
-    sb.toString
+    out.result()
+  }
+
+  final case class LandmarkVector(doc_id: Long, embedding: Array[Float])
+
+  /** Batched decode → landmark FEATURE VECTOR: the ANN-handoff form of
+    * [[extractAudioFingerprints]] — each clip's per-window (offset,
+    * amplitude) landmarks flattened to [off0, amp0, off1, amp1, …], an
+    * `array<float>` embedding column the similarity stack consumes
+    * directly. Entries are small non-negative ints (off < windowSize,
+    * amp ≤ 32767), exactly representable in float, so the cosine
+    * kernel's double accumulation downstream is bit-deterministic and a
+    * SQL oracle can rebuild every vector from the closed-form synthetic
+    * corpus without a decoder.
+    */
+  def extractLandmarkVectors(media: Dataset[MediaRecord],
+      windowSize: Int = 32): Dataset[LandmarkVector] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val lm = landmarks(wavDecode(r.content), windowSize)
+          val v = new Array[Float](lm.length * 2)
+          var w = 0
+          while (w < lm.length) {
+            v(2 * w) = lm(w)._1.toFloat
+            v(2 * w + 1) = lm(w)._2.toFloat
+            w += 1
+          }
+          LandmarkVector(r.doc_id, v)
+        }
+      }
+    }
   }
 
   final case class AudioFp(doc_id: Long, fp: String)

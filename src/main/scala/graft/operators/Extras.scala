@@ -323,6 +323,52 @@ object Extras {
         .orderBy("o_orderpriority")
     })
 
+  /** x14 — SLIDING-window approximate distinct counts (distinct active
+    * users per 3-hour window hopping hourly): the rolling-cardinality
+    * dashboard query, and the sliding twin of x12's grouped HLL. The
+    * fanout is BOUNDED BY CONSTRUCTION: each event belongs to exactly 3
+    * hourly-hopped 3-hour windows, so the explode is a fixed ×3 — never
+    * a range join, never a window over the event log — and everything
+    * after it is x12's machinery (map-side partial HLL per window key).
+    * Same split-plan rule as x02/x12: the exact and sketch aggregates
+    * run as SEPARATE plans joined on the window key, because mixing a
+    * distinct and a sketch aggregate in one agg forces an Expand that
+    * defeats the sketch's partial aggregation. Window key = epoch-hour
+    * BIGINT of the window start (the repo's long-ns ts contract; no
+    * timestamp types cross the engines). Oracle pins the exact
+    * per-window counts and the 5 % bound (5× the rsd-0.01 standard
+    * error; window cardinalities are 13+ at sf0.01 where the sketch's
+    * sparse mode is exact, and grow linearly — measured 722 windows,
+    * 117–411 distinct at sf0.1).
+    */
+  val x14 = QSpec(
+    "x14_sliding_window_distinct",
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h
+           |        FROM events),
+           |x AS (SELECT user_id, h - o AS win_h
+           |      FROM e, UNNEST(range(0, 3)) t(o)),
+           |w AS (SELECT win_h,
+           |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           |      FROM x GROUP BY win_h)
+           |SELECT win_h, exact_distinct, TRUE AS hll_within_5pct
+           |FROM w ORDER BY win_h""".stripMargin),
+    (s, d) => {
+      val x = events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 3600000000").as("h"))
+        .select(col("user_id"),
+          explode(sequence(col("h") - 2, col("h"))).as("win_h"))
+      val exact = x.groupBy("win_h")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val approx = x.groupBy("win_h")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("ad"))
+      exact.join(approx, "win_h")
+        .select(col("win_h"), col("exact_distinct"),
+          (abs(col("ad") - col("exact_distinct")) <=
+            lit(0.05) * col("exact_distinct")).as("hll_within_5pct"))
+        .orderBy("win_h")
+    })
+
   val specs: Seq[QSpec] = Seq(u01, u02, x01, x02, x03, x04, t05, x09, x10,
-    x11, x12)
+    x11, x12, x14)
 }

@@ -1900,8 +1900,102 @@ object LlmOps {
           (lit(4.0 * k) / col("corpus_n") <= 0.1).as("rerank_frac_le_010"))
     })
 
+  /** p15 — the FULL curation pipeline end-to-end: exact-dedup keeper
+    * pass (d06's fingerprint groupBy) → quality/length gate (t06's
+    * rule) → quota-capped domain sampling (p14's mechanism), composed as
+    * ONE declarative plan. p01 proved dedup + quality compose into
+    * corpus STATS; this goes the rest of the way to the SELECTED
+    * training set — the rows a real pipeline would ship — and
+    * hash-pins every kept (source, doc_id, score, rank). The quota cap
+    * is relative to the SURVIVING set (greatest(5, n_survivors div
+    * 100)), i.e. the mix is balanced over what dedup + quality left, not
+    * over the raw crawl. Plan shape: one fingerprint hash-agg + semi
+    * join, the scan-shaped scoring kernel, one per-source window —
+    * three shuffles total, nothing pairwise, nothing driver-side; at
+    * 100 TB each stage is the same plan its standalone operator runs.
+    */
+  val p15 = QSpec(
+    "p15_curation_pipeline",
+    Some(s"""WITH keep AS (
+            |  SELECT MIN(doc_id) AS doc_id FROM documents
+            |  GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+            |$scoredDocsSql,
+            |f AS (SELECT s.doc_id, d.source, s.quality_score
+            |      FROM s JOIN keep USING (doc_id)
+            |      JOIN documents d USING (doc_id)
+            |      WHERE s.quality_score >= 0.5 AND s.word_cnt BETWEEN 5 AND 1000),
+            |n AS (SELECT GREATEST(5, COUNT(*) // 100) AS cap FROM f),
+            |r AS (SELECT source, doc_id, quality_score,
+            |    ROW_NUMBER() OVER (PARTITION BY source
+            |      ORDER BY quality_score DESC,
+            |        CAST(('0x' || substr(md5('quota:' || doc_id), 1, 12)) AS BIGINT),
+            |        doc_id) AS rn
+            |  FROM f)
+            |SELECT source, doc_id, quality_score, CAST(rn AS BIGINT) AS rank
+            |FROM r, n WHERE rn <= cap ORDER BY source, rank""".stripMargin),
+    (s, d) => {
+      val keepers = Dedup
+        .dedupKeepFirstByFingerprint(documents(s, d), "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val survivors = scoredDocs(s, d, barrier = true)
+        .join(documents(s, d).select("doc_id", "source"), "doc_id")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("quality_score") >= 0.5 && col("word_cnt").between(5, 1000) &&
+          col("__b") >= 0)
+      graft.llm.Curation
+        .domainQuotaSample(survivors, "doc_id", "source", "quality_score")
+        .orderBy("source", "rank")
+    })
+
+  /** mm09 — media features → ANN HANDOFF: the composition that makes the
+    * multimodal family first-class corpus citizens — decode the audio
+    * corpus ([[graft.llm.Multimodal.extractLandmarkVectors]], scan-shaped
+    * batched mapPartitions), flatten each clip's per-window landmarks
+    * into an `array<float>` embedding, and hand that column to the SAME
+    * similarity stack the text embeddings use
+    * ([[graft.llm.Similarity.bruteTopK]] here as the exact fixture-scale
+    * form; at 100 TB the s02/s10 IVF+SQ8 index applies unchanged,
+    * because after the handoff a media feature vector IS just an
+    * embedding column). Landmark entries are small exact ints, so the
+    * cosine kernel's double accumulation is bit-deterministic and the
+    * oracle rebuilds vectors AND the full top-k from the closed-form
+    * synthetic corpus — parse → decode → landmark → vectorize → ANN,
+    * hash-pinned end to end.
+    */
+  val mm09 = QSpec(
+    "mm09_media_ann_handoff",
+    Some("""WITH sd AS (SELECT doc_id, (doc_id * 53) % 1009 AS seed FROM documents),
+           |lm AS (SELECT doc_id, w,
+           |    CAST(list_position(l, list_max(l)) - 1 AS DOUBLE) AS off,
+           |    CAST(list_max(l) AS DOUBLE) AS amp
+           |  FROM (SELECT doc_id, w, list_transform(range(0, 32),
+           |          j -> abs(((seed + 7 * (w * 32 + j)) % 2001) - 1000)) AS l
+           |        FROM sd, UNNEST(range(0, 8)) AS t(w))),
+           |v AS (SELECT doc_id, flatten(list([off, amp] ORDER BY w)) AS vec
+           |      FROM lm GROUP BY doc_id),
+           |p AS (SELECT doc_id AS p_id, vec AS p_vec FROM v WHERE doc_id < 5),
+           |pairs AS (SELECT p.p_id, v.doc_id AS neighbor_id,
+           |    list_sum(list_transform(range(1, 17), i -> vec[i] * p_vec[i]))
+           |    / (SQRT(list_sum(list_transform(range(1, 17), i -> vec[i] * vec[i])))
+           |     * SQRT(list_sum(list_transform(range(1, 17), i -> p_vec[i] * p_vec[i])))) AS sim
+           |  FROM v, p WHERE v.doc_id <> p.p_id),
+           |r AS (SELECT p_id, neighbor_id, sim,
+           |        ROW_NUMBER() OVER (PARTITION BY p_id
+           |                           ORDER BY sim DESC, neighbor_id) AS rank
+           |      FROM pairs)
+           |SELECT p_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           |       ROUND(sim, 6) AS sim
+           |FROM r WHERE rank <= 3 ORDER BY p_id, rank""".stripMargin),
+    (s, d) => {
+      val vecs = Multimodal.extractLandmarkVectors(
+        Multimodal.syntheticWav(documents(s, d), "doc_id", 256, 16000))
+        .toDF().select(col("doc_id").as("vec_id"), col("embedding"))
+      Similarity.bruteTopK(s, vecs, vecs.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3)
+    })
+
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, s10)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, s10, p15, mm09)
 }

@@ -979,6 +979,42 @@ object StreamOps {
         .orderBy("keeper_id")
     })
 
+  /** st17 — streaming geo ZONE TAGGING (j11's st-twin, the geofencing
+    * form every location pipeline runs at ingest: "which service areas
+    * cover this arriving point"). The static zone side pre-reduces to
+    * j11's collapsed corner-cell table and is planned per micro-batch
+    * exactly like st03's dimension broadcast; each arriving point
+    * equi-joins its single grid cell — stateless per-row candidate work,
+    * zero stream-side state growth — and the only stateful step is the
+    * final per-point min/sum aggregate
+    * ([[graft.joins.GeoJoin.zoneTagEachRow]]): O(1) state per point id,
+    * convergent in complete mode because every candidate zone for a
+    * point arrives in the point's own micro-batch. The oracle is j11's
+    * SQL verbatim — the backlog slices by id residue, and the hash gate
+    * proves placement invariance rather than asserting it.
+    */
+  val st17 = QSpec(
+    "st17_stream_zone_tag",
+    CorpusOps.j11.oracle,
+    (s, d) => {
+      val pts = customer(s, d).select(col("c_custkey").as("id"),
+        (((col("c_custkey") * 7) % 180).cast("double") - 90 + 0.25).as("lat"),
+        (((col("c_custkey") * 13) % 360).cast("double") - 180 + 0.5).as("lon"))
+      val backlog = batchBacklog(s, d, "st17",
+        pts.filter(col("id") % 3 === 0),
+        pts.filter(col("id") % 3 === 1),
+        pts.filter(col("id") % 3 === 2))
+      val stream = s.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+      val zones = supplier(s, d).select(col("s_suppkey").as("zone_id"),
+        (((col("s_suppkey") * 23) % 140).cast("double") - 70).as("lat0"),
+        (((col("s_suppkey") * 29) % 300).cast("double") - 150).as("lon0"))
+      val tagged = graft.joins.GeoJoin.zoneTagEachRow(stream,
+        "id", "lat", "lon", zones, "zone_id", "lat0", "lon0", 20.0, 30.0)
+      drainToTable(tagged, "st17", d, "complete")
+        .orderBy("id")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09, st10, st11, st12, st13, st14, st15, st16)
+    st09, st10, st11, st12, st13, st14, st15, st16, st17)
 }

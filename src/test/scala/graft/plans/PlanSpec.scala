@@ -298,6 +298,57 @@ class PlanSpec extends SparkSpec {
     cg should be >= 2
   }
 
+  test("j12 box overlap: two-sided cell grid, no nested-loop anywhere") {
+    // probed at sf0.01 (the j08–j11 rule: sf0.001's handful of boxes
+    // leaves the overlap graph tiny under AQE collapse)
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("j12_box_overlap_join")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      "the two-sided cell-grid join must never fall back to a nested-loop/cross plan")
+    assert(plan.contains("explode"), "the box→cells explode must be present")
+  }
+
+  test("x14 sliding-window distinct: split exact/sketch plans, no Expand, " +
+      "pruned 2-col scans") {
+    val (sh, bc, cg, w) = finalShape("x14_sliding_window_distinct")
+    // events scanned twice (exact pass + sketch pass), both pruned to
+    // (ts, user_id); shuffles: the exact distinct's two-stage agg (2),
+    // the sketch agg, the output sort; the 722-row sketch output rides a
+    // broadcast back onto the exact side
+    (sh, bc, w) shouldBe ((4, 1, Seq(2, 2)))
+    cg should be >= 2
+    // the split-plan rule made visible: one fused agg would Expand
+    val p = SparkEntry.queries("x14_sliding_window_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), "exact and sketch aggs must stay split")
+  }
+
+  test("p15 curation pipeline: dedup semi-join + scoring scan + one " +
+      "source-partition window, every documents scan pruned") {
+    val (sh, bc, cg, w) = finalShape("p15_curation_pipeline")
+    // scans: documents ×4 (fp keeper agg, scoring kernel, source attach,
+    // cap count) + the 1-row cap; shuffles: keeper agg, survivor count,
+    // the source-partition rank window, its upstream agg, the output
+    // sort; keeper set / source side / cap scalar ride broadcasts
+    (sh, bc) shouldBe ((5, 5))
+    w.max should be <= 2 // no documents scan reads the full row
+    cg should be >= 2
+  }
+
+  test("mm09 media ANN handoff: decode scan + bounded probe broadcast + " +
+      "top-k agg, 1-col scans") {
+    val (sh, bc, cg, w) = finalShape("mm09_media_ann_handoff")
+    // scans: documents (doc_id) twice (corpus + probe legs); shuffles:
+    // the top-k heap agg and the output sort; the 5-probe side rides the
+    // one broadcast (a deliberate bounded nested-loop — 5 rows × corpus,
+    // the s01 shape)
+    (sh, bc, w) shouldBe ((2, 1, Seq(1, 1)))
+    cg should be >= 2
+  }
+
   test("p14 domain quota: one source-partition window + cap broadcast") {
     val (sh, bc, cg, w) = finalShape("p14_domain_quota")
     // scans: documents (doc_id,text) for scores, (doc_id,source) for the
