@@ -365,36 +365,90 @@ object GeoJoin {
       "box dimensions must be positive")
     val gLat = math.max(aLatDeg, bLatDeg)
     val gLon = math.max(aLonDeg, bLonDeg)
-    def cells(df: DataFrame, latC: String, lonC: String,
-        dLat: Double, dLon: Double): DataFrame = df
-      .withColumn("cla", explode(sequence(
-        floor(col(latC) / gLat).cast("long"),
-        floor((col(latC) + dLat) / gLat).cast("long"))))
-      .withColumn("clo", explode(sequence(
-        floor(col(lonC) / gLon).cast("long"),
-        floor((col(lonC) + dLon) / gLon).cast("long"))))
     val ab = a.select(col(aIdCol).as("box_id"),
       col(aLat0Col).as("alat"), col(aLon0Col).as("alon"))
-    val apos = cells(ab.select("alat", "alon").distinct(),
-      "alat", "alon", aLatDeg, aLonDeg)
-    val bpos = cells(
-      b.select(col(bIdCol).as("bid"),
-          col(bLat0Col).as("blat"), col(bLon0Col).as("blon"))
-        .groupBy("blat", "blon")
-        .agg(min("bid").as("bmin"), count(lit(1)).as("bcnt")),
-      "blat", "blon", bLatDeg, bLonDeg)
-    val perCorner = apos.join(bpos, Seq("cla", "clo"))
-      .filter(col("alat") <= col("blat") + bLatDeg &&
-        col("blat") <= col("alat") + aLatDeg &&
-        col("alon") <= col("blon") + bLonDeg &&
-        col("blon") <= col("alon") + aLonDeg)
-      .filter(floor(greatest(col("alat"), col("blat")) / gLat)
-          .cast("long") === col("cla") &&
-        floor(greatest(col("alon"), col("blon")) / gLon)
-          .cast("long") === col("clo"))
+    val apos = boxCells(ab.select("alat", "alon").distinct(),
+      "alat", "alon", aLatDeg, aLonDeg, gLat, gLon)
+    val perCorner = apos
+      .join(bCornerCells(b, bIdCol, bLat0Col, bLon0Col, bLatDeg, bLonDeg,
+        gLat, gLon), Seq("cla", "clo"))
+      .filter(overlapAtMinCorner(aLatDeg, aLonDeg, bLatDeg, bLonDeg, gLat, gLon))
       .groupBy("alat", "alon")
       .agg(sum("bcnt").as("n_overlaps"), min("bmin").as("min_b_id"))
     ab.join(perCorner, Seq("alat", "alon"))
       .select(col("box_id"), col("n_overlaps"), col("min_b_id"))
   }
+
+  /** [[boxOverlapStats]] without the a-side corner collapse — aggregates
+    * per a ROW, which is exactly what a STREAMING a-side needs: the
+    * static b side pre-reduces to the same collapsed corner-cell table
+    * (planned per micro-batch like any stream-static dimension join),
+    * each arriving a-box grid-explodes to its ≤ 2×2 covered cells
+    * (bounded, stateless candidate work), pairs dedup by the
+    * intersection-min-corner filter, and the only stateful step is the
+    * final per-box sum/min aggregate — O(1) state per box id,
+    * complete-mode convergent because every candidate for a box arrives
+    * in the box's own micro-batch. Batch callers should prefer
+    * [[boxOverlapStats]] — the corner collapse there can only shrink
+    * the join. Output: (box_id, n_overlaps, min_b_id), inner semantics
+    * (overlap-free boxes drop out).
+    */
+  def boxOverlapEachRow(
+      a: DataFrame, aIdCol: String, aLat0Col: String, aLon0Col: String,
+      aLatDeg: Double, aLonDeg: Double,
+      b: DataFrame, bIdCol: String, bLat0Col: String, bLon0Col: String,
+      bLatDeg: Double, bLonDeg: Double): DataFrame = {
+    require(aLatDeg > 0 && aLonDeg > 0 && bLatDeg > 0 && bLonDeg > 0,
+      "box dimensions must be positive")
+    val gLat = math.max(aLatDeg, bLatDeg)
+    val gLon = math.max(aLonDeg, bLonDeg)
+    boxCells(a.select(col(aIdCol).as("box_id"),
+        col(aLat0Col).as("alat"), col(aLon0Col).as("alon")),
+        "alat", "alon", aLatDeg, aLonDeg, gLat, gLon)
+      .join(bCornerCells(b, bIdCol, bLat0Col, bLon0Col, bLatDeg, bLonDeg,
+        gLat, gLon), Seq("cla", "clo"))
+      .filter(overlapAtMinCorner(aLatDeg, aLonDeg, bLatDeg, bLonDeg, gLat, gLon))
+      .groupBy("box_id")
+      .agg(sum("bcnt").as("n_overlaps"), min("bmin").as("min_b_id"))
+  }
+
+  /** Grid cells covered by each box: pitch (gLat, gLon) is the LARGER of
+    * the two layers' dims per axis, so a (dLat, dLon) box covers at most
+    * 2 cells per axis.
+    */
+  private def boxCells(df: DataFrame, latC: String, lonC: String,
+      dLat: Double, dLon: Double, gLat: Double, gLon: Double): DataFrame = df
+    .withColumn("cla", explode(sequence(
+      floor(col(latC) / gLat).cast("long"),
+      floor((col(latC) + dLat) / gLat).cast("long"))))
+    .withColumn("clo", explode(sequence(
+      floor(col(lonC) / gLon).cast("long"),
+      floor((col(lonC) + dLon) / gLon).cast("long"))))
+
+  /** b side collapsed to (min id, count) per distinct corner — composes
+    * exactly under the callers' final min/sum — then exploded to covered
+    * cells. */
+  private def bCornerCells(b: DataFrame, bIdCol: String, bLat0Col: String,
+      bLon0Col: String, bLatDeg: Double, bLonDeg: Double,
+      gLat: Double, gLon: Double): DataFrame =
+    boxCells(
+      b.select(col(bIdCol).as("bid"),
+          col(bLat0Col).as("blat"), col(bLon0Col).as("blon"))
+        .groupBy("blat", "blon")
+        .agg(min("bid").as("bmin"), count(lit(1)).as("bcnt")),
+      "blat", "blon", bLatDeg, bLonDeg, gLat, gLon)
+
+  /** Closed-interval overlap on both axes AND the exact-dedup-by-filter:
+    * the pair is kept ONLY in the cell containing the intersection's min
+    * corner. */
+  private def overlapAtMinCorner(aLatDeg: Double, aLonDeg: Double,
+      bLatDeg: Double, bLonDeg: Double, gLat: Double, gLon: Double): Column =
+    col("alat") <= col("blat") + bLatDeg &&
+      col("blat") <= col("alat") + aLatDeg &&
+      col("alon") <= col("blon") + bLonDeg &&
+      col("blon") <= col("alon") + aLonDeg &&
+      floor(greatest(col("alat"), col("blat")) / gLat)
+        .cast("long") === col("cla") &&
+      floor(greatest(col("alon"), col("blon")) / gLon)
+        .cast("long") === col("clo")
 }

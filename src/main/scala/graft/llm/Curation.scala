@@ -219,6 +219,37 @@ object Curation {
       .drop("__shuffle_key")
   }
 
+  /** Curriculum ordering: difficulty STAGES by an integer score, shuffled
+    * deterministically WITHIN each stage — the curriculum-learning data
+    * layout (easy→hard stage progression, order randomized inside a
+    * stage so training never sees the data sorted by the difficulty
+    * proxy itself). Stage = nStages·(score − min) div (max − min + 1) in
+    * exact BIGINT arithmetic — a data-RELATIVE bucket that tracks any
+    * score range (the s02 fractions lesson: absolute thresholds rot on a
+    * data refresh), replayable verbatim in the oracle, unlike a quantile
+    * split (engine-specific interpolation). Intra-stage key is the p10
+    * md5 recipe (48-bit hex prefix, BIGINT-safe in both engines); `pos`
+    * is dense from 0 per stage. The rank's partition count is nStages —
+    * the same bounded-partition shape as p10's shards, sized by the
+    * CALLER to the stage count a curriculum actually uses; per-stage
+    * state is the stage's (key, id) pairs, which a 100 TB run would
+    * range-sort per stage instead (same order, different machinery).
+    */
+  def curriculumStages(df: DataFrame, idCol: String, scoreCol: String,
+      seed: String, nStages: Int): DataFrame = {
+    require(nStages >= 1, "nStages must be >= 1")
+    val m = df.agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+    val key = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("long")
+    df.crossJoin(broadcast(m))
+      .withColumn("stage", expr(
+        s"cast(($nStages * ($scoreCol - __mn)) div (__mx - __mn + 1) as int)"))
+      .withColumn("__k", key)
+      .withColumn("pos", (row_number().over(Window.partitionBy(col("stage"))
+        .orderBy(col("__k"), col(idCol))) - 1).cast("long"))
+      .drop("__k", "__mn", "__mx")
+  }
+
   /** Temperature-sampling mixture weights over strata (the multilingual
     * data-mixing rule, p_i ∝ n_i^(1/T) with T = 2): per stratum,
     * weight = sqrt(n_i) / Σ_j sqrt(n_j). sqrt is correctly rounded in

@@ -369,6 +369,46 @@ object Extras {
         .orderBy("win_h")
     })
 
+  /** x15 — top-k HEAVY HITTERS per sliding window (the "top accounts per
+    * rolling 3-hour window" feed — x14 told you HOW MANY distinct users
+    * a window saw; this names the busiest ones). x14's bounded ×3
+    * hop-explode supplies the window spine — each event lands in exactly
+    * 3 hourly-hopped 3-hour windows, never a range join — then
+    * per-(window, user) counts aggregate with map-side partials and a
+    * per-window row_number keeps k = 3, ties broken by user_id (the
+    * output is deterministic by construction, not by luck). The rank
+    * shuffle is keyed by the WINDOW (722 windows at sf0.1, growing with
+    * the time span), so parallelism scales with data, and the rank's
+    * input is the (window, user) COUNT table — the aggregate, not the
+    * event log. The oracle replays the identical spine + rank.
+    */
+  val x15 = QSpec(
+    "x15_window_heavy_hitters",
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h
+           |        FROM events),
+           |x AS (SELECT user_id, h - o AS win_h
+           |      FROM e, UNNEST(range(0, 3)) t(o)),
+           |c AS (SELECT win_h, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+           |      FROM x GROUP BY 1, 2),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY win_h
+           |        ORDER BY n_events DESC, user_id ASC) AS rk FROM c)
+           |SELECT win_h, user_id, n_events, CAST(rk AS INT) AS rk
+           |FROM r WHERE rk <= 3 ORDER BY win_h, rk""".stripMargin),
+    (s, d) => {
+      val counts = events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 3600000000").as("h"))
+        .select(col("user_id"),
+          explode(sequence(col("h") - 2, col("h"))).as("win_h"))
+        .groupBy("win_h", "user_id")
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("win_h").orderBy(col("n_events").desc, col("user_id"))
+      counts.withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy("win_h", "rk")
+    })
+
   val specs: Seq[QSpec] = Seq(u01, u02, x01, x02, x03, x04, t05, x09, x10,
-    x11, x12, x14)
+    x11, x12, x14, x15)
 }

@@ -1994,8 +1994,92 @@ object LlmOps {
         "vec_id", "embedding", 3)
     })
 
+  /** s11 — metadata-FILTERED ANN (the production complication every
+    * vector store hits: "top-k neighbors among vectors WHERE label < 5").
+    * The predicate is pushed INTO the index scan — the shared fitted IVF
+    * index's inverted file (the same [[Similarity.cachedIvfIndex]]
+    * quantizer s02/s06/s10 search) is semi-join-filtered by the eligible
+    * ids BEFORE the candidate join (pre-filtering; a 100 TB deployment
+    * carries the filter columns IN the inverted lists so the prune is a
+    * pushed parquet predicate) — never applied to the finished top-k
+    * afterward (post-filtering a top-10 list collapses recall: the
+    * survivors of an unrelated-metadata filter are ≪ k). Contract
+    * mirrors s02 with every term computed against the FILTERED corpus:
+    * recall@10 ≥ 0.9 vs the filtered brute-force baseline while
+    * scanning ≤ 50 % of the filtered corpus, nprobe = 40 % of actual
+    * cells (fractions of data-derived quantities, the s02 lesson).
+    */
+  val s11 = QSpec(
+    "s11_filtered_ivf_ann",
+    Some("""SELECT CAST(5 AS BIGINT) AS n_probes,
+           | TRUE AS recall_ge_090, TRUE AS scan_frac_le_050""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val eligible = emb.filter(col("label") < 5)
+      val probes = emb.filter(col("vec_id") < 5)
+      // the same shared fitted quantizer s02/s06/s10 search — filtered
+      // ANN reuses the UNFILTERED index and prunes its lists per query
+      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding", 512)
+      val np = math.max(1, idx.centroids.length * 2 / 5) // probe 40 % of cells
+      val fidx = idx.copy(inverted = idx.inverted.join(
+        eligible.select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi"))
+      val ann = Similarity.ivfSearch(s, fidx, probes, "vec_id", "embedding", 10, np)
+        .select("p_id", "neighbor_id")
+      val exact = Similarity.bruteTopK(s, eligible, probes, "vec_id", "embedding", 10)
+        .select("p_id", "neighbor_id")
+      annRecallCounts(exact, ann, eligible)
+        .crossJoin(ivfProbeScanCount(s, fidx, probes, np))
+        .select(
+          col("n_probes"),
+          (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"),
+          (col("scanned").cast("double") / (col("n_probes") * col("corpus_n")) <= 0.5)
+            .as("scan_frac_le_050"))
+    })
+
+  /** p16 — CURRICULUM ordering ([[graft.llm.Curation.curriculumStages]]):
+    * the training-data layout step after curation — stage documents
+    * easy→hard by an integer difficulty proxy (whitespace token count,
+    * t03's stat), with the order INSIDE each stage deterministically
+    * shuffled (p10's md5 recipe) so no stage is sorted by the proxy
+    * itself. Stages are data-relative BIGINT buckets
+    * (nStages·(score−min) div (max−min+1)) — exact cross-engine, no
+    * quantile interpolation — and the declared output pins each stage's
+    * size, score span, head document, and the p10-style order checksum,
+    * so a stage-boundary drift or an intra-stage reorder hash-fails.
+    */
+  val p16 = QSpec(
+    "p16_curriculum_order",
+    Some("""WITH sc AS (SELECT doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS score
+           |  FROM documents),
+           |m AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM sc),
+           |st AS (SELECT doc_id, score,
+           |    CAST((4 * (score - mn)) // (mx - mn + 1) AS INT) AS stage,
+           |    CAST(('0x' || substr(md5('cur0:' || CAST(doc_id AS VARCHAR)), 1, 12))
+           |         AS BIGINT) AS key
+           |  FROM sc, m),
+           |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stage
+           |        ORDER BY key, doc_id) - 1 AS pos FROM st)
+           |SELECT stage, COUNT(*) AS n_docs, MIN(score) AS min_score,
+           |  MAX(score) AS max_score,
+           |  CAST(MIN(CASE WHEN pos = 0 THEN doc_id END) AS BIGINT) AS first_doc,
+           |  CAST(SUM((pos + 1) * ((doc_id % 1000003) + 1)) AS BIGINT) AS order_checksum
+           |FROM p GROUP BY stage ORDER BY stage""".stripMargin),
+    (s, d) => graft.llm.Curation.curriculumStages(
+        documents(s, d).select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).as("score")),
+        "doc_id", "score", "cur0", 4)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        min("score").as("min_score"), max("score").as("max_score"),
+        min(when(col("pos") === 0, col("doc_id"))).as("first_doc"),
+        sum((col("pos") + 1) * (col("doc_id") % 1000003 + 1))
+          .as("order_checksum"))
+      .orderBy("stage"))
+
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, s10, p15, mm09)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, s10, p15, mm09, s11, p16)
 }

@@ -747,9 +747,68 @@ object Relational {
         .toDF("n_permissive", "n_corrupt", "n_dropmalformed", "failfast_threw")
     })
 
+  /** q41 — Avro SCHEMA-EVOLUTION read ([[graft.sources.AvroIO]] with an
+    * explicit READER schema — Avro's schema-resolution rules, the
+    * contract that makes the format an evolution-safe interchange): one
+    * directory holds two file GENERATIONS — v1 (even order keys; no
+    * `o_totalprice`, `bucket` written as INT) and v2 (odd keys; adds
+    * nullable `o_totalprice`, `bucket` widened to LONG) — read under a
+    * single reader schema, with v1 rows null-filled on the added column
+    * (union-null default) and int→long PROMOTED on the widened one.
+    * Fields resolve by NAME, so the generations' differing field layouts
+    * interleave freely across part files. The oracle derives both
+    * generations from the live orders table (v1 = even keys, v2 = odd),
+    * so a resolution bug on either leg — a default not applied, a
+    * promotion mis-decoded, rows of one generation dropped —
+    * hash-fails. (q38 pins the single-schema round-trip; this pins the
+    * cross-generation read.)
+    */
+  val q41 = QSpec(
+    "q41_avro_evolution",
+    Some("""SELECT o_orderkey, o_orderstatus,
+           | CAST(o_orderkey % 100 AS BIGINT) AS bucket,
+           | CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice_ev
+           |FROM orders WHERE o_orderkey % 5 = 0
+           |ORDER BY o_orderkey""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+      val root = scratch(d, "q41_avro")
+      val v2dir = scratch(d, "q41_avro_v2")
+      graft.sources.AvroIO.write(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 100).cast("int").as("bucket")), root)
+      graft.sources.AvroIO.write(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 100).as("bucket"), col("o_totalprice")),
+        v2dir)
+      // merge the generations into one scan dir: driver-side renames of
+      // a handful of part files (scratch-dir arrangement, not data
+      // motion — a real deployment's generations land in one prefix)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.listStatus(new org.apache.hadoop.fs.Path(v2dir))
+        .filter(_.getPath.getName.endsWith(".avro"))
+        .foreach { st =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+            rootPath, "gen2-" + st.getPath.getName)): Unit
+        }
+      val readerSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("bucket", LongType),
+        StructField("o_totalprice", DoubleType)))
+      graft.sources.AvroIO.read(s, root, readerSchema)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("bucket"),
+          col("o_totalprice").as("o_totalprice_ev"))
+        .orderBy("o_orderkey")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35, q36,
-    q37, q38, q39)
+    q37, q38, q39, q41)
 }

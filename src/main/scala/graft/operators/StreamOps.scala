@@ -1015,6 +1015,44 @@ object StreamOps {
         .orderBy("id")
     })
 
+  /** st18 — streaming BOX-OVERLAP stats (j12's st-twin: arriving service
+    * areas scored against a static box layer at ingest — "how many
+    * listing clusters does this new coverage area intersect, and which
+    * is the canonical one"). The static part-box side pre-reduces to
+    * j12's collapsed corner-cell table and plans per micro-batch like
+    * st03's dimension broadcast; each arriving supplier box
+    * grid-explodes to its ≤ 2×2 covered cells (bounded, stateless
+    * candidate work) and pairs dedup by the intersection-min-corner
+    * filter ([[graft.joins.GeoJoin.boxOverlapEachRow]]); the only
+    * stateful step is the final per-box sum/min aggregate — O(1) state
+    * per box id, complete-mode convergent because every candidate for a
+    * box arrives in the box's own micro-batch. The oracle is j12's SQL
+    * verbatim — the backlog slices by id residue, and the hash gate
+    * proves batch-placement invariance rather than asserting it.
+    */
+  val st18 = QSpec(
+    "st18_stream_box_overlap",
+    CorpusOps.j12.oracle,
+    (s, d) => {
+      val sup = supplier(s, d).select(col("s_suppkey").as("sid"),
+        (((col("s_suppkey") * 23) % 140).cast("double") - 70).as("alat"),
+        (((col("s_suppkey") * 29) % 300).cast("double") - 150).as("alon"))
+      val backlog = batchBacklog(s, d, "st18",
+        sup.filter(col("sid") % 3 === 0),
+        sup.filter(col("sid") % 3 === 1),
+        sup.filter(col("sid") % 3 === 2))
+      val stream = s.readStream.schema(sup.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+      val par = part(s, d).select(col("p_partkey").as("pid"),
+        (((col("p_partkey") * 31) % 150).cast("double") - 75).as("blat"),
+        (((col("p_partkey") * 37) % 310).cast("double") - 155).as("blon"))
+      val out = graft.joins.GeoJoin.boxOverlapEachRow(stream,
+        "sid", "alat", "alon", 20.0, 30.0,
+        par, "pid", "blat", "blon", 10.0, 15.0)
+      drainToTable(out, "st18", d, "complete")
+        .orderBy("box_id")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09, st10, st11, st12, st13, st14, st15, st16, st17)
+    st09, st10, st11, st12, st13, st14, st15, st16, st17, st18)
 }

@@ -77,7 +77,15 @@ object AvroIO {
       }
       val typ = if (f.nullable)
         Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
-      new Schema.Field(f.name, typ, null, null)
+      // nullable fields declare a null default so schema RESOLUTION can
+      // fill them when an older writer schema lacks the field (the Avro
+      // evolution contract q41 exercises); non-nullable fields stay
+      // default-free — a reader REQUIRING a field an old file lacks is
+      // a loud error, which is the correct failure mode
+      if (f.nullable)
+        new Schema.Field(f.name, typ, null,
+          org.apache.avro.JsonProperties.NULL_VALUE)
+      else new Schema.Field(f.name, typ, null, null)
     }
     Schema.createRecord(name, null, "graft.sources", false, fields.toList.asJava)
   }
@@ -168,37 +176,64 @@ object AvroIO {
   /** Read a directory written by [[write]] (or any single-schema set of
     * Avro container files) as a DataFrame. One task per part file.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readResolved(spark, path, None)
+
+  /** Read a directory whose files may span several WRITER schema
+    * generations under one explicit READER schema — Avro's schema
+    * resolution (the evolution contract): fields are matched by NAME,
+    * so generations may reorder fields freely; a reader field missing
+    * from a file's writer schema fills from its default (nullable
+    * fields carry `null` — [[avroSchema]]); writer fields absent from
+    * the reader are skipped on decode (projection, not an error); and
+    * int→long is promoted. A NON-nullable reader field an old
+    * generation lacks fails loudly at decode — the correct strictness.
+    * Each task resolves its own file's header schema against the
+    * reader, so generations interleave freely across part files.
+    */
+  def read(spark: SparkSession, path: String, reader: StructType): DataFrame =
+    readResolved(spark, path, Some(reader))
+
+  private def readResolved(spark: SparkSession, path: String,
+      reader: Option[StructType]): DataFrame = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
     val files = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
     require(files.nonEmpty, s"no .avro files under $path")
-    val headerStream = new Path(files.head)
-      .getFileSystem(new Configuration()).open(new Path(files.head))
-    val headerReader = new DataFileStream[GenericRecord](headerStream,
-      new GenericDatumReader[GenericRecord]())
-    val avroJson = try headerReader.getSchema.toString
-    finally headerReader.close()
-    val schema = sparkSchema(new Schema.Parser().parse(avroJson))
+    val schema = reader.getOrElse {
+      val headerStream = new Path(files.head)
+        .getFileSystem(new Configuration()).open(new Path(files.head))
+      val headerReader = new DataFileStream[GenericRecord](headerStream,
+        new GenericDatumReader[GenericRecord]())
+      try sparkSchema(headerReader.getSchema) finally headerReader.close()
+    }
+    val readerJson = reader.map(avroSchema(_).toString)
     val fieldTypes = schema.fields.map(_.dataType)
     val rowRdd = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.length)
       .flatMap { p =>
         val in = new Path(p).getFileSystem(new Configuration())
           .open(new Path(p))
-        val reader = new DataFileStream[GenericRecord](in,
-          new GenericDatumReader[GenericRecord]())
+        // with an expected (reader) schema, DataFileStream hands the
+        // file's own header schema to the datum reader as the WRITER
+        // side and Avro's ResolvingDecoder does the rest
+        val datumReader = readerJson match {
+          case Some(j) => new GenericDatumReader[GenericRecord](
+            null, new Schema.Parser().parse(j))
+          case None => new GenericDatumReader[GenericRecord]()
+        }
+        val fileReader = new DataFileStream[GenericRecord](in, datumReader)
         // DataFileStream is an iterator of records; wrap so close()
         // happens when the file drains
         new Iterator[Row] {
           def hasNext: Boolean = {
-            val h = reader.hasNext
-            if (!h) reader.close()
+            val h = fileReader.hasNext
+            if (!h) fileReader.close()
             h
           }
           def next(): Row = {
-            val rec = reader.next()
+            val rec = fileReader.next()
             Row.fromSeq(fieldTypes.indices
               .map(i => fromAvro(rec.get(i), fieldTypes(i))))
           }

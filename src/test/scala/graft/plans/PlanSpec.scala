@@ -349,6 +349,29 @@ class PlanSpec extends SparkSpec {
     cg should be >= 2
   }
 
+  test("x15 window heavy hitters: count agg + window rank over the count " +
+      "table, no Expand, pruned 2-col scan") {
+    val (sh, bc, cg, w) = finalShape("x15_window_heavy_hitters")
+    // one events scan pruned to (ts, user_id); shuffles: the
+    // (window, user) count agg, the per-window rank, the output sort
+    (sh, bc, w) shouldBe ((3, 0, Seq(2)))
+    cg should be >= 3
+    val p = SparkEntry.queries("x15_window_heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), "the ×3 hop-explode must not Expand")
+  }
+
+  test("p16 curriculum order: min/max scalar broadcast + stage window + " +
+      "checksum agg, pruned documents scans") {
+    val (sh, bc, cg, w) = finalShape("p16_curriculum_order")
+    // scans: documents (text) for the min/max pass, (doc_id, text) for
+    // the staged rows; the 1-row min/max scalar rides the broadcast;
+    // shuffles: the stage-partition rank window, the per-stage checksum
+    // agg, the output sort
+    (sh, bc, w) shouldBe ((3, 1, Seq(1, 2)))
+    cg should be >= 3
+  }
+
   test("p14 domain quota: one source-partition window + cap broadcast") {
     val (sh, bc, cg, w) = finalShape("p14_domain_quota")
     // scans: documents (doc_id,text) for scores, (doc_id,source) for the

@@ -83,4 +83,59 @@ class AvroIOSpec extends SparkSpec {
     val head = java.nio.file.Files.readAllBytes(part.toPath).take(4)
     head shouldBe Array[Byte]('O', 'b', 'j', 1)
   }
+
+  test("schema evolution: a reader schema null-fills added nullable " +
+      "fields, promotes int→long, reorders by name, and projects away " +
+      "dropped fields across mixed-generation part files") {
+    val dir = tmpDir("avro_evolve")
+    import org.apache.spark.sql.functions.col
+    // v1 generation: (id long, bucket int, name string)
+    val v1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10, "one"), Row(2L, 20, "two")), 1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("bucket", IntegerType),
+        StructField("name", StringType))))
+    // v2 generation: bucket widened to long, extra double, REORDERED
+    val v2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("three", 3L, 1.5, 30L), Row("four", 4L, null, 40L)), 1),
+      StructType(Seq(StructField("name", StringType),
+        StructField("id", LongType, nullable = false),
+        StructField("price", DoubleType),
+        StructField("bucket", LongType))))
+    AvroIO.write(v1, dir)
+    val v2dir = tmpDir("avro_evolve_v2")
+    AvroIO.write(v2, v2dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(new org.apache.hadoop.fs.Path(v2dir))
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .foreach(st => fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(root, "gen2-" + st.getPath.getName)): Unit)
+    // reader: drops `name` (projection), keeps widened bucket + added price
+    val reader = StructType(Seq(
+      StructField("id", LongType),
+      StructField("bucket", LongType),
+      StructField("price", DoubleType)))
+    val got = AvroIO.read(spark, dir, reader)
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    got shouldBe Seq(
+      Seq(1L, 10L, null), Seq(2L, 20L, null),
+      Seq(3L, 30L, 1.5), Seq(4L, 40L, null))
+  }
+
+  test("schema evolution fails loudly when the reader REQUIRES a field " +
+      "an old generation lacks (non-nullable, no default)") {
+    val dir = tmpDir("avro_evolve_strict")
+    val v1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L)), 1),
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+    AvroIO.write(v1, dir)
+    val reader = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("must_have", LongType, nullable = false)))
+    an[Exception] should be thrownBy
+      AvroIO.read(spark, dir, reader).collect()
+  }
 }
