@@ -156,19 +156,9 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
-    val nBits = 64
-    val bands = 4 // four 16-bit bands, matching hyperplaneCandidatePairs
-    def withBands(df: DataFrame, id: String, emb: String): DataFrame = {
-      val sig = hyperplaneSignature(spark, col(emb), nBits)
-      df.select(col(id), col(emb), sig.as("sig"))
-        .select(col(id), col(emb),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-    }
-    val c = withBands(corpus, idCol, embCol)
+    val c = withLshBands(spark, corpus, idCol, embCol)
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(embCol, "emb")
-    val p = withBands(probes, idCol, embCol)
+    val p = withLshBands(spark, probes, idCol, embCol)
       .withColumnRenamed(idCol, "p_id").withColumnRenamed(embCol, "p_emb")
     val cand = c.join(broadcast(p), c("bk") === p("bk"))
       .filter(col("neighbor_id") =!= col("p_id"))
@@ -176,6 +166,54 @@ object Similarity {
         cosine(spark, col("emb"), col("p_emb")).as("sim"))
       .distinct()
     finishTopK(cand, k)
+  }
+
+  /** Four 16-bit hyperplane bands per row — the s04/d05 band geometry,
+    * shared by [[lshTopK]] and [[lshTop1EachRow]]. */
+  private def withLshBands(spark: SparkSession, df: DataFrame,
+      id: String, emb: String): DataFrame = {
+    val nBits = 64
+    val bands = 4 // four 16-bit bands, matching hyperplaneCandidatePairs
+    val sig = hyperplaneSignature(spark, col(emb), nBits)
+    df.select(col(id), col(emb), sig.as("sig"))
+      .select(col(id), col(emb),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+  }
+
+  /** [[lshTopK]] at k = 1 without the rank window or the candidate
+    * distinct — per-probe-ROW duplicate retrieval as ONE max aggregate,
+    * which is exactly what a STREAMING probe side needs (st19): the
+    * static corpus side carries the same banded index (planned per
+    * micro-batch like any stream-static join; a 100 TB deployment
+    * persists it bucketed by band key), each arriving probe explodes to
+    * its 4 band keys — bounded, stateless — and the only keyed state is
+    * the per-probe argmax, O(1) per id, complete-mode convergent because
+    * a probe's candidates arrive in its own micro-batch. Band-collision
+    * duplicates are harmless under max (the batch form needs distinct()
+    * only to keep rank counting honest); ties break on the SMALLER
+    * neighbor id via the (sim, −id) struct ordering, matching
+    * [[finishTopK]]'s (sim DESC, id ASC). Output: (p_id, neighbor_id,
+    * rank = 1, sim rounded to 1e-6), inner semantics (a probe colliding
+    * with nothing drops out — s04's planted copies collide with
+    * certainty, which that gate already relies on).
+    */
+  def lshTop1EachRow(spark: SparkSession, corpus: DataFrame,
+      probes: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val c = withLshBands(spark, corpus, idCol, embCol)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(embCol, "emb")
+    val p = withLshBands(spark, probes, idCol, embCol)
+      .withColumnRenamed(idCol, "p_id").withColumnRenamed(embCol, "p_emb")
+    p.join(c, p("bk") === c("bk"))
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), struct(
+        cosine(spark, col("emb"), col("p_emb")).as("sim"),
+        (-col("neighbor_id")).as("negn")).as("cand"))
+      .groupBy("p_id")
+      .agg(max("cand").as("best"))
+      .select(col("p_id"), (-col("best.negn")).as("neighbor_id"),
+        lit(1L).as("rank"), round(col("best.sim"), 6).as("sim"))
   }
 
   /** IVF (inverted-file) ANN top-k — the scale path for *top-k* search.

@@ -407,6 +407,44 @@ object MlOps {
           "top8_share_ge_015")
     })
 
+  /** m17 — isotonic CALIBRATION (pool-adjacent-violators): the
+    * monotone-regression step every score calibrator runs. Unlike the
+    * tree/CV trainers (bounded-boolean contracts), PAV's solution here
+    * is CLOSED-FORM and the oracle replays it exactly: the label is
+    * 10·x per quantity level except a planted single violation
+    * (x = 25 → 255, x = 26 → 245), so the fit equals the per-level
+    * means everywhere except the one pooled block, whose value is the
+    * block's weighted mean — (255·n₂₅ + 245·n₂₆)/(n₂₅ + n₂₆) ∈
+    * (245, 255), strictly inside its neighbors (240, 270) for ANY
+    * count mix, so the pooled REGION is data-independent while its
+    * VALUE tracks the live counts (the s02 fractions lesson — nothing
+    * pinned that a testdata regen can move). Labels are integer-valued
+    * doubles, so the block sum is exact and the single division is one
+    * correctly-rounded IEEE op in both engines; round-4 on output.
+    */
+  val m17 = QSpec(
+    "m17_isotonic_calibration",
+    Some("""WITH src AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+           |   CASE WHEN l_quantity = 25 THEN 255.0 WHEN l_quantity = 26 THEN 245.0
+           |        ELSE l_quantity * 10.0 END AS y
+           |   FROM lineitem WHERE l_orderkey % 15 = 0),
+           |pool AS (SELECT SUM(y) / COUNT(*) AS pooled FROM src WHERE x IN (25, 26))
+           |SELECT x, ROUND(CASE WHEN x IN (25, 26) THEN pooled ELSE x * 10 END, 4) AS fitted
+           |FROM (SELECT DISTINCT x FROM src), pool ORDER BY x""".stripMargin),
+    (s, d) => {
+      val src = lineitem(s, d).filter(col("l_orderkey") % 15 === 0)
+        .select(col("l_quantity").cast("double").as("x"),
+          when(col("l_quantity") === 25, 255.0)
+            .when(col("l_quantity") === 26, 245.0)
+            .otherwise(col("l_quantity") * 10.0).as("y"))
+      val model = new org.apache.spark.ml.regression.IsotonicRegression()
+        .setFeaturesCol("x").setLabelCol("y").setPredictionCol("fitted_raw")
+        .fit(src)
+      model.transform(src.select("x").distinct())
+        .select(col("x"), round(col("fitted_raw"), 4).as("fitted"))
+        .orderBy("x")
+    })
+
   val specs: Seq[QSpec] = Seq(m01, m02, m03, m04, m06, m07, m08, m09, m10,
-    m11, m12, m14, m15, m16)
+    m11, m12, m14, m15, m16, m17)
 }

@@ -1053,6 +1053,44 @@ object StreamOps {
         .orderBy("box_id")
     })
 
+  /** st19 — streaming LSH DUPLICATE RETRIEVAL (s04's st-twin: "have we
+    * already got this arriving item?" — the ingest-time lookup form of
+    * the near-dup index, where st15 deduped the stream against ITSELF).
+    * The static corpus carries s04's banded hyperplane index, planned
+    * per micro-batch like st03's dimension broadcast; each arriving
+    * probe explodes to its 4 band keys — bounded, stateless — and the
+    * only keyed state is the per-probe argmax
+    * ([[graft.llm.Similarity.lshTop1EachRow]]): one max aggregate
+    * replaces the batch rank window (duplicate band collisions are
+    * harmless under max; ties break on the smaller neighbor id via the
+    * (sim, −id) struct ordering, matching the batch form), O(1) state
+    * per probe id, complete-mode convergent because a probe's
+    * candidates arrive in its own micro-batch. The oracle is s04's SQL
+    * verbatim — the EXACT all-pairs top-1 recomputed in DuckDB — so a
+    * banding miss, a wrong argmax, or a dropped probe hash-fails, and
+    * the id-residue backlog slices prove placement invariance.
+    */
+  val st19 = QSpec(
+    "st19_stream_dup_retrieval",
+    LlmOps.s04.oracle,
+    (s, d) => {
+      val base = embeddings(s, d).select("vec_id", "embedding")
+      val probes = base.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 300000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
+            .as("embedding"))
+      val backlog = batchBacklog(s, d, "st19",
+        probes.filter(col("vec_id") % 3 === 0),
+        probes.filter(col("vec_id") % 3 === 1),
+        probes.filter(col("vec_id") % 3 === 2))
+      val stream = s.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+      val out = graft.llm.Similarity.lshTop1EachRow(
+        s, base, stream, "vec_id", "embedding")
+      drainToTable(out, "st19", d, "complete")
+        .orderBy("p_id")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09, st10, st11, st12, st13, st14, st15, st16, st17, st18)
+    st09, st10, st11, st12, st13, st14, st15, st16, st17, st18, st19)
 }

@@ -582,6 +582,66 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** w15 — per-key INTERVAL UNION (coverage): merge each user's
+    * overlapping event intervals into maximal segments and report total
+    * covered time — the machine-uptime / sensor-coverage analytic, and
+    * the EXTENT twin of w02's session windows (sessions merge POINT
+    * events within a gap; this merges intervals that can nest and
+    * swallow later-starting shorter ones, which gap logic gets wrong).
+    * Interval = [ts, ts + dur] with dur = ((event_id mod 5)+1)·30 min in
+    * ns — pure BIGINT end to end (the w11 discipline, no timestamp types
+    * cross the engines; headroom: max ts ~1.5e18 + 9e12 ≪ 2⁶³). The
+    * classic two-window pass, everything partitioned BY USER so
+    * parallelism scales with keys: running max(end) over strictly
+    * preceding rows in (ts, event_id) order — the tie key makes the
+    * order total, so both engines flag the identical segment starts —
+    * marks rows starting past every earlier reach as new segments; a
+    * running sum of those flags numbers the segments; a segment's
+    * covered span is max(end) − min(ts), exact because chained overlaps
+    * make the union contiguous. Oracle replays the identical windows.
+    */
+  val w15 = QSpec(
+    "w15_interval_union",
+    Some("""WITH iv AS (SELECT user_id, event_id,
+           |    epoch_us(ts) * 1000 AS s,
+           |    epoch_us(ts) * 1000 + ((event_id % 5) + 1) * 1800000000000 AS e
+           |  FROM events),
+           |w AS (SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           |      FROM iv),
+           |f AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS isnew FROM w),
+           |g AS (SELECT *, SUM(isnew) OVER (PARTITION BY user_id ORDER BY s, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM f),
+           |segs AS (SELECT user_id, seg, MIN(s) AS seg_s, MAX(e) AS seg_e,
+           |         COUNT(*) AS n_iv FROM g GROUP BY 1, 2)
+           |SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+           |  CAST(SUM(seg_e - seg_s) AS BIGINT) AS covered_ns,
+           |  CAST(MAX(seg_e - seg_s) AS BIGINT) AS longest_segment_ns
+           |FROM segs GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val iv = events(s, d).select(col("user_id"), col("event_id"),
+        col("ts").as("s"),
+        (col("ts") + (col("event_id") % 5 + 1) * 1800000000000L).as("e"))
+      val byUser = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+      val seg = iv
+        .withColumn("pmax", max("e").over(
+          byUser.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isnew",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+        .withColumn("seg", sum("isnew").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "seg")
+        .agg(min("s").as("seg_s"), max("e").as("seg_e"),
+          count(lit(1)).as("n_iv"))
+      seg.groupBy("user_id")
+        .agg(sum("n_iv").as("n_intervals"),
+          count(lit(1)).as("n_segments"),
+          sum(col("seg_e") - col("seg_s")).as("covered_ns"),
+          max(col("seg_e") - col("seg_s")).as("longest_segment_ns"))
+        .orderBy("user_id")
+    })
+
   val specs: Seq[QSpec] = Seq(w01, w02, w03, w04, w05, w07, w08, w09, w10,
-    w11, w12, w13, w14)
+    w11, w12, w13, w14, w15)
 }

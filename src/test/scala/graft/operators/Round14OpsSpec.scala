@@ -142,6 +142,76 @@ class Round14OpsSpec extends SparkSpec {
         Seq((1L, 1L)).toDF("doc_id", "score"), "doc_id", "score", "x", 0)
   }
 
+  // ------------------------------------------------------- w15 ---
+
+  test("w15 interval-union math: nested and swallowing intervals merge " +
+      "into one segment (the case gap-logic gets wrong), equal-ts ties " +
+      "are total-ordered, and coverage is max(end) - min(start)") {
+    // user 1: [0,100] swallows [10,20] and [90,150] chains → one segment
+    //   [0,150]; [200,210] separate. user 2: two equal-ts intervals.
+    val iv = Seq(
+      (1L, 10L, 0L, 100L), (1L, 11L, 10L, 20L), (1L, 12L, 90L, 150L),
+      (1L, 13L, 200L, 210L),
+      (2L, 20L, 5L, 15L), (2L, 21L, 5L, 30L)
+    ).toDF("user_id", "event_id", "s", "e")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("s"), col("event_id"))
+    import org.apache.spark.sql.expressions.Window.{unboundedPreceding, currentRow}
+    val segs = iv
+      .withColumn("pmax", max("e").over(byUser.rowsBetween(unboundedPreceding, -1)))
+      .withColumn("isnew", when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+      .withColumn("seg", sum("isnew").over(byUser.rowsBetween(unboundedPreceding, currentRow)))
+      .groupBy("user_id", "seg")
+      .agg(min("s").as("seg_s"), max("e").as("seg_e"), count(lit(1)).as("n_iv"))
+      .groupBy("user_id")
+      .agg(sum("n_iv").as("n_intervals"), count(lit(1)).as("n_segments"),
+        sum(col("seg_e") - col("seg_s")).as("covered"),
+        max(col("seg_e") - col("seg_s")).as("longest"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    segs shouldBe Seq(
+      (1L, 4L, 2L, 160L, 150L), // [0,150] + [200,210] = 150 + 10
+      (2L, 2L, 1L, 25L, 25L)) // union of the equal-ts pair = [5,30]
+  }
+
+  // ------------------------------------------------------- m17 ---
+
+  test("m17 PAV closed form: the planted violator pair pools to its " +
+      "weighted mean and nothing else moves off the per-level mean") {
+    // levels 1..4 monotone except a (30, 24) violation at x=2,3 with
+    // counts 2 and 1 → pooled (30+30+24)/3 = 28, inside (20, 40)
+    val src = Seq((1.0, 10.0), (2.0, 30.0), (2.0, 30.0), (3.0, 24.0),
+      (4.0, 40.0)).toDF("x", "y")
+    val model = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("x").setLabelCol("y").setPredictionCol("p").fit(src)
+    val got = model.transform(src.select("x").distinct())
+      .select(col("x"), round(col("p"), 4).as("p"))
+      .orderBy("x").as[(Double, Double)].collect().toSeq
+    got shouldBe Seq((1.0, 10.0), (2.0, 28.0), (3.0, 28.0), (4.0, 40.0))
+  }
+
+  // ------------------------------------------------------- st19 ---
+
+  test("lshTop1EachRow == lshTopK(k=1) on the same batch frames (the " +
+      "st19 streaming form is the batch top-1 per probe), sf0.01") {
+    val d = "/root/testdata/sf0.01"
+    val base = graft.util.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding")
+    val probes = base.filter(col("vec_id") % 10 === 5)
+      .select((col("vec_id") + 300000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
+          .as("embedding"))
+    val batch = graft.llm.Similarity.lshTopK(spark, base, probes,
+      "vec_id", "embedding", 1)
+      .select("p_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val perRow = graft.llm.Similarity.lshTop1EachRow(spark, base, probes,
+      "vec_id", "embedding")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    batch.nonEmpty shouldBe true
+    perRow shouldBe batch
+  }
+
   // ------------------------------------------------------- s11 ---
 
   test("s11 pre-filtering: every returned neighbor satisfies the filter, " +

@@ -372,6 +372,16 @@ class PlanSpec extends SparkSpec {
     cg should be >= 3
   }
 
+  test("w15 interval union: ONE user-partition exchange feeds both " +
+      "windows and both aggs, 3-col pruned scan") {
+    val (sh, bc, cg, w) = finalShape("w15_interval_union")
+    // shuffles: the user_id window partition (the running-max and
+    // segment-sum windows AND the (user, seg) / user aggs all reuse it —
+    // user_id is a prefix of every downstream key) + the output sort
+    (sh, bc, w) shouldBe ((2, 0, Seq(3)))
+    cg should be >= 4
+  }
+
   test("p14 domain quota: one source-partition window + cap broadcast") {
     val (sh, bc, cg, w) = finalShape("p14_domain_quota")
     // scans: documents (doc_id,text) for scores, (doc_id,source) for the
