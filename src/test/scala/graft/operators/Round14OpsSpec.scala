@@ -142,6 +142,19 @@ class Round14OpsSpec extends SparkSpec {
         Seq((1L, 1L)).toDF("doc_id", "score"), "doc_id", "score", "x", 0)
   }
 
+  // ------------------------------------------------------- q41 ---
+
+  test("q41 is re-runnable in one session: the overwrite + generation " +
+      "rename choreography leaves no stale gen2 files behind (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val first = graft.SparkEntry.queries("q41_avro_evolution")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val second = graft.SparkEntry.queries("q41_avro_evolution")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    first.nonEmpty shouldBe true
+    second shouldBe first
+  }
+
   // ------------------------------------------------------- w15 ---
 
   test("w15 interval-union math: nested and swallowing intervals merge " +
