@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ---------------------------------------------------- index sidecar IO ---
+  // Sidecars (`_graft_index.json`, `_graft_bloom.bin`) open through the
+  // Hadoop FileSystem resolved from the INDEX PATH's scheme (round-12
+  // advice: the old java.nio calls worked only for local paths, so an
+  // hdfs:///s3a:// index silently had no working sidecar while its parquet
+  // half used scheme-aware Spark IO — the same split AvroIO already avoids).
+
+  private def sidecar(spark: SparkSession, dir: String, name: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def writeSidecarBytes(spark: SparkSession, dir: String,
+      name: String, bytes: Array[Byte]): Unit = {
+    val (fs, p) = sidecar(spark, dir, name)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readSidecarBytes(spark: SparkSession, dir: String,
+      name: String): Array[Byte] = {
+    val (fs, p) = sidecar(spark, dir, name)
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
   /** Exact dedup statistics: total rows, distinct texts, duplicate rows.
     * (Keeper assignment — one surviving row per text — is [[dedupKeepFirst]].)
     */
@@ -86,9 +113,9 @@ object Dedup {
     val n = math.max(keys.count(), 1L) // materializes the cache
     val bloom = keys.stat.bloomFilter("k", n, fpp)
     keys.unpersist()
-    val out = java.nio.file.Files.newOutputStream(
-      java.nio.file.Paths.get(path, "_graft_bloom.bin"))
-    try bloom.writeTo(out) finally out.close()
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    writeSidecarBytes(spark, path, "_graft_bloom.bin", bos.toByteArray)
   }
 
   /** [[matchAgainstExactIndex]] behind the [[writeExactIndexBloom]] gate:
@@ -105,10 +132,9 @@ object Dedup {
     */
   def matchAgainstExactIndexBloom(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, path: String): DataFrame = {
-    val in = java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(path, "_graft_bloom.bin"))
-    val bloom = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-      finally in.close()
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        readSidecarBytes(spark, path, "_graft_bloom.bin")))
     val bc = spark.sparkContext.broadcast(bloom)
     val fps = batch.select(col(idCol).as("batch_id"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
@@ -508,6 +534,13 @@ object Dedup {
     * per-session cache accumulation. At 100 TB the bands table would be
     * written bucketed on `bk` so ingest joins are co-located
     * (x11's lever); plain parquet here keeps the gate portable.
+    *
+    * LAYOUT: each table is a directory of GENERATION partitions —
+    * `<path>/bands/gen=base` here, `gen=<batchId>` per
+    * [[appendToMinhashIndex]] — so an append is an all-or-nothing
+    * per-generation directory write instead of loose files mixed into
+    * one dir (the round-12 atomicity advice); readers partition-discover
+    * the `gen` column and project it away.
     */
   def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, minJaccard: Double, nTables: Int = 8,
@@ -515,14 +548,21 @@ object Dedup {
     val bands = bandsFor(minJaccard, nTables, rowsPerBand)
     val (shingled, keys) =
       shingleAndBand(corpus, idCol, textCol, bands, rowsPerBand)
-    keys.write.mode("overwrite").parquet(s"$path/bands")
+    // a (re)build REPLACES the whole index: drop every surviving
+    // generation first, or appends from a previous build would leak into
+    // the new one (the gen=base overwrite alone only replaces itself)
+    for (sub <- Seq("bands", "hashes")) {
+      val (fs, p) = sidecar(corpus.sparkSession, path, sub)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    keys.write.mode("overwrite").parquet(s"$path/bands/gen=base")
     shingled.select(col("id"), col("hs"))
-      .write.mode("overwrite").parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(s"$path/hashes/gen=base")
     shingled.unpersist() // both consumers are materialized — no cache leak
     val meta = s"""{"minJaccard": $minJaccard, "nTables": $nTables, """ +
       s""""rowsPerBand": $rowsPerBand, "bands": $bands}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_index.json"), meta)
+    writeSidecarBytes(corpus.sparkSession, path, "_graft_index.json",
+      meta.getBytes("UTF-8"))
   }
 
   /** Append a new shard to a [[writeMinhashIndex]] store — incremental
@@ -538,21 +578,37 @@ object Dedup {
     * match the requested ones (same loud refusal as
     * [[minhashPairsAgainstIndex]] — a θ/r mismatch would silently mix
     * incompatible signatures into one key space).
+    *
+    * COMMIT PROTOCOL (round-12 advice — the old loose-file double append
+    * could die between its two writes and leave band keys whose
+    * signatures were missing, permanently and silently): each append
+    * lands in its own `gen=<batchId>` generation directory, HASHES
+    * FIRST, bands last. A failure anywhere leaves either orphan hash
+    * rows (invisible — candidates originate from band keys, so an id
+    * with hashes but no bands never surfaces) or nothing; it can never
+    * publish a band key whose signatures are missing. Retrying the same
+    * `batchId` OVERWRITES both generation dirs, so recovery is
+    * idempotent — no duplicate rows, unlike a blind parquet re-append.
+    * `batchId` is the caller's shard identity (ingest shard id, date
+    * partition, …); reusing one replaces that shard in the index.
     */
   def appendToMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
-      path: String, minJaccard: Double, nTables: Int = 8,
+      path: String, batchId: String, minJaccard: Double, nTables: Int = 8,
       rowsPerBand: Int = 3): Unit = {
-    val meta = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_graft_index.json"))
+    require(batchId.nonEmpty && batchId != "base" &&
+      !batchId.exists(c => c == '/' || c == '=' || c.isWhitespace),
+      s"batchId must be a non-empty path-safe token, not 'base': '$batchId'")
+    val meta = new String(
+      readSidecarBytes(batch.sparkSession, path, "_graft_index.json"), "UTF-8")
     val expected = s"""{"minJaccard": $minJaccard, "nTables": $nTables, """ +
       s""""rowsPerBand": $rowsPerBand, "bands": ${bandsFor(minJaccard, nTables, rowsPerBand)}}"""
     require(meta == expected,
       s"index at $path was built with $meta, append requested $expected")
     val (shingled, keys) = shingleAndBand(batch, idCol, textCol,
       bandsFor(minJaccard, nTables, rowsPerBand), rowsPerBand)
-    keys.write.mode("append").parquet(s"$path/bands")
     shingled.select(col("id"), col("hs"))
-      .write.mode("append").parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(s"$path/hashes/gen=$batchId")
+    keys.write.mode("overwrite").parquet(s"$path/bands/gen=$batchId")
     shingled.unpersist() // both consumers materialized — no cache leak
   }
 
@@ -568,8 +624,8 @@ object Dedup {
   def minhashPairsAgainstIndex(batch: DataFrame, idCol: String,
       textCol: String, path: String, minJaccard: Double, nTables: Int = 8,
       rowsPerBand: Int = 3): DataFrame = {
-    val meta = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_graft_index.json"))
+    val meta = new String(
+      readSidecarBytes(batch.sparkSession, path, "_graft_index.json"), "UTF-8")
     val expected = s"""{"minJaccard": $minJaccard, "nTables": $nTables, """ +
       s""""rowsPerBand": $rowsPerBand, "bands": ${bandsFor(minJaccard, nTables, rowsPerBand)}}"""
     require(meta == expected,

@@ -398,7 +398,7 @@ object LlmOps {
       Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "text", idx, 0.5)
       Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
-        "doc_id", "text", idx, 0.5)
+        "doc_id", "text", idx, "shard1", 0.5)
       Dedup.minhashPairsAgainstIndex(docs.filter(col("doc_id") % 3 === 2),
         "doc_id", "text", idx, 0.5)
         .orderBy("new_id", "corpus_id")

@@ -924,23 +924,42 @@ object StreamOps {
   val st15 = QSpec(
     "st15_stream_lsh_dedup",
     LlmOps.d02.oracle,
-    (s, d) => {
-      import s.implicits._
-      val docs = documents(s, d).select(col("doc_id"), col("text"))
-      val backlog = batchBacklog(s, d, "st15",
-        docs.filter(col("doc_id") % 3 === 0),
-        docs.filter(col("doc_id") % 3 === 1),
-        docs.filter(col("doc_id") % 3 === 2))
-      val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(backlog)
-      val keys = graft.llm.Dedup.streamBandKeys(stream, "doc_id", "text", 0.5)
-        .as[graft.streaming.BandKeyRow]
-      val cands = graft.streaming.DocStreams.lshCandidatePairs(keys).toDF()
-      val pairs = drainToTable(cands, "st15", d, "append")
-        .select("doc_a", "doc_b").distinct()
+    (s, d) => streamLshDedup(s, d, "st15", nTables = 8, rowsPerBand = 3)._2)
+
+  /** st15's parameterized core — the (nTables, rowsPerBand) BANDING DIAL
+    * exposed as an argument instead of prose (round-12 directive #2):
+    * r trades state/key traffic against candidate volume exactly as in
+    * the batch path ([[graft.llm.Dedup.minhashPairs]]'s banding analysis
+    * — b ≈ 42 keys/doc at r = 3 vs 8 at r = 1, against background
+    * candidates suppressed by J^r), under the SAME (1−θ^r)^b ≤ (1−θ)^8
+    * recall budget by construction. Both shipped settings verify to the
+    * identical exact-Jaccard pair set on the synthetic corpora
+    * (StreamDialSpec pins it; SCALE.md records the measured traffic).
+    * Returns (raw drained candidate emissions, verified pairs) so the
+    * dial's cost — emissions BEFORE pair-dedup — is measurable, not
+    * inferred.
+    */
+  private[graft] def streamLshDedup(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String, nTables: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val backlog = batchBacklog(s, d, tag,
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(backlog)
+    val keys = graft.llm.Dedup.streamBandKeys(stream, "doc_id", "text", 0.5,
+        nTables, rowsPerBand)
+      .as[graft.streaming.BandKeyRow]
+    val cands = graft.streaming.DocStreams.lshCandidatePairs(keys).toDF()
+    val raw = drainToTable(cands, tag, d, "append")
+    val pairs = raw.select("doc_a", "doc_b").distinct()
+    (raw,
       graft.llm.Dedup.verifyCandidatePairs(docs, pairs, "doc_id", "text", 0.5)
-        .orderBy("doc_a", "doc_b")
-    })
+        .orderBy("doc_a", "doc_b"))
+  }
 
   /** st16 — streaming exact-dedup KEEPER INDEX (d06's st-twin,
     * [[graft.streaming.DocStreams.fpKeeperUpdates]]): each arriving

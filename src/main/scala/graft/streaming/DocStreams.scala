@@ -52,13 +52,28 @@ object DocStreams {
     * State per bucket is its member-id list — the same O(occupancy)
     * footprint the batch path shuffles through its bucket self-join and
     * d13 persists as the on-disk index; at 100 TB it lives in the state
-    * store keyed by the 8-byte bucket hash, and the same stop-bucket cap
-    * that bounds d04's gram fanout applies (a bucket past a cap would be
-    * frozen as boilerplate). Duplicate emissions across bands (a pair
-    * sharing several buckets) are expected — the consumer dedups pairs,
-    * exactly as the batch path's `.distinct()` does.
+    * store keyed by the 8-byte bucket hash. `maxBucketMembers` is the
+    * stop-bucket cap that bounds d04's gram fanout, ENFORCED here
+    * (round-12 advice — it used to be prose): a bucket at the cap is
+    * FROZEN as boilerplate — further arrivals in it emit nothing and are
+    * not remembered — so per-bucket state is O(cap) and per-arrival
+    * emission O(cap) instead of O(occupancy) on a skewed bucket
+    * (quadratic total). Unlike the batch stop-gram (which drops the
+    * over-df gram retroactively), a stream cannot retract: pairs the
+    * bucket emitted BEFORE freezing stand. The default keeps every real
+    * LSH bucket far below the cap (a 4096-member bucket at θ = 0.5 is
+    * boilerplate by construction — measured max occupancy on the
+    * shipped corpora: 5 at sf0.1 with r = 3, 22 with the r = 1 dial);
+    * exact-equivalence consumers (st15's shared d02 oracle) hold as
+    * long as no bucket freezes, which StreamDialSpec pins on the
+    * shipped corpora. Duplicate emissions
+    * across bands (a pair sharing several buckets) are expected — the
+    * consumer dedups pairs, exactly as the batch path's `.distinct()`
+    * does.
     */
-  def lshCandidatePairs(keys: Dataset[BandKeyRow]): Dataset[CandPair] = {
+  def lshCandidatePairs(keys: Dataset[BandKeyRow],
+      maxBucketMembers: Int = 4096): Dataset[CandPair] = {
+    require(maxBucketMembers >= 1, "maxBucketMembers must be >= 1")
     import keys.sparkSession.implicits._
     keys
       .groupByKey(_.bk)
@@ -69,6 +84,8 @@ object DocStreams {
           val oldSet = old.toSet
           val fresh = rows.map(_.id).toArray.distinct.sorted
             .filterNot(oldSet.contains)
+            // stop-bucket cap: accept only up to the cap, freeze the rest
+            .take(math.max(0, maxBucketMembers - old.length))
           val out = Seq.newBuilder[CandPair]
           var i = 0
           while (i < fresh.length) {

@@ -34,6 +34,7 @@ object ScaleProbe {
       case "d13" => args.drop(1).foreach(d => d13Counts(spark, d))
       case "d14" => args.drop(1).foreach(d => d14Counts(spark, d))
       case "s06" => args.drop(1).foreach(d => s06Counts(spark, d))
+      case "st15dial" => args.drop(1).foreach(d => st15DialCounts(spark, d))
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
@@ -222,5 +223,25 @@ object ScaleProbe {
       Dedup.longSubstringPairs(corpus, "doc_id", "text", 8, 12, 32).count())
     println(s"PROBE d09 $dir COUNTS kept=$keptN candidates=$candN " +
       s"pairs=$outN pairs2=$t2")
+  }
+
+  /** st15's banding dial measured on the SAME backlog (round-12
+    * directive #2): key traffic, raw candidate emissions (pre-dedup —
+    * the state-store write volume), distinct candidates, and verified
+    * pairs, at r = 3 (42 keys/doc) vs r = 1 (8 keys/doc). SCALE.md
+    * carries the rows; StreamDialSpec pins result equality.
+    */
+  private def st15DialCounts(spark: SparkSession, dir: String): Unit = {
+    for ((r, tag) <- Seq((3, "dial3"), (1, "dial1"))) {
+      val (raw, ver) =
+        graft.operators.StreamOps.streamLshDedup(spark, dir, s"st15$tag", 8, r)
+      val emissions = timedP("st15dial", dir, s"r=$r drain+count")(raw.count())
+      val distinctC = raw.select("doc_a", "doc_b").distinct().count()
+      val verified = ver.count()
+      val docs = graft.util.Tables.documents(spark, dir).count()
+      println(s"PROBE st15dial $dir COUNTS r=$r docs=$docs " +
+        s"keys=${docs * (if (r == 3) 42 else 8)} emissions=$emissions " +
+        s"distinct_cands=$distinctC verified=$verified")
+    }
   }
 }

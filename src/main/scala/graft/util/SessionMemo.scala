@@ -50,10 +50,25 @@ final class SessionMemo[K, V] {
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          perSession.synchronized { perSession.clear() }
+          evictContext(sc)
       })
     }
   }
+
+  /** Evict every session OF THIS CONTEXT only (round-12 advice: the old
+    * blanket clear() also dropped live entries of a LATER context when
+    * contexts run sequentially in one JVM — test suites — forcing cold
+    * rebuilds). The end-of-application listener closes over the context
+    * it was registered on, so each sweep is scoped to its own sessions.
+    */
+  private[util] def evictContext(sc: org.apache.spark.SparkContext): Unit =
+    perSession.synchronized {
+      val it = perSession.keySet().iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s != null && (s.sparkContext eq sc)) it.remove()
+      }
+    }
 
   private def mapFor(spark: SparkSession): scala.collection.concurrent.TrieMap[K, V] =
     perSession.synchronized {
@@ -96,29 +111,49 @@ object SessionMemo {
     * disabling the regen-under-same-path protection exactly where regens
     * are most common): URIs with a scheme list through the Hadoop
     * FileSystem API under the active session's Hadoop conf; scheme-less
-    * paths keep the cheap local walk. A path that neither resolves nor
-    * exists fingerprints to "nofs" (corpus keys that aren't paths at all) —
-    * remote stores whose listing metadata survives an overwrite still need
-    * [[SessionMemo.invalidate]], as the caller docstrings state.
+    * paths keep the cheap local walk. "nofs" is reserved for keys that are
+    * genuinely NOT listable paths — a malformed URI, a scheme no
+    * FileSystem implements, or a path that doesn't exist. A listing
+    * FAILURE on a resolvable scheme'd path (a transient remote-store
+    * error) PROPAGATES instead of degrading to the constant: mapping it
+    * to "nofs" would let a later regen under the same path memo-HIT on
+    * stale rows — the exact hazard this fingerprint exists to prevent
+    * (round-12 advice, second pass). Remote stores whose listing metadata
+    * survives an overwrite still need [[SessionMemo.invalidate]], as the
+    * caller docstrings state.
     */
   def pathFingerprint(path: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     if (path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) {
-      try {
-        val conf = org.apache.spark.sql.SparkSession.active
-          .sessionState.newHadoopConf()
-        val uri = new java.net.URI(path)
-        val fs = org.apache.hadoop.fs.FileSystem.get(uri, conf)
-        val root = new org.apache.hadoop.fs.Path(path)
-        if (!fs.exists(root)) return "nofs"
-        val it = fs.listFiles(root, true)
-        while (it.hasNext) {
-          val st = it.next()
-          entries += s"${st.getPath.toString.stripPrefix(root.toString)}" +
-            s"|${st.getLen}|${st.getModificationTime}"
+      // resolution failures (not-a-path keys) → "nofs"; the resolved
+      // filesystem's exists/list calls run OUTSIDE this try so their
+      // errors surface to the caller
+      val fsRoot =
+        try {
+          val conf = org.apache.spark.sql.SparkSession.active
+            .sessionState.newHadoopConf()
+          val uri = new java.net.URI(path)
+          val root = new org.apache.hadoop.fs.Path(path)
+          Some((org.apache.hadoop.fs.FileSystem.get(uri, conf), root))
+        } catch {
+          case _: java.net.URISyntaxException => None
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+          case e: java.io.IOException
+              if e.getMessage != null &&
+                e.getMessage.contains("No FileSystem for scheme") => None
         }
-      } catch { case scala.util.control.NonFatal(_) => return "nofs" }
+      fsRoot match {
+        case None => return "nofs"
+        case Some((fs, root)) =>
+          if (!fs.exists(root)) return "nofs"
+          val it = fs.listFiles(root, true)
+          while (it.hasNext) {
+            val st = it.next()
+            entries += s"${st.getPath.toString.stripPrefix(root.toString)}" +
+              s"|${st.getLen}|${st.getModificationTime}"
+          }
+      }
     } else {
       val root = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(root)) return "nofs"

@@ -306,7 +306,8 @@ class Round12OpsSpec extends SparkSpec {
         .orderBy("new_id", "corpus_id")
         .as[(Long, Long, Double)].collect().toSeq
     graft.llm.Dedup.writeMinhashIndex(a, "doc_id", "text", s"$root/grown", 0.5)
-    graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown", 0.5)
+    graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown",
+      "b", 0.5)
     graft.llm.Dedup.writeMinhashIndex(a.unionByName(b), "doc_id", "text",
       s"$root/rebuilt", 0.5)
     val grown = rows(s"$root/grown")
@@ -314,12 +315,55 @@ class Round12OpsSpec extends SparkSpec {
     grown shouldBe rows(s"$root/rebuilt")
     // parameter mismatch is refused, not silently mixed into the key space
     an[IllegalArgumentException] should be thrownBy
-      graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown", 0.7)
+      graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown",
+        "b2", 0.7)
     // the declared query's rerun shape (bench min-of-2): overwrite + append
     // again must land in the same state, not accumulate
     graft.llm.Dedup.writeMinhashIndex(a, "doc_id", "text", s"$root/grown", 0.5)
-    graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown", 0.5)
+    graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown",
+      "b", 0.5)
     rows(s"$root/grown") shouldBe grown
+    // RETRYING a (possibly half-landed) append with the same batchId is
+    // idempotent — the generation dirs are overwritten, never re-appended
+    graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown",
+      "b", 0.5)
+    rows(s"$root/grown") shouldBe grown
+    // a batch id that would collide with the base generation is refused
+    an[IllegalArgumentException] should be thrownBy
+      graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/grown",
+        "base", 0.5)
+  }
+
+  test("appendToMinhashIndex commit order: a half-landed append (hashes " +
+      "only, bands missing) is INVISIBLE to index queries") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-d19-crash").toString
+    def rows(path: String) =
+      graft.llm.Dedup.minhashPairsAgainstIndex(probe, "doc_id", "text", path, 0.5)
+        .orderBy("new_id", "corpus_id")
+        .as[(Long, Long, Double)].collect().toSeq
+    graft.llm.Dedup.writeMinhashIndex(a, "doc_id", "text", s"$root/idx", 0.5)
+    val baseline = rows(s"$root/idx")
+    // simulate the crash window: a full append, then the bands generation
+    // deleted — exactly the state a failure between the two writes leaves
+    // (hashes commit FIRST, bands LAST)
+    graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/idx",
+      "crash", 0.5)
+    val bandsGen = new java.io.File(s"$root/idx/bands/gen=crash")
+    bandsGen.exists() shouldBe true
+    org.apache.commons.io.FileUtils.deleteDirectory(bandsGen)
+    // orphan hashes must not change any query result
+    rows(s"$root/idx") shouldBe baseline
+    // and the retry completes the append to the exact grown state
+    graft.llm.Dedup.appendToMinhashIndex(b, "doc_id", "text", s"$root/idx",
+      "crash", 0.5)
+    graft.llm.Dedup.writeMinhashIndex(a.unionByName(b), "doc_id", "text",
+      s"$root/rebuilt", 0.5)
+    rows(s"$root/idx") shouldBe rows(s"$root/rebuilt")
   }
 
   test("w12 TWAP headroom audit: Σ c·dur per user is bounded by " +

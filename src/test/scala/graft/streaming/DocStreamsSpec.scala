@@ -43,8 +43,9 @@ class DocStreamsSpec extends SparkSpec {
     }
   }
 
-  private def drain(batches: Seq[Seq[BandKeyRow]]): Seq[(Long, Long)] =
-    drainOp(DocStreams.lshCandidatePairs)(batches).map(p => (p.doc_a, p.doc_b))
+  private def drain(batches: Seq[Seq[BandKeyRow]], cap: Int = 4096): Seq[(Long, Long)] =
+    drainOp[BandKeyRow, CandPair](DocStreams.lshCandidatePairs(_, cap))(batches)
+      .map(p => (p.doc_a, p.doc_b))
 
   private val drainFp = drainOp(DocStreams.fpKeeperUpdates) _
 
@@ -71,6 +72,22 @@ class DocStreamsSpec extends SparkSpec {
     // exactly three emissions, no duplicates, all ascending
     got.sorted shouldBe Seq((2L, 5L), (2L, 9L), (5L, 9L))
     all(got.map(p => p._1 < p._2)) shouldBe true
+  }
+
+  test("stop-bucket cap freezes a boilerplate bucket: bounded state, no " +
+      "emissions past the cap, other buckets unaffected") {
+    // bucket 7 receives 5 members under cap=3: members 1,2,3 are accepted
+    // (3 pairs), arrivals 4,5 hit the frozen bucket and emit NOTHING;
+    // bucket 8 stays below its cap and emits normally
+    val got = drain(Seq(
+      Seq(BandKeyRow(1, 7), BandKeyRow(2, 7)),
+      Seq(BandKeyRow(3, 7), BandKeyRow(4, 7)), // 3 accepted (last slot), 4 frozen out
+      Seq(BandKeyRow(5, 7)), // frozen bucket: no emission, no state growth
+      Seq(BandKeyRow(10, 8), BandKeyRow(11, 8))), cap = 3)
+    got.sorted shouldBe Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+    // within ONE batch the cap binds too: 4 arrivals, cap 2 → one pair
+    drain(Seq(Seq(BandKeyRow(1, 9), BandKeyRow(2, 9), BandKeyRow(3, 9),
+      BandKeyRow(4, 9))), cap = 2).sorted shouldBe Seq((1L, 2L))
   }
 
   test("fpKeeperUpdates: compacted revision log == batch keep-first table " +
