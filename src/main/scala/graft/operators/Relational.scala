@@ -806,9 +806,79 @@ object Relational {
         .orderBy("o_orderkey")
     })
 
+  /** q42 — CSV SCHEMA-EVOLUTION read (q41's CSV twin, the round-12
+    * vetted seed): one scan dir holds two file GENERATIONS — v1 (even
+    * custkeys; 3 columns, written before `c_mktsegment` existed) and v2
+    * (odd keys; the current 4-column shape) — read under the current
+    * 4-column schema. Measured Spark 4.1.2 semantics (probe
+    * `scripts/probe_q42_csv.scala`): PERMISSIVE keeps the old
+    * generation, parses its column prefix, null-fills the missing
+    * trailing column AND flags the row in the corrupt-record column;
+    * DROPMALFORMED silently drops the old generation entirely; FAILFAST
+    * throws (q39 pins that leg). This is the failure mode the
+    * reference's own inferSchema CSV ingest
+    * (notebooks/00_prepare_data.py:43-53) hits the day a column is
+    * added upstream. Both mode legs derive from the LIVE customer
+    * table: the PERMISSIVE rows pin per-row null-fill placement and
+    * old-generation flagging, the DROPMALFORMED survivor count rides
+    * every row — a generation dropped, a null misplaced, or a
+    * mis-flagged row hash-fails.
+    */
+  val q42 = QSpec(
+    "q42_csv_evolution",
+    Some("""SELECT c_custkey, c_name, c_acctbal,
+           | CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS mkt_ev,
+           | (c_custkey % 2 = 0) AS was_old_gen,
+           | CAST((SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 1)
+           |      AS BIGINT) AS n_dropmalformed
+           |FROM customer WHERE c_custkey % 7 = 0
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      val c = customer(s, d)
+      val root = scratch(d, "q42_csv")
+      val v2dir = scratch(d, "q42_csv_v2")
+      c.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").csv(root)
+      c.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").csv(v2dir)
+      // merge the generations into one scan dir (q41's choreography:
+      // driver-side renames of a handful of part files — a real
+      // deployment's generations land in one prefix over time)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.listStatus(new org.apache.hadoop.fs.Path(v2dir))
+        .filter(_.getPath.getName.endsWith(".csv"))
+        .foreach { st =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+            rootPath, "gen2-" + st.getPath.getName)): Unit
+        }
+      val current = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      val withCorrupt = StructType(current.fields :+
+        StructField("_corrupt_record", StringType))
+      // DROPMALFORMED leg: .rdd.count() forces the full-row parse (q39's
+      // lesson — a bare count() never parses a field)
+      val nDrop = s.read.schema(current).option("mode", "DROPMALFORMED")
+        .csv(root).rdd.count()
+      s.read.schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record").csv(root)
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment").as("mkt_ev"),
+          col("_corrupt_record").isNotNull.as("was_old_gen"),
+          lit(nDrop).as("n_dropmalformed"))
+        .orderBy("c_custkey")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41)
+    q37, q38, q39, q41, q42)
 }

@@ -1110,6 +1110,46 @@ object StreamOps {
         .orderBy("p_id")
     })
 
+  /** st20 — streaming INTERVAL COVERAGE (w15's st-twin,
+    * [[graft.streaming.EventStreams.intervalCoverage]]): the
+    * machine-uptime / sensor-coverage analytic maintained AT INGEST —
+    * per-user state holds the merged disjoint segment list (the minimal
+    * sufficient statistic for interval union), each arriving micro-batch
+    * sort-merges its intervals in, and the drained revision log compacts
+    * under per-user max(n_intervals) (strictly monotone per revision).
+    * Interval union is an idempotent commutative fold, so the final
+    * state is batch-placement-invariant: the backlog slices by event_id
+    * RESIDUE (every batch spans the whole time range, intervals arrive
+    * wildly out of time order and segments genuinely merge ACROSS
+    * batches), and the oracle is w15's SQL verbatim — the hash gate
+    * proves the placement invariance rather than asserting it.
+    */
+  val st20 = QSpec(
+    "st20_stream_interval_coverage",
+    Windows.w15.oracle,
+    (s, d) => {
+      import s.implicits._
+      val iv = events(s, d).select(col("user_id"), col("event_id"),
+        col("ts").as("s"),
+        (col("ts") + (col("event_id") % 5 + 1) * 1800000000000L).as("e"))
+      val backlog = batchBacklog(s, d, "st20",
+        iv.filter(col("event_id") % 3 === 0),
+        iv.filter(col("event_id") % 3 === 1),
+        iv.filter(col("event_id") % 3 === 2))
+      val stream = s.readStream.schema(iv.schema)
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+        .as[graft.streaming.EventStreams.IntervalArrival]
+      val revs = graft.streaming.EventStreams.intervalCoverage(stream).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_intervals").desc)
+      drainToTable(revs, "st20", d, "append")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_intervals"), col("n_segments"),
+          col("covered_ns"), col("longest_segment_ns"))
+        .orderBy("user_id")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09, st10, st11, st12, st13, st14, st15, st16, st17, st18, st19)
+    st09, st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
 }

@@ -250,6 +250,40 @@ class EventStreamsSpec extends SparkSpec {
     finalState(Seq(rows.drop(3), rows.take(3), rows), "lpk_dup") shouldBe want // replays
   }
 
+  test("intervalCoverage: nesting/touching/chaining merge semantics and " +
+      "batch-placement invariance on a hand fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{CoverageRev, IntervalArrival}
+    // user 1: [0,100] swallows [10,20] (NESTED — the case gap logic gets
+    // wrong), [100,150] touches at 100 (merges: s ≤ reach), [200,210]
+    // separate → 2 segments, covered 160, longest 150
+    // user 2: chained overlaps [0,10],[5,20],[18,30] → one segment of 30
+    val rows = Seq(
+      IntervalArrival(1L, 1L, 0L, 100L), IntervalArrival(1L, 2L, 10L, 20L),
+      IntervalArrival(1L, 3L, 100L, 150L), IntervalArrival(1L, 4L, 200L, 210L),
+      IntervalArrival(2L, 5L, 0L, 10L), IntervalArrival(2L, 6L, 5L, 20L),
+      IntervalArrival(2L, 7L, 18L, 30L))
+    def finalState(batches: Seq[Seq[IntervalArrival]], name: String) = {
+      val input = MemoryStream[IntervalArrival]
+      val q = EventStreams.intervalCoverage(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[CoverageRev].collect()
+        .groupBy(_.user_id).view
+        .mapValues(_.maxBy(_.n_intervals)).toMap
+    }
+    val want = Map(
+      1L -> CoverageRev(1L, 4L, 2L, 160L, 150L),
+      2L -> CoverageRev(2L, 3L, 1L, 30L, 30L))
+    finalState(Seq(rows), "ic_one") shouldBe want
+    finalState(rows.map(Seq(_)), "ic_each") shouldBe want // one per batch
+    finalState(Seq(rows.reverse), "ic_rev") shouldBe want // scrambled arrival
+    // the adversarial placement: the swallowing interval arrives LAST, so
+    // intermediate revisions hold MORE segments than the final state
+    finalState(rows.reverse.map(Seq(_)), "ic_reveach") shouldBe want
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventRow]
