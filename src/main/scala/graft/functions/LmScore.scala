@@ -95,11 +95,6 @@ final class LmScorerModel(
 }
 
 object LmScorerModel {
-  private def firstTwoCodePoints(bg: String): (Int, Int) = {
-    val c1 = bg.codePointAt(0)
-    (c1, bg.codePointAt(Character.charCount(c1)))
-  }
-
   /** Quantize ln(x) to integer micro-nats exactly like the engine
     * formulation `round(log(x) * 1e6, 0).cast("long")` (Spark's round on
     * doubles is BigDecimal HALF_UP — same libm log, same rounding rule,
@@ -138,21 +133,6 @@ object LmScorerModel {
     }
     new LmScorerModel(langKeys, bgK, bgV, c1K, c1V, lpg, nBuckets)
   }
-
-  /** Build the EXACT-key lookup tables from raw reference-slice bigram
-    * counts (lang, bigram, count). Add-V smoothing per language with V =
-    * number of distinct conditioning chars; backoffs mirror the fit SQL:
-    * unseen bigram → 1/(count(c₁·)+V), unseen conditioning char → 1/V.
-    */
-  def fromBigramCounts(rows: Seq[(String, String, Long)]): LmScorerModel =
-    assemble(
-      rows.groupBy(_._1).toSeq.map { case (l, rs) =>
-        (l, rs.map { case (_, bg, c) =>
-          val (a, b) = firstTwoCodePoints(bg)
-          ((a.toLong << 32) | (b.toLong & 0xFFFFFFFFL), a, c)
-        })
-      },
-      nBuckets = 0)
 
   /** Build the HASHED-key tables from (lang, bucket, count) rows, bucket =
     * (cp₁·1024 + cp₂) mod nBuckets. The conditioning key is attributed

@@ -345,16 +345,17 @@ object Curation {
     * of driver memory is capped BEFORE materialization, not require-d
     * after. On corpora whose code points sit inside the injective region
     * (cp₁·1024 + cp₂ < 2¹⁸ — all of ASCII/Latin-1 conditioning) the
-    * hashed model is BIT-IDENTICAL to the exact alphabet²
-    * model (property-pinned in PerplexitySampleSpec), so the DuckDB
-    * oracle, which rebuilds the exact model, still hashes green; beyond
-    * it, collisions merge counts — the deterministic hashed-feature
-    * approximation p12/DSIR already uses — and leaving that regime is
-    * OBSERVABLE, not silent (round-11 advice): the fit aggregate counts
-    * out-of-region bigrams in the same pass and logs a per-language
-    * warning when any exist. `exactFit = true` keeps the
-    * original alphabet² fit (now with its 2 M-entry guard enforced via
-    * limit BEFORE collect) for model-equality pins.
+    * hashed model is BIT-IDENTICAL to the exact alphabet² model — the
+    * t17 DuckDB oracle rebuilds that exact model independently every
+    * round, so the equality is enforced by the correctness gate itself;
+    * beyond it, collisions merge counts — the deterministic
+    * hashed-feature approximation p12/DSIR already uses — and leaving
+    * that regime is OBSERVABLE, not silent (round-11 advice): the fit
+    * aggregate counts out-of-region bigrams in the same pass and logs a
+    * per-language warning when any exist. (The legacy driver-collected
+    * alphabet² fit arm served one migration round as an in-JVM equality
+    * pin and was deleted in round 13 — the oracle's independent rebuild
+    * is the permanent form of that pin.)
     *
     * The fit is one map-side-combined aggregate over the reference slice;
     * the fitted model ships to executors as a BROADCAST (one copy per
@@ -373,7 +374,7 @@ object Curation {
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, langCol: String,
       textCol: String, isRef: Column, calEvery: Int = 10,
-      exactFit: Boolean = false, maxLangs: Int = 512): DataFrame = {
+      maxLangs: Int = 512): DataFrame = {
     // fanOut: the ~len(text)× bigram generate inherits the scan's split
     // count, and a few-file corpus (one file at bench SF) would run the
     // whole explode nearly single-threaded (measured 2.96 s → 0.55 s at
@@ -382,31 +383,8 @@ object Curation {
     val base = graft.util.Exact.fanOut(
       docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         col(textCol).as("text"), isRef.as("is_ref")))
-    def bigrams(df: DataFrame) =
-      df.filter(char_length(col("text")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
-            .as("bg"))
-    val scorer: graft.functions.LmScorerModel =
-      if (exactFit) {
-        // legacy alphabet² fit: char-bigram counts of the reference slice,
-        // per language — ONE map-side-combined aggregate, then a GUARDED
-        // collect. The limit runs BEFORE materialization (round-11 advice:
-        // the old require-after-collect let a CJK-scale alphabet OOM the
-        // driver before the guard could fire); overflowing the cap by one
-        // row trips the require with the pointed message.
-        val m0rows = bigrams(base.filter(col("is_ref")))
-          .groupBy("lang", "bg").agg(count(lit(1)).as("c_bg"))
-          .limit(2000001).collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-        require(m0rows.size <= 2000000,
-          s"perplexityBuckets: >2000000 fitted bigrams exceed the " +
-            "driver-bounded alphabet contract of exactFit; use the " +
-            "default hashed-feature fit for large alphabets")
-        graft.functions.LmScorerModel.fromBigramCounts(m0rows)
-      } else {
-        // default hashed-feature fit: ONE map-side-combined aggregate over
+    val scorer: graft.functions.LmScorerModel = {
+        // hashed-feature fit: ONE map-side-combined aggregate over
         // in-plan bucket ids — group-key domain [0, 2¹⁸) per language BY
         // CONSTRUCTION — then one row per language packing its (bucket,
         // count) pairs, fetched with take(maxLangs + 1) so the driver
@@ -547,10 +525,12 @@ object Curation {
     * IEEE-deterministic, so key_micro is a pure function both engines
     * agree on exactly — no boundary-flip probability to bound. The Q20
     * truncation (< 2⁻²⁰ nats, ≤ ~7 micro-units at w ≥ 0.1) is a
-    * quantization of the SAME Efraimidis-Spirakis ranking; on the shipped
-    * corpora the selected set and order are identical to the retired
-    * `Math.log` form at sf0.01 AND sf0.1 (pinned in PerplexitySampleSpec
-    * via [[weightedSampleTopKLegacyLn]]).
+    * quantization of the SAME Efraimidis-Spirakis ranking;
+    * PerplexitySampleSpec pins the full key pipeline against an
+    * independent step-by-step reimplementation on the real corpora at
+    * sf0.01 AND sf0.1 (the retired `Math.log` twin it was migration-pinned
+    * against for a round was deleted in round 13 — the reimplementation
+    * pin is the permanent form).
     *
     * Scale: key computation is map-side scan work; selection is
     * orderBy+limit — Spark's TakeOrdered, O(k) per partition then an
@@ -577,23 +557,4 @@ object Curation {
       .select(col("rank"), col(idCol), col(weightCol), col("key_micro"))
   }
 
-  /** The retired `Math.log` form of [[weightedSampleTopK]] — kept ONLY so
-    * PerplexitySampleSpec can pin that the exact-by-construction Q20 key
-    * selects the identical set and order on real data (the w11-style
-    * migration-safety pin); no query calls it.
-    */
-  private[graft] def weightedSampleTopKLegacyLn(df: DataFrame, idCol: String,
-      weightCol: String, k: Int, salt: String = "ws:"): DataFrame = {
-    val h = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
-      1, 12), 16, 10).cast("long")
-    val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
-    val keyMicro = round(-log(u)
-      / greatest(col(weightCol), lit(0.000001)) * 1e6, 0).cast("long")
-    val sel = df.select(col(idCol), col(weightCol))
-      .withColumn("key_micro", keyMicro)
-      .orderBy(col("key_micro"), col(idCol)).limit(k)
-    val wRank = Window.orderBy(col("key_micro"), col(idCol))
-    sel.withColumn("rank", row_number().over(wRank).cast("long"))
-      .select(col("rank"), col(idCol), col(weightCol), col("key_micro"))
-  }
 }

@@ -101,22 +101,29 @@ class PerplexitySampleSpec extends SparkSpec {
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
   }
 
-  test("exact Q20 key selects the identical set+order as the retired ln key " +
-      "on the real corpora (the migration-safety pin)") {
-    // The Q20 key is a ≤2⁻²⁰-nat quantization of the same Efraimidis-
-    // Spirakis ranking; on the shipped quality-score weights the k=50
-    // selection and its rank order must be unchanged at BOTH verify SFs.
+  test("Q20 key pipeline matches the independent reimplementation on the " +
+      "REAL corpora at both verify SFs (the permanent form of the " +
+      "round-12 migration pin — the retired ln twin is deleted)") {
+    // expectedKey below re-derives every step from the recurrence, not by
+    // calling the production kernel, so a kernel regression, an operand
+    // reorder, or a rounding change in the engine formulation fails here
+    // on real weights — strictly stronger than the old retired-twin
+    // equality, and regen-proof where a golden fixture is not.
     for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val weights = graft.operators.LlmOps.scoredDocs(spark, sf)
         .select("doc_id", "quality_score")
-      def sel(f: => org.apache.spark.sql.DataFrame) =
-        f.select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+        .as[(Long, Double)].collect()
+      val got = Curation.weightedSampleTopK(
+          weights.toSeq.toDF("doc_id", "quality_score"),
+          "doc_id", "quality_score", k = 50)
+        .select("rank", "doc_id", "key_micro")
+        .as[(Long, Long, Long)].collect().toSeq
+      val want = weights.map { case (id, w) => (id, expectedKey(id, w)) }
+        .sortBy { case (id, k) => (k, id) }.take(50)
+        .zipWithIndex.map { case ((id, k), r) => (r + 1L, id, k) }.toSeq
       withClue(s"$sf: ") {
-        val now = sel(Curation.weightedSampleTopK(
-          weights, "doc_id", "quality_score", k = 50))
-        now should have size 50
-        now shouldBe sel(Curation.weightedSampleTopKLegacyLn(
-          weights, "doc_id", "quality_score", k = 50))
+        got should have size 50
+        got shouldBe want
       }
     }
   }
@@ -149,19 +156,30 @@ class PerplexitySampleSpec extends SparkSpec {
     a.toSeq shouldBe b.toSeq
   }
 
-  test("hashed-feature fit ≡ exact alphabet² fit on the synthetic corpus") {
-    // The round-11 migration pin: the default fit hashes bigrams to
-    // (cp1·1024 + cp2) mod 2^18, which is INJECTIVE for the ASCII corpus,
-    // so scores and buckets must be bit-identical to the legacy exact fit
-    // (whose model the DuckDB oracle independently rebuilds).
-    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.01")
-    def run(exact: Boolean) =
-      Curation.perplexityBuckets(docs, "doc_id", "lang", "text",
-        isRef = col("source") === "src0", exactFit = exact)
-        .orderBy("doc_id").collect().toSeq
-    val hashed = run(exact = false)
-    hashed should not be empty
-    hashed shouldBe run(exact = true)
+  test("hashed fit on an injective-region corpus scores exactly like the " +
+      "hand-built alphabet² model (the exactFit arm's pin, arm deleted)") {
+    // The legacy driver-collected alphabet² fit arm is gone (round-13
+    // directive #4); its in-JVM equality pin is carried by (a) the t17
+    // DuckDB oracle, which independently rebuilds the EXACT model every
+    // round, and (b) this fixture: hand-derived exact-model micro-nat
+    // scores (the first test's arithmetic, extended to two languages)
+    // must come out of the HASHED fit bit-identically, because ASCII
+    // conditioning keeps (cp₁·1024 + cp₂) < 2¹⁸ injective.
+    val df = docsDf(
+      (1L, "xx", "aab", true), (2L, "xx", "aba", false), (3L, "xx", "bbb", false),
+      (10L, "yy", "abab", true), (11L, "yy", "bb", false))
+    // lang yy model from "abab": ab=2, ba=1; count(a·)=2, count(b·)=1, V=2
+    //   lp(ab)=round(ln(3/4)·1e6)=-287682; lp(ba)=round(ln(2/3)·1e6)=-405465
+    //   unseen bigram under b: ln(1/3)=-1098612; unseen c1: ln(1/2)=-693147
+    // doc 10 "abab": (2·287682 + 405465) div 3 = 326943
+    // doc 11 "bb": bb unseen under b → 1098612 div 1 = 1098612
+    val got = Curation.perplexityBuckets(df, "doc_id", "lang", "text",
+        isRef = col("is_ref"), calEvery = 1)
+      .select("doc_id", "avg_nll")
+      .as[(Long, Long)].collect().toMap
+    got(10L) shouldBe 326943L
+    got(11L) shouldBe 1098612L
+    got(1L) shouldBe 405465L // the xx-language fixture from the first test
   }
 
   test("hashed fit outside the injective region: deterministic scores, " +
