@@ -335,6 +335,52 @@ object Multimodal {
     }
   }
 
+  final case class EnergyProfile(doc_id: Long, window: Int, energy: Long)
+
+  /** Batched decode → per-window ENERGY profile: Σ sample² over each
+    * fixed window as exact BIGINT (samples are 16-bit ints; 32·32767² ≪
+    * 2⁶³, no float anywhere) — the loudness/energy feature every audio
+    * curation pass computes next to the spectral landmark (mm09 keeps
+    * each window's peak LOCATION and height; this keeps the window's L2
+    * MASS — silence detection, clipping triage, energy-based segmenting
+    * all read this column). Probe-first (round-12 directive #6): on the
+    * synthetic corpus the profile is NOT degenerate — all sampled docs
+    * have distinct 8-window profiles and within-doc window variation is
+    * strong (CV ≈ 0.88, min 0.77), because 32 samples stride only 224 of
+    * the 2001-step sawtooth period, so window energy depends on the
+    * phase the seed lands on. Same batched scan-shaped mapPartitions as
+    * every decode here; the closed-form corpus lets a SQL oracle rebuild
+    * every energy without a decoder.
+    */
+  def extractEnergyProfiles(media: Dataset[MediaRecord],
+      windowSize: Int = 32): Dataset[EnergyProfile] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val a = wavDecode(r.content)
+          val n = a.samples.length
+          val out = Array.newBuilder[EnergyProfile]
+          var w = 0
+          while (w * windowSize < n) {
+            val end = math.min((w + 1) * windowSize, n)
+            var e = 0L
+            var i = w * windowSize
+            while (i < end) {
+              val s = a.samples(i).toLong
+              e += s * s
+              i += 1
+            }
+            out += EnergyProfile(r.doc_id, w, e)
+            w += 1
+          }
+          out.result()
+        }
+      }
+    }
+  }
+
   final case class AudioFp(doc_id: Long, fp: String)
 
   /** Batched per-partition decode → landmark fingerprint (the audio twin

@@ -1994,6 +1994,48 @@ object LlmOps {
         "vec_id", "embedding", 3)
     })
 
+  /** mm10 — audio ENERGY PROFILE
+    * ([[graft.llm.Multimodal.extractEnergyProfiles]]): decode the audio
+    * corpus and keep each window's exact Σ sample² — the loudness
+    * feature next to mm09's spectral landmark (peak LOCATION there, L2
+    * MASS here; silence gates, clipping triage and energy segmenting
+    * read this column). Probed non-degenerate before building (round-12
+    * directive #6): every sampled doc's 8-window profile is distinct and
+    * within-doc variation is strong (CV ≈ 0.88), because each 32-sample
+    * window strides only 224 steps of the 2001-step sawtooth period.
+    * Declared output is the per-doc reduction — total energy plus the
+    * argmax window under the (energy, smaller-window) total order via
+    * the exact integer-packed max (energy·8 + (7−w), the keeperByQuality
+    * struct-max trick in pure BIGINT) — so a wrong window boundary, a
+    * float creeping into the accumulation, or a tie mis-break
+    * hash-fails. Plan: batched scan-shaped decode (no shuffle), one
+    * map-side-combined groupBy(doc_id).
+    */
+  val mm10 = QSpec(
+    "mm10_audio_energy_profile",
+    Some("""WITH sd AS (SELECT doc_id, (doc_id * 53) % 1009 AS seed FROM documents),
+           |lm AS (SELECT doc_id, w,
+           |    list_sum(list_transform(range(0, 32),
+           |      j -> CAST((seed + 7 * (w * 32 + j)) % 2001 - 1000 AS BIGINT)
+           |         * CAST((seed + 7 * (w * 32 + j)) % 2001 - 1000 AS BIGINT))) AS energy
+           |  FROM sd, UNNEST(range(0, 8)) AS t(w))
+           |SELECT doc_id, CAST(SUM(energy) AS BIGINT) AS total_energy,
+           |  CAST(MAX(energy * 8 + (7 - w)) // 8 AS BIGINT) AS peak_energy,
+           |  CAST(7 - (MAX(energy * 8 + (7 - w)) % 8) AS BIGINT) AS peak_window
+           |FROM lm GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val prof = Multimodal.extractEnergyProfiles(
+        Multimodal.syntheticWav(documents(s, d), "doc_id", 256, 16000))
+        .toDF()
+      prof
+        .withColumn("key", col("energy") * 8 + (lit(7) - col("window")))
+        .groupBy("doc_id")
+        .agg(sum("energy").as("total_energy"),
+          expr("max(key) div 8").as("peak_energy"),
+          (lit(7) - pmod(max(col("key")), lit(8))).as("peak_window"))
+        .orderBy("doc_id")
+    })
+
   /** s11 — metadata-FILTERED ANN (the production complication every
     * vector store hits: "top-k neighbors among vectors WHERE label < 5").
     * The predicate is pushed INTO the index scan — the shared fitted IVF
@@ -2081,5 +2123,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, s10, p15, mm09, s11, p16)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, s10, p15, mm09, mm10, s11, p16)
 }

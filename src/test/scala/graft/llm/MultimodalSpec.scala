@@ -97,6 +97,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("extractEnergyProfiles: exact per-window sums, short tail window, " +
+      "container-bytes invariance (INFO-chunk duplicate), no shuffle") {
+    // 40 samples, window 32 → one full window + one 8-sample tail
+    def sample(i: Int): Int = i * 101 - 300
+    val plain = Multimodal.wavEncode(8000, sample, 40)
+    val stamped = Multimodal.wavEncodeWithInfoChunk(8000, sample, 40, "tool v2")
+    plain should not equal stamped // container bytes differ…
+    val media = Seq(
+      MediaRecord(1L, plain, MediaMeta("audio/wav", plain.length.toLong)),
+      MediaRecord(2L, stamped, MediaMeta("audio/wav", stamped.length.toLong)))
+      .toDS()
+    val prof = Multimodal.extractEnergyProfiles(media)
+    prof.queryExecution.executedPlan.toString should not include "Exchange"
+    val got = prof.collect().groupBy(_.doc_id).view
+      .mapValues(_.sortBy(_.window).map(p => (p.window, p.energy)).toSeq).toMap
+    def e(lo: Int, hi: Int): Long =
+      (lo until hi).map { i => val s = sample(i).toLong; s * s }.sum
+    got(1L) shouldBe Seq((0, e(0, 32)), (1, e(32, 40)))
+    got(2L) shouldBe got(1L) // …decoded energy does not
+  }
+
   test("extractImageFeatures decodes planted pixels to exact channel means, no shuffle") {
     val docs = (0L to 99L).toDF("doc_id")
     val feats = Multimodal.extractImageFeatures(
