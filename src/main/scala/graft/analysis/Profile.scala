@@ -86,6 +86,32 @@ object Profile {
   /** a12 — prediction error analysis, computed natively (the reference drops
     * to pandas: notebooks/03_model_training.py:157-179).
     */
+  /** Leave-one-out target encoding: each row's category replaced by the
+    * mean target over the OTHER rows of its category — (S_cat − y_i) /
+    * (n_cat − 1) — the standard high-cardinality categorical feature
+    * that plain per-category means would leak (a row's own target
+    * flows into its own feature; LOO removes exactly that term).
+    * Singleton categories have no LOO estimate → null (callers impose
+    * their prior). Exactness: S is an exact decimal sum; the single
+    * terminal division runs in double (IEEE-deterministic) and rounds
+    * to 6 dp — the repo's round-before-compare contract. Plan: one
+    * map-side-combined groupBy over the category domain (a DIMENSION,
+    * tiny by definition) broadcast-joined back onto the scan — no
+    * window, no per-category task skew, scan-shaped at any corpus size.
+    */
+  def looTargetEncoding(df: DataFrame, catCol: String, targetCol: String,
+      scale: Int = 2): DataFrame = {
+    val stats = df.groupBy(catCol).agg(
+      sum(col(targetCol).cast(DecimalType(18, scale))).as("__s"),
+      count(col(targetCol)).as("__n"))
+    df.join(broadcast(stats), catCol)
+      .withColumn("loo_enc",
+        when(col("__n") > 1,
+          round((col("__s") - col(targetCol).cast(DecimalType(18, scale)))
+            .cast("double") / (col("__n") - 1), 6)))
+      .drop("__s", "__n")
+  }
+
   def errorAnalysis(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
     val err = (col(predCol) - col(labelCol)) / col(labelCol) * 100
     df.select(err.as("err_pct")).agg(

@@ -612,6 +612,42 @@ object Dedup {
     shingled.unpersist() // both consumers materialized — no cache leak
   }
 
+  /** COMPACT a [[writeMinhashIndex]] store into a fresh single-generation
+    * index at `destPath` — the maintenance step that closes the index
+    * lifecycle (build d13 → append d19 → query → compact): after many
+    * appends the store is many small per-shard generations (small-file
+    * pressure, per-generation footer/listing overhead on every read);
+    * compaction rewrites the SAME rows as one `gen=base` generation. Pure
+    * IO — the corpus is never re-shingled, which is the entire economics
+    * of the persisted index (a rebuild would pay the shingle + signature
+    * CPU again; at 100 TB this job is a scan + columnar rewrite, and the
+    * bands table would come out bucketed on `bk`, x11's lever).
+    * Crash-safe by CONSTRUCTION rather than choreography: the destination
+    * is a NEW index directory (the table-version-swap pattern — the
+    * caller flips its path config after success), the source is
+    * read-only throughout, and the `_graft_index.json` sidecar is
+    * written LAST so a half-written destination fails loudly on first
+    * use (no meta → refuse) instead of answering from partial data.
+    * d20's oracle pins compacted-index results ≡ the grown index's ≡
+    * brute force over the union corpus.
+    */
+  def compactMinhashIndex(spark: SparkSession, srcPath: String,
+      destPath: String): Unit = {
+    require(srcPath != destPath,
+      "compaction writes a NEW index directory (version-swap pattern); " +
+        "in-place compaction would lose crash safety")
+    val meta = readSidecarBytes(spark, srcPath, "_graft_index.json")
+    val bands = spark.read.parquet(s"$srcPath/bands").select("id", "bk")
+    val hashes = spark.read.parquet(s"$srcPath/hashes").select("id", "hs")
+    for (sub <- Seq("bands", "hashes")) {
+      val (fs, p) = sidecar(spark, destPath, sub)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    hashes.write.mode("overwrite").parquet(s"$destPath/hashes/gen=base")
+    bands.write.mode("overwrite").parquet(s"$destPath/bands/gen=base")
+    writeSidecarBytes(spark, destPath, "_graft_index.json", meta)
+  }
+
   /** Incremental near-dup against a [[writeMinhashIndex]] index: the
     * batch contributes its own shingles + keys; the corpus side comes
     * entirely from the stored parquet. The index's recorded LSH

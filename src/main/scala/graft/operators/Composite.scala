@@ -341,6 +341,36 @@ object Composite {
         .orderBy("bin")
     })
 
+  /** a15 — leave-one-out TARGET ENCODING
+    * ([[graft.analysis.Profile.looTargetEncoding]]): the standard
+    * leakage-safe categorical feature for tree/linear models — each
+    * row's segment replaced by the mean target over the OTHER rows of
+    * its segment, (S − y)/(n − 1), so a row's own label never flows
+    * into its own feature (the reference one-hots its low-cardinality
+    * categories — notebooks/02_feature_engineering.py — but its
+    * city/postal columns are exactly where production swaps in target
+    * encoding). Exact decimal sums, one IEEE-deterministic terminal
+    * division, round-6; plan is a tiny category aggregate
+    * broadcast-joined back onto the scan — no window, no per-category
+    * task skew at any scale.
+    */
+  val a15 = QSpec(
+    "a15_target_encoding",
+    Some("""WITH st AS (SELECT c_mktsegment,
+           |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+           |  FROM customer GROUP BY 1)
+           |SELECT c_custkey, c.c_mktsegment,
+           |  CASE WHEN n > 1 THEN
+           |    ROUND(CAST(s - CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) / (n - 1), 6)
+           |  END AS loo_enc
+           |FROM customer c JOIN st USING (c_mktsegment)
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => Profile.looTargetEncoding(
+        customer(s, d).select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "c_mktsegment", "c_acctbal")
+      .select("c_custkey", "c_mktsegment", "loo_enc")
+      .orderBy("c_custkey"))
+
   val specs: Seq[QSpec] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13, a14)
+    a11, a12, a13, a14, a15)
 }

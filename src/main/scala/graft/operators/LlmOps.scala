@@ -404,6 +404,32 @@ object LlmOps {
         .orderBy("new_id", "corpus_id")
     })
 
+  /** d20 — index COMPACTION ([[Dedup.compactMinhashIndex]] — the
+    * maintenance step that closes the d13/d19 lifecycle): the index is
+    * built from shard 0, shard 1 APPENDED (two generations on disk), then
+    * compacted into a fresh single-generation store — pure IO, no
+    * re-shingling — and shard 2 matches against the COMPACTED index. The
+    * oracle is d19's exact cross-set SQL verbatim: compaction must be
+    * result-invisible all the way to brute-force ground truth, not
+    * merely self-consistent.
+    */
+  val d20 = QSpec(
+    "d20_index_compaction",
+    d19.oracle,
+    (s, d) => {
+      val docs = documents(s, d)
+      val idx = graft.util.Tables.scratch(d, "d20_index")
+      val compacted = graft.util.Tables.scratch(d, "d20_compacted")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", idx, 0.5)
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", idx, "shard1", 0.5)
+      Dedup.compactMinhashIndex(s, idx, compacted)
+      Dedup.minhashPairsAgainstIndex(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", compacted, 0.5)
+        .orderBy("new_id", "corpus_id")
+    })
+
   /** d14 — keeper selection over near-dup groups: d07's components joined
     * with t02's quality score; the highest-quality doc per group survives
     * (doc id breaks rounded-score ties). Keep-BEST — the curation upgrade
@@ -2120,8 +2146,64 @@ object LlmOps {
           .as("order_checksum"))
       .orderBy("stage"))
 
+  /** p17 — TOKEN PACKING (concat-and-cut): the layout step between
+    * curation and the trainer — documents are concatenated in a
+    * deterministic order and cut every `budget` tokens (the
+    * Megatron/GPT-style packing rule: a fixed token budget per training
+    * sequence, documents spanning cut points). Expressed exactly as
+    * arithmetic on the per-shard token PREFIX SUM: a doc starts in chunk
+    * ⌊cum_before/B⌋ and ends in ⌊(cum_before+tok−1)/B⌋ — pure BIGINT,
+    * no sequential recurrence (greedy "open a new bin" packing is a
+    * serial fold; concat-and-cut is what large-scale pipelines actually
+    * run precisely BECAUSE it is a prefix sum). Packing runs PER SOURCE
+    * SHARD in ingest order — the production shape: dataloader shards
+    * pack independently and in parallel, so the one window partitions by
+    * source and parallelism scales with shards (20 here; thousands at
+    * 100 TB), never a global single-task ordering. Declared output pins
+    * each (shard, chunk)'s doc count, started tokens, boundary-spanning
+    * docs, and head doc — an off-by-one at any cut point hash-fails.
+    * (B = 256 so the verify SF exercises several cut points per shard —
+    * the arithmetic is budget-independent; production budgets are
+    * 2048–8192.)
+    */
+  val p17 = QSpec(
+    "p17_token_packing",
+    Some("""WITH sc AS (SELECT doc_id, source,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS tok
+           |  FROM documents),
+           |f AS (SELECT * FROM sc WHERE tok > 0),
+           |w AS (SELECT *, COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM f),
+           |g AS (SELECT source, doc_id, tok, cumb // 256 AS chunk,
+           |        (cumb + tok - 1) // 256 AS endchunk FROM w)
+           |SELECT source, CAST(chunk AS BIGINT) AS chunk,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(tok) AS BIGINT) AS tokens_started,
+           |  CAST(SUM(CASE WHEN endchunk > chunk THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+           |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+           |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val budget = 256L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wordCount(col("text")).as("tok"))
+        .filter(col("tok") > 0)
+        .withColumn("cumb", coalesce(sum("tok").over(w), lit(0L)))
+        .withColumn("chunk", expr(s"cumb div $budget"))
+        .withColumn("endchunk", expr(s"(cumb + tok - 1) div $budget"))
+        .groupBy("source", "chunk")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tok").as("tokens_started"),
+          sum(when(col("endchunk") > col("chunk"), 1L).otherwise(0L)).as("n_spanning"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source", "chunk")
+    })
+
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, s10, p15, mm09, mm10, s11, p16)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, s10, p15, mm09, mm10, s11, p16, p17)
 }

@@ -445,6 +445,73 @@ object MlOps {
         .orderBy("x")
     })
 
+  /** m18 — SPLIT-CONFORMAL prediction interval (Vovk/Papadopoulos; the
+    * distribution-free uncertainty wrapper production ML serves next to
+    * point predictions): on a held-out calibration split, take the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual as the half-width q̂;
+    * a test prediction's interval is ŷ ± q̂, covering ≥ 1−α of
+    * exchangeable test labels. The model is the m17 recipe — a planted
+    * closed-form predictor whose residuals |ŷ−y| = |md5-hash mod 2001 −
+    * 1000| are EXACT integers — so q̂, the rank math, and the test-side
+    * coverage counts are all hash-pinned, not contract booleans. Scale
+    * shape is the real story: the conformal rank is an exact order
+    * statistic, but over a BOUNDED INTEGER residual domain (≤ 1001
+    * values here; continuous residuals quantize to micro-units the same
+    * way), so it computes as histogram + cumulative over ≤ |domain|
+    * rows — one map-side-combined groupBy, a trivially small window,
+    * and a broadcast scalar against the test scan. No global sort, no
+    * x08-style per-group distinct-value table, at ANY calibration size.
+    * α = 0.1; k = ⌈0.9·(n+1)⌉ exactly as (9(n+1)+9) div 10.
+    */
+  val m18 = QSpec(
+    "m18_conformal_interval",
+    Some("""WITH cal AS (SELECT abs(CAST(('0x' || substr(md5('m18:' || o_orderkey), 1, 12))
+           |        AS BIGINT) % 2001 - 1000) AS r
+           |      FROM orders WHERE o_orderkey % 5 IN (1, 2)),
+           |hist AS (SELECT r, COUNT(*) AS c FROM cal GROUP BY r),
+           |tot AS (SELECT COUNT(*) AS n FROM cal),
+           |cum AS (SELECT r, SUM(c) OVER (ORDER BY r
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |        n, (9 * (n + 1) + 9) // 10 AS k
+           |        FROM hist, tot),
+           |q AS (SELECT MIN(r) AS q_hat, MIN(n) AS n_cal FROM cum WHERE cum >= k),
+           |test AS (SELECT abs(CAST(('0x' || substr(md5('m18:' || o_orderkey), 1, 12))
+           |        AS BIGINT) % 2001 - 1000) AS r
+           |      FROM orders WHERE o_orderkey % 5 = 0)
+           |SELECT CAST(n_cal AS BIGINT) AS n_cal, CAST(q_hat AS BIGINT) AS q_hat,
+           |  CAST((SELECT COUNT(*) FROM test) AS BIGINT) AS n_test,
+           |  CAST((SELECT COUNT(*) FROM test, q WHERE r <= q_hat) AS BIGINT) AS n_covered
+           |FROM q""".stripMargin),
+    (s, d) => {
+      def resid = abs(pmod(
+        conv(substring(md5(concat(lit("m18:"), col("o_orderkey").cast("string"))),
+          1, 12), 16, 10).cast("long"), lit(2001L)) - 1000L)
+      val o = orders(s, d)
+      val cal = o.filter(pmod(col("o_orderkey"), lit(5)).isin(1, 2))
+        .select(resid.as("r"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("r")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      // histogram over the bounded residual domain (≤ 1001 rows): the
+      // windows below run over the HISTOGRAM, never the calibration set
+      val q = cal.groupBy("r").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+        .withColumn("k", expr("(9 * (n + 1) + 9) div 10"))
+        .filter(col("cum") >= col("k"))
+        .agg(min("r").as("q_hat"), min("n").as("n_cal"))
+      val test = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(resid.as("r"))
+      test.crossJoin(broadcast(q))
+        .agg(min("n_cal").as("n_cal"), min("q_hat").as("q_hat"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"))
+        .select("n_cal", "q_hat", "n_test", "n_covered")
+    })
+
   val specs: Seq[QSpec] = Seq(m01, m02, m03, m04, m06, m07, m08, m09, m10,
-    m11, m12, m14, m15, m16, m17)
+    m11, m12, m14, m15, m16, m17, m18)
 }

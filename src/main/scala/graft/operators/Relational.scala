@@ -876,9 +876,54 @@ object Relational {
         .orderBy("c_custkey")
     })
 
+  /** q43 — PARQUET schema-evolution read (closes the format-evolution
+    * trio: Avro q41 resolves by reader schema, CSV q42 by positional
+    * prefix, parquet by FOOTER MERGE): one dir holds a v1 generation
+    * (even custkeys, written before `c_mktsegment` existed) and a v2
+    * generation (odd keys, current shape). `mergeSchema=true` unions the
+    * footers — v1 rows null-fill the added column — while the DEFAULT
+    * read picks ONE footer at plan time and can silently drop the new
+    * column for every row (measured on Spark 4.1.2, probe
+    * `scripts/probe_q43_parquet.scala` — the production hazard this
+    * query pins: a pipeline that forgets the option reads a narrower
+    * table, no error). Declared output: the merged rows (null-fill
+    * placement pinned per row by parity against the live table) plus the
+    * merged column count riding every row — a dropped generation, a
+    * misplaced null, or a lost column hash-fails.
+    */
+  val q43 = QSpec(
+    "q43_parquet_evolution",
+    Some("""SELECT c_custkey, c_acctbal,
+           | CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS mkt_ev,
+           | CAST(3 AS INT) AS n_merged_cols
+           |FROM customer WHERE c_custkey % 7 = 0
+           |ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      val c = customer(s, d)
+      val root = scratch(d, "q43_parquet")
+      // wipe, then append both generations into ONE dir — the layout a
+      // long-lived table accumulates as its writer evolves
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(rootPath)) fs.delete(rootPath, true): Unit
+      c.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_acctbal")
+        .write.mode("append").parquet(root)
+      c.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .write.mode("append").parquet(root)
+      val merged = s.read.option("mergeSchema", "true").parquet(root)
+      merged
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment").as("mkt_ev"),
+          lit(merged.columns.length).as("n_merged_cols"))
+        .orderBy("c_custkey")
+    })
+
   val specs: Seq[QSpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41, q42)
+    q37, q38, q39, q41, q42, q43)
 }

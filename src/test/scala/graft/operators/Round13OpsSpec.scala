@@ -35,6 +35,42 @@ class Round13OpsSpec extends SparkSpec {
       .select("wmedian").as[Double].head() shouldBe 2.0
   }
 
+  test("d20 compaction: one generation out, grown-index results preserved, " +
+      "meta copied verbatim, in-place refused, half-written dest refuses") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-d20").toString
+    graft.llm.Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", s"$root/idx", 0.5)
+    graft.llm.Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", s"$root/idx", "s1", 0.5)
+    new java.io.File(s"$root/idx/bands").list()
+      .count(_.startsWith("gen=")) shouldBe 2
+    graft.llm.Dedup.compactMinhashIndex(spark, s"$root/idx", s"$root/c")
+    // exactly one generation in the compacted store, meta verbatim
+    for (sub <- Seq("bands", "hashes"))
+      new java.io.File(s"$root/c/$sub").list()
+        .filter(_.startsWith("gen=")).toSeq shouldBe Seq("gen=base")
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/c/_graft_index.json")) shouldBe
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/idx/_graft_index.json"))
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    def rows(p: String) = graft.llm.Dedup
+      .minhashPairsAgainstIndex(probe, "doc_id", "text", p, 0.5)
+      .orderBy("new_id", "corpus_id").as[(Long, Long, Double)].collect().toSeq
+    val got = rows(s"$root/c")
+    got should not be empty
+    got shouldBe rows(s"$root/idx")
+    // in-place compaction is refused (would lose crash safety)
+    an[IllegalArgumentException] should be thrownBy
+      graft.llm.Dedup.compactMinhashIndex(spark, s"$root/idx", s"$root/idx")
+    // the sidecar is the commit marker: a dest missing it refuses loudly
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$root/c/_graft_index.json"))
+    a[java.io.IOException] should be thrownBy rows(s"$root/c")
+  }
+
   test("q42 CSV evolution: within-session re-run lands on the identical " +
       "result (overwrite + generation-rename choreography)") {
     val d = "/root/testdata/sf0.001"
