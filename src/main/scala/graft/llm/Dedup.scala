@@ -612,6 +612,36 @@ object Dedup {
     shingled.unpersist() // both consumers materialized — no cache leak
   }
 
+  /** TOMBSTONE corpus documents in a [[writeMinhashIndex]] store — the
+    * DELETE of the index lifecycle (retracted sources, takedowns,
+    * right-to-be-forgotten): deletions are written as an append-only id
+    * list (`<path>/tombstones/gen=<batchId>`, the same generation
+    * choreography as [[appendToMinhashIndex]] — idempotent retry by
+    * overwrite, duplicates harmless since consumers anti-join), never as
+    * in-place rewrites of the band/hash tables: at 100 TB rewriting the
+    * index per takedown batch is a full-table job, while an id-list
+    * anti-join is a broadcast against each query. The physical rows are
+    * reclaimed by the next [[compactMinhashIndex]], which applies
+    * tombstones and resets the list — exactly the delete-vector /
+    * merge-on-read pattern lakehouse table formats use.
+    */
+  def tombstoneMinhashIndex(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String, batchId: String): Unit = {
+    require(batchId.nonEmpty &&
+      !batchId.exists(c => c == '/' || c == '=' || c.isWhitespace),
+      s"batchId must be a non-empty path-safe token: '$batchId'")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstones/gen=$batchId")
+  }
+
+  /** The store's live tombstone id set, or None if none were ever
+    * written. */
+  private def readTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val (fs, p) = sidecar(spark, path, "tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/tombstones").select("id"))
+    else None
+  }
+
   /** COMPACT a [[writeMinhashIndex]] store into a fresh single-generation
     * index at `destPath` — the maintenance step that closes the index
     * lifecycle (build d13 → append d19 → query → compact): after many
@@ -637,8 +667,15 @@ object Dedup {
       "compaction writes a NEW index directory (version-swap pattern); " +
         "in-place compaction would lose crash safety")
     val meta = readSidecarBytes(spark, srcPath, "_graft_index.json")
-    val bands = spark.read.parquet(s"$srcPath/bands").select("id", "bk")
-    val hashes = spark.read.parquet(s"$srcPath/hashes").select("id", "hs")
+    // apply live tombstones: compaction is where merge-on-read deletes
+    // become physical — the destination starts with an empty tombstone set
+    val dead = readTombstones(spark, srcPath)
+    def live(df: DataFrame): DataFrame = dead match {
+      case Some(t) => df.join(broadcast(t), Seq("id"), "left_anti")
+      case None => df
+    }
+    val bands = live(spark.read.parquet(s"$srcPath/bands").select("id", "bk"))
+    val hashes = live(spark.read.parquet(s"$srcPath/hashes").select("id", "hs"))
     for (sub <- Seq("bands", "hashes")) {
       val (fs, p) = sidecar(spark, destPath, sub)
       if (fs.exists(p)) fs.delete(p, true): Unit
@@ -670,7 +707,15 @@ object Dedup {
     val (bShingled, bKeys) = shingleAndBand(batch, idCol, textCol,
       bandsFor(minJaccard, nTables, rowsPerBand), rowsPerBand)
     val cKeys = spark.read.parquet(s"$path/bands")
-    val cHashes = spark.read.parquet(s"$path/hashes")
+    // tombstoned docs are excluded merge-on-read style: one broadcast
+    // anti-join against the 1-row/doc hashes table is sufficient — the
+    // candidate join is INNER on corpus_id, so a dead doc's band keys can
+    // never reach the output once its hashes row is gone
+    val cHashes = readTombstones(spark, path) match {
+      case Some(t) => spark.read.parquet(s"$path/hashes")
+        .join(broadcast(t), Seq("id"), "left_anti")
+      case None => spark.read.parquet(s"$path/hashes")
+    }
     val candKeys = bKeys.as("a").join(cKeys.as("b"), col("a.bk") === col("b.bk"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()

@@ -430,6 +430,47 @@ object LlmOps {
         .orderBy("new_id", "corpus_id")
     })
 
+  /** d21 — index TOMBSTONES ([[Dedup.tombstoneMinhashIndex]] — the
+    * DELETE of the d13/d19/d20 lifecycle: takedowns and retracted
+    * sources excluded merge-on-read, physically reclaimed at the next
+    * compaction — the lakehouse delete-vector pattern): the index is
+    * built from shard 0, shard 1 appended, then every corpus doc with
+    * id ≡ 1 (mod 4) is tombstoned, and shard 2 matches against the
+    * store. The oracle replays d19's exact cross-set Jaccard with the
+    * deleted ids carved out of the corpus side — a dead doc surfacing
+    * (or a live one over-deleted) hash-fails against brute force.
+    */
+  val d21 = QSpec(
+    "d21_index_tombstones",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS inter
+           |      FROM g a JOIN g b ON a.gram = b.gram
+           |      WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 < 2 AND b.doc_id % 4 <> 1
+           |      GROUP BY 1, 2)
+           |SELECT new_id, corpus_id,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           |FROM p JOIN sz sa ON new_id = sa.doc_id JOIN sz sb ON corpus_id = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+           |ORDER BY new_id, corpus_id""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d)
+      val idx = graft.util.Tables.scratch(d, "d21_index")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", idx, 0.5)
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", idx, "shard1", 0.5)
+      Dedup.tombstoneMinhashIndex(s, idx,
+        docs.filter(col("doc_id") % 3 < 2 && col("doc_id") % 4 === 1),
+        "doc_id", "takedown1")
+      Dedup.minhashPairsAgainstIndex(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", idx, 0.5)
+        .orderBy("new_id", "corpus_id")
+    })
+
   /** d14 — keeper selection over near-dup groups: d07's components joined
     * with t02's quality score; the highest-quality doc per group survives
     * (doc id breaks rounded-score ties). Keep-BEST — the curation upgrade
@@ -2105,6 +2146,49 @@ object LlmOps {
             .as("scan_frac_le_050"))
     })
 
+  /** s12 — kNN GRAPH construction (every vector's top-k through the
+    * shared fitted IVF index — the primitive under embedding clustering,
+    * semantic-dedup graphs and diversity sampling, where s02-s11 answer
+    * PROBE queries): all N vectors run as probes against
+    * [[Similarity.cachedIvfIndex]], k = 3. The exact all-pairs baseline
+    * is O(N²) and exists only as an AUDIT on a bounded probe slice
+    * (vec_id < 40 — fixed-size, so the audit cost stays linear in the
+    * corpus at any SF, the s02 lesson applied to graph construction).
+    * Contract, all computed in-plan: every node got edges, no node
+    * exceeds k, audited recall ≥ 0.9 vs brute force. The edge list is
+    * cached once and feeds both the structural stats and the audit join.
+    */
+  val s12 = QSpec(
+    "s12_knn_graph",
+    Some("""SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 40)
+           |   AS BIGINT) AS n_audited,
+           | TRUE AS all_nodes_covered, TRUE AS edges_le_k,
+           | TRUE AS recall_ge_090""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val k = 3
+      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding", 512)
+      val np = math.max(1, idx.centroids.length * 2 / 5)
+      val ann = Similarity.ivfSearch(s, idx, emb, "vec_id", "embedding", k, np)
+        .select("p_id", "neighbor_id").cache()
+      val perNode = ann.groupBy("p_id").agg(count(lit(1)).as("deg"))
+      val stats = perNode.agg(count(lit(1)).as("nodes"), max("deg").as("maxdeg"))
+      val probes = emb.filter(col("vec_id") < 40)
+      val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", k)
+        .select("p_id", "neighbor_id")
+      exact.join(ann.filter(col("p_id") < 40),
+          Seq("p_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("total"),
+          countDistinct(col("p_id")).as("n_audited")))
+        .crossJoin(stats)
+        .crossJoin(emb.agg(count(lit(1)).as("corpus_n")))
+        .select(col("n_audited"),
+          (col("nodes") === col("corpus_n")).as("all_nodes_covered"),
+          (col("maxdeg") <= k).as("edges_le_k"),
+          (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"))
+    })
+
   /** p16 — CURRICULUM ordering ([[graft.llm.Curation.curriculumStages]]):
     * the training-data layout step after curation — stage documents
     * easy→hard by an integer difficulty proxy (whitespace token count,
@@ -2146,22 +2230,22 @@ object LlmOps {
           .as("order_checksum"))
       .orderBy("stage"))
 
-  /** p17 — TOKEN PACKING (concat-and-cut): the layout step between
-    * curation and the trainer — documents are concatenated in a
-    * deterministic order and cut every `budget` tokens (the
-    * Megatron/GPT-style packing rule: a fixed token budget per training
-    * sequence, documents spanning cut points). Expressed exactly as
-    * arithmetic on the per-shard token PREFIX SUM: a doc starts in chunk
-    * ⌊cum_before/B⌋ and ends in ⌊(cum_before+tok−1)/B⌋ — pure BIGINT,
-    * no sequential recurrence (greedy "open a new bin" packing is a
-    * serial fold; concat-and-cut is what large-scale pipelines actually
-    * run precisely BECAUSE it is a prefix sum). Packing runs PER SOURCE
-    * SHARD in ingest order — the production shape: dataloader shards
-    * pack independently and in parallel, so the one window partitions by
-    * source and parallelism scales with shards (20 here; thousands at
-    * 100 TB), never a global single-task ordering. Declared output pins
-    * each (shard, chunk)'s doc count, started tokens, boundary-spanning
-    * docs, and head doc — an off-by-one at any cut point hash-fails.
+  /** p17 — per-shard TOKEN PACKING with boundary audit (p06's twin —
+    * probe-first overlap check, the standing rule: p06 packs the corpus
+    * in GLOBAL doc order through [[graft.llm.Curation.packSequences]]'
+    * distributed two-phase prefix sum; this packs WITHIN each source
+    * shard — the mixture-preserving layout where a domain's documents
+    * stay contiguous in its own chunk sequence, which is how sharded
+    * dataloaders actually consume packed data — and adds the statistic
+    * p06 doesn't expose: how many documents SPAN a cut point, the
+    * cross-document attention-contamination count every concat-and-cut
+    * pipeline reports). Same exact arithmetic: a doc starts in chunk
+    * ⌊cum_before/B⌋ and ends in ⌊(cum_before+tok−1)/B⌋, pure BIGINT on
+    * the per-shard prefix sum; the one window partitions by source, so
+    * parallelism scales with shards (20 here; thousands at 100 TB) and
+    * no global ordering exists to pay for. Declared output pins each
+    * (shard, chunk)'s doc count, started tokens, boundary-spanning docs,
+    * and head doc — an off-by-one at any cut point hash-fails.
     * (B = 256 so the verify SF exercises several cut points per shard —
     * the arithmetic is budget-independent; production budgets are
     * 2048–8192.)
@@ -2205,5 +2289,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, s10, p15, mm09, mm10, s11, p16, p17)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09, mm10, s11, s12, p16, p17)
 }

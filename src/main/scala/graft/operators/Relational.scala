@@ -878,18 +878,20 @@ object Relational {
 
   /** q43 — PARQUET schema-evolution read (closes the format-evolution
     * trio: Avro q41 resolves by reader schema, CSV q42 by positional
-    * prefix, parquet by FOOTER MERGE): one dir holds a v1 generation
-    * (even custkeys, written before `c_mktsegment` existed) and a v2
-    * generation (odd keys, current shape). `mergeSchema=true` unions the
-    * footers — v1 rows null-fill the added column — while the DEFAULT
-    * read picks ONE footer at plan time and can silently drop the new
-    * column for every row (measured on Spark 4.1.2, probe
-    * `scripts/probe_q43_parquet.scala` — the production hazard this
-    * query pins: a pipeline that forgets the option reads a narrower
-    * table, no error). Declared output: the merged rows (null-fill
-    * placement pinned per row by parity against the live table) plus the
-    * merged column count riding every row — a dropped generation, a
-    * misplaced null, or a lost column hash-fails.
+    * prefix, parquet by FOOTER MERGE). Probe-first overlap check against
+    * q34, the standing rule: q34 pins the mergeSchema UNION of two
+    * disjoint-column batches read as two explicitly listed paths; this
+    * pins the GENERATIONAL layout — one accumulating prefix a long-lived
+    * table grows in place, a column ADDED over time — and the hazard q34
+    * cannot see: the DEFAULT read of that prefix picks ONE footer at
+    * plan time and can silently drop the new column for every row
+    * (measured on Spark 4.1.2, probe `scripts/probe_q43_parquet.scala` —
+    * a pipeline that forgets the option reads a narrower table, no
+    * error), where `mergeSchema=true` unions the footers and null-fills
+    * v1 rows. Declared output: the merged rows (null-fill placement
+    * pinned per row by parity against the live table) plus the merged
+    * column count riding every row — a dropped generation, a misplaced
+    * null, or a lost column hash-fails.
     */
   val q43 = QSpec(
     "q43_parquet_evolution",

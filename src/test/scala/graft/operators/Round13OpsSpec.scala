@@ -71,6 +71,38 @@ class Round13OpsSpec extends SparkSpec {
     a[java.io.IOException] should be thrownBy rows(s"$root/c")
   }
 
+  test("d21 tombstones: merge-on-read exclusion, idempotent takedown " +
+      "retry, physical reclaim + tombstone reset at compaction") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-d21").toString
+    graft.llm.Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 < 2),
+      "doc_id", "text", s"$root/idx", 0.5)
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    def rows(p: String) = graft.llm.Dedup
+      .minhashPairsAgainstIndex(probe, "doc_id", "text", p, 0.5)
+      .orderBy("new_id", "corpus_id").as[(Long, Long, Double)].collect().toSeq
+    val before = rows(s"$root/idx")
+    val dead = docs.filter(col("doc_id") % 3 < 2 && col("doc_id") % 4 === 1)
+    graft.llm.Dedup.tombstoneMinhashIndex(spark, s"$root/idx", dead,
+      "doc_id", "t1")
+    val after = rows(s"$root/idx")
+    val deadIds = dead.select("doc_id").as[Long].collect().toSet
+    after shouldBe before.filterNot(r => deadIds.contains(r._2))
+    after.size should be < before.size // the takedown actually bit
+    // retrying the same takedown batch is idempotent (overwrite, not append)
+    graft.llm.Dedup.tombstoneMinhashIndex(spark, s"$root/idx", dead,
+      "doc_id", "t1")
+    rows(s"$root/idx") shouldBe after
+    // compaction APPLIES tombstones physically and resets the list
+    graft.llm.Dedup.compactMinhashIndex(spark, s"$root/idx", s"$root/c")
+    new java.io.File(s"$root/c/tombstones").exists() shouldBe false
+    rows(s"$root/c") shouldBe after
+    val liveHashes = spark.read.parquet(s"$root/c/hashes")
+      .select("id").as[Long].collect().toSet
+    liveHashes.intersect(deadIds) shouldBe empty
+  }
+
   test("q42 CSV evolution: within-session re-run lands on the identical " +
       "result (overwrite + generation-rename choreography)") {
     val d = "/root/testdata/sf0.001"
