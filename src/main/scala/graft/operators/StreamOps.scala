@@ -1150,6 +1150,55 @@ object StreamOps {
         .orderBy("user_id")
     })
 
+  /** st21 — streaming CONFORMAL calibration (m18's st-twin,
+    * [[graft.streaming.EventStreams.conformalQuantile]]): calibration
+    * residuals arrive in micro-batches and per-key state holds their
+    * bounded-domain HISTOGRAM — m18's exact-order-statistic trick made
+    * stateful, O(domain) per key forever — so the published half-width
+    * q̂ revises as the window grows instead of being refit by a batch
+    * job. Histogram folding is commutative, so the final (n, q̂) is
+    * batch-placement-invariant: the backlog slices by order-key residue
+    * and the oracle is m18's SQL VERBATIM (drained revisions compact
+    * under strictly-monotone n_cal; the test-side coverage counts run
+    * batch-side against the final q̂, exactly like m18).
+    */
+  val st21 = QSpec(
+    "st21_stream_conformal",
+    MlOps.m18.oracle,
+    (s, d) => {
+      import s.implicits._
+      def resid = abs(pmod(
+        conv(substring(md5(concat(lit("m18:"), col("o_orderkey").cast("string"))),
+          1, 12), 16, 10).cast("long"), lit(2001L)) - 1000L)
+      val o = orders(s, d)
+      val cal = o.filter(pmod(col("o_orderkey"), lit(5)).isin(1, 2))
+        .select(col("o_orderkey").as("k"), resid.as("r"))
+      val backlog = batchBacklog(s, d, "st21",
+        cal.filter(col("k") % 3 === 0).select("r"),
+        cal.filter(col("k") % 3 === 1).select("r"),
+        cal.filter(col("k") % 3 === 2).select("r"))
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+        .as[graft.streaming.EventStreams.ResidualArrival]
+      val revs = graft.streaming.EventStreams.conformalQuantile(stream).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_cal").desc)
+      val fin = drainToTable(revs, "st21", d, "append")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("n_cal", "q_hat")
+      val test = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(resid.as("r"))
+      test.crossJoin(broadcast(fin))
+        .agg(min("n_cal").as("n_cal"), min("q_hat").as("q_hat"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"))
+        .select("n_cal", "q_hat", "n_test", "n_covered")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
-    st09, st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
+    st09, st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20,
+    st21)
 }

@@ -376,6 +376,75 @@ object EventStreams {
       }
   }
 
+  /** One arriving absolute residual, integer-valued in [0, domain). */
+  final case class ResidualArrival(r: Long)
+
+  /** Conformal monitor state: the residual histogram (bounded domain)
+    * plus the arrival count — the minimal sufficient statistic for any
+    * exact order statistic over the stream so far.
+    */
+  final case class ConformalState(hist: Array[Long], n: Long)
+
+  /** One conformal revision: the calibration count and split-conformal
+    * half-width after folding a micro-batch. `n_cal` strictly increases
+    * per revision, so the drained log compacts by max(n_cal).
+    */
+  final case class ConformalRev(n_cal: Long, q_hat: Long)
+
+  /** Streaming SPLIT-CONFORMAL calibration (m18's st-twin): maintain the
+    * ⌈(1−α)(n+1)⌉-th smallest absolute residual INCREMENTALLY as
+    * calibration examples arrive — the serving-time form, where the
+    * interval half-width q̂ is re-published as the calibration window
+    * grows instead of refit by a batch job. State is m18's same trick
+    * made stateful: residuals live on a BOUNDED integer domain, so the
+    * exact order statistic needs only a histogram (O(domain) longs per
+    * key — fixed, never per-arrival growth) folded commutatively; the
+    * final state is therefore batch-placement-invariant and st21 shares
+    * m18's oracle verbatim. One group here (a single global monitor);
+    * production keys the same state by (model, segment) and the state
+    * store scales with keys, each O(domain). While n < k (too few
+    * calibration points to certify 1−α coverage) the emitted q̂ is the
+    * maximal representable residual — the bounded-domain stand-in for
+    * conformal's +∞ — and out-of-domain residuals are refused loudly,
+    * never clipped.
+    */
+  def conformalQuantile(rs: Dataset[ResidualArrival], domain: Int = 1001,
+      alphaNum: Int = 9, alphaDen: Int = 10): Dataset[ConformalRev] = {
+    import rs.sparkSession.implicits._
+    rs.groupByKey(_ => 0)
+      .flatMapGroupsWithState[ConformalState, ConformalRev](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[ResidualArrival], state: GroupState[ConformalState]) =>
+          val prev = state.getOption
+            .getOrElse(ConformalState(new Array[Long](domain), 0L))
+          val hist = prev.hist.clone()
+          var added = 0L
+          rows.foreach { a =>
+            require(a.r >= 0 && a.r < domain,
+              s"residual ${a.r} outside the declared domain [0, $domain)")
+            hist(a.r.toInt) += 1L
+            added += 1L
+          }
+          if (added == 0L) Iterator.empty
+          else {
+            val n = prev.n + added
+            state.update(ConformalState(hist, n))
+            // k = ⌈(alphaNum/alphaDen)·(n+1)⌉, the conformal rank
+            val k = (alphaNum * (n + 1) + (alphaDen - 1)) / alphaDen
+            var cum = 0L
+            var q = domain - 1
+            var i = 0
+            var found = false
+            while (i < domain && !found) {
+              cum += hist(i)
+              if (cum >= k) { q = i; found = true }
+              i += 1
+            }
+            Iterator.single(ConformalRev(n, q.toLong))
+          }
+      }
+  }
+
   /** Streaming output-mode helper for tests. */
   def completeMode: OutputMode = OutputMode.Complete()
   def updateMode: OutputMode = OutputMode.Update()

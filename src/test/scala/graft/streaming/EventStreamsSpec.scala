@@ -284,6 +284,39 @@ class EventStreamsSpec extends SparkSpec {
     finalState(rows.reverse.map(Seq(_)), "ic_reveach") shouldBe want
   }
 
+  test("conformalQuantile: exact rank walk on a hand histogram, revisions " +
+      "monotone in n, placement invariant, +inf stand-in when n < k") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{ConformalRev, ResidualArrival}
+    def drain(batches: Seq[Seq[Long]], name: String): Seq[ConformalRev] = {
+      val input = MemoryStream[ResidualArrival]
+      val q = EventStreams.conformalQuantile(input.toDS(), domain = 32)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b.map(ResidualArrival): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[ConformalRev].collect().toSeq.sortBy(_.n_cal)
+    }
+    // 19 distinct residuals 0..18: k = ceil(0.9·20) = 18 → q̂ = 17.
+    // After the first 9 (0..8): k = ceil(0.9·10) = 9 → q̂ = 8.
+    val rs = (0L until 19L)
+    val one = drain(Seq(rs), "cq_one")
+    one.last shouldBe ConformalRev(19L, 17L)
+    val two = drain(Seq(rs.take(9), rs.drop(9)), "cq_two")
+    two.map(r => (r.n_cal, r.q_hat)) shouldBe Seq((9L, 8L), (19L, 17L))
+    // placement invariance of the FINAL revision (histogram fold is
+    // commutative): scrambled and per-row placements land identically
+    drain(Seq(rs.reverse), "cq_rev").last shouldBe ConformalRev(19L, 17L)
+    drain(rs.reverse.map(Seq(_)), "cq_each").last shouldBe ConformalRev(19L, 17L)
+    // n < k (4 samples want rank 5): the bounded-domain stand-in for
+    // conformal's +infinity is the maximal representable residual
+    drain(Seq(Seq(5L, 1L, 9L, 1L)), "cq_small").last shouldBe
+      ConformalRev(4L, 31L)
+    // out-of-domain residuals are refused loudly, never silently clipped
+    an[Exception] should be thrownBy drain(Seq(Seq(32L)), "cq_bad")
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventRow]
