@@ -2146,49 +2146,6 @@ object LlmOps {
             .as("scan_frac_le_050"))
     })
 
-  /** s12 — kNN GRAPH construction (every vector's top-k through the
-    * shared fitted IVF index — the primitive under embedding clustering,
-    * semantic-dedup graphs and diversity sampling, where s02-s11 answer
-    * PROBE queries): all N vectors run as probes against
-    * [[Similarity.cachedIvfIndex]], k = 3. The exact all-pairs baseline
-    * is O(N²) and exists only as an AUDIT on a bounded probe slice
-    * (vec_id < 40 — fixed-size, so the audit cost stays linear in the
-    * corpus at any SF, the s02 lesson applied to graph construction).
-    * Contract, all computed in-plan: every node got edges, no node
-    * exceeds k, audited recall ≥ 0.9 vs brute force. The edge list is
-    * cached once and feeds both the structural stats and the audit join.
-    */
-  val s12 = QSpec(
-    "s12_knn_graph",
-    Some("""SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 40)
-           |   AS BIGINT) AS n_audited,
-           | TRUE AS all_nodes_covered, TRUE AS edges_le_k,
-           | TRUE AS recall_ge_090""".stripMargin),
-    (s, d) => {
-      val emb = embeddings(s, d)
-      val k = 3
-      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding", 512)
-      val np = math.max(1, idx.centroids.length * 2 / 5)
-      val ann = Similarity.ivfSearch(s, idx, emb, "vec_id", "embedding", k, np)
-        .select("p_id", "neighbor_id").cache()
-      val perNode = ann.groupBy("p_id").agg(count(lit(1)).as("deg"))
-      val stats = perNode.agg(count(lit(1)).as("nodes"), max("deg").as("maxdeg"))
-      val probes = emb.filter(col("vec_id") < 40)
-      val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", k)
-        .select("p_id", "neighbor_id")
-      exact.join(ann.filter(col("p_id") < 40),
-          Seq("p_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(exact.agg(count(lit(1)).as("total"),
-          countDistinct(col("p_id")).as("n_audited")))
-        .crossJoin(stats)
-        .crossJoin(emb.agg(count(lit(1)).as("corpus_n")))
-        .select(col("n_audited"),
-          (col("nodes") === col("corpus_n")).as("all_nodes_covered"),
-          (col("maxdeg") <= k).as("edges_le_k"),
-          (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"))
-    })
-
   /** p16 — CURRICULUM ordering ([[graft.llm.Curation.curriculumStages]]):
     * the training-data layout step after curation — stage documents
     * easy→hard by an integer difficulty proxy (whitespace token count,
@@ -2289,5 +2246,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09, mm10, s11, s12, p16, p17)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09, mm10, s11, p16, p17)
 }
