@@ -120,6 +120,71 @@ class PropertiesSpec extends SparkSpec {
     e.getMessage should include("corrMatrix: nulls")
   }
 
+  test("weightedMedianByKey matches a brute-force weighted median on " +
+      "random tie-heavy integer-weight inputs") {
+    // brute: expand each row weight times, lower median = element at
+    // ceil(W/2) in the sorted expansion — the definition the window
+    // construction must reproduce, including value ties and zero weights
+    val gen = Gen.nonEmptyListOf(for {
+      v <- Gen.choose(0, 20).map(_.toDouble) // heavy value ties
+      w <- Gen.choose(0L, 5L)                // zero weights must be inert
+    } yield (v, w))
+    for (s <- 1L to 6L; xs <- gen.apply(Gen.Parameters.default, Seed(s))
+         if xs.exists(_._2 > 0)) {
+      val df = xs.map { case (v, w) => ("k", v, w) }.toDF("k", "v", "w")
+      val got = graft.operators.Extras.weightedMedianByKey(df, "k", "v", "w")
+        .select("wmedian", "total_w", "n_rows")
+        .as[(Double, Long, Long)].head()
+      val expanded = xs.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+      val wTot = expanded.size
+      val brute = expanded((wTot + 1) / 2 - 1) // ceil(W/2)-th smallest, 0-based
+      got._1 shouldBe brute
+      got._2 shouldBe wTot.toLong
+      got._3 shouldBe xs.size.toLong
+    }
+  }
+
+  test("intervalCoverage final state matches a brute-force interval union " +
+      "on random inputs under random batch placements") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.{CoverageRev, IntervalArrival}
+    implicit val sqlCtx = spark.sqlContext
+    val gen = Gen.nonEmptyListOf(for {
+      s <- Gen.choose(0L, 400L)
+      len <- Gen.choose(1L, 120L)
+    } yield (s, s + len))
+    var n = 0
+    for (seed <- 1L to 4L; ivs <- gen.apply(Gen.Parameters.default, Seed(seed))) {
+      n += 1
+      val rows = ivs.zipWithIndex.map { case ((s, e), i) =>
+        IntervalArrival(1L, i.toLong, s, e)
+      }
+      // split into batches by a seed-dependent residue so placements vary
+      val k = 1 + (seed % 3).toInt
+      val batches = (0 until k).map(r => rows.filter(_.event_id % k == r))
+      val input = MemoryStream[IntervalArrival]
+      val q = graft.streaming.EventStreams.intervalCoverage(input.toDS())
+        .writeStream.format("memory").queryName(s"prop_ic_$n")
+        .outputMode("append").start()
+      try batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"prop_ic_$n").as[CoverageRev].collect()
+        .maxBy(_.n_intervals)
+      // brute union: sort by start, fold merging s <= reach
+      val merged = ivs.sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (s, e)) => acc match {
+          case (ps, pe) :: t if s <= pe => (ps, math.max(pe, e)) :: t
+          case _ => (s, e) :: acc
+        }
+      }.reverse
+      got.n_intervals shouldBe ivs.size.toLong
+      got.n_segments shouldBe merged.size.toLong
+      got.covered_ns shouldBe merged.map(t => t._2 - t._1).sum
+      got.longest_segment_ns shouldBe merged.map(t => t._2 - t._1).max
+    }
+  }
+
   test("null-policy fills are total: no nulls escape on covered columns") {
     val df = Seq(
       (Some(1.0), Some("a")), (None, Some("b")), (Some(3.0), None),
