@@ -11,7 +11,7 @@ def occupancy(dir: String, bands: Int, rpb: Int): Unit = {
   val occ = keys.groupBy("bk").agg(count(lit(1)).as("n")).agg(max("n").as("mx"), count(lit(1)).as("buckets"), sum("n").as("rows")).head()
   println(s"OCC dir=$dir bands=$bands rpb=$rpb max=${occ.getLong(0)} buckets=${occ.getLong(1)} keyrows=${occ.getLong(2)}")
 }
-occupancy("/root/testdata/sf0.01", 42, 3)
+occupancy("/root/repo/data/gsf10", 42, 3)
+occupancy("/root/repo/data/gsf10", 8, 1)
 occupancy("/root/testdata/sf0.1", 42, 3)
-occupancy("/root/testdata/sf0.1", 8, 1)
 System.exit(0)

@@ -61,12 +61,15 @@ object DocStreams {
     * (quadratic total). Unlike the batch stop-gram (which drops the
     * over-df gram retroactively), a stream cannot retract: pairs the
     * bucket emitted BEFORE freezing stand. The default keeps every real
-    * LSH bucket far below the cap (a 4096-member bucket at θ = 0.5 is
-    * boilerplate by construction — measured max occupancy on the
-    * shipped corpora: 5 at sf0.1 with r = 3, 22 with the r = 1 dial);
-    * exact-equivalence consumers (st15's shared d02 oracle) hold as
-    * long as no bucket freezes, which StreamDialSpec pins on the
-    * shipped corpora. Duplicate emissions
+    * LSH bucket below the cap while growing dup clusters still fit (a
+    * 4096-member bucket at θ = 0.5 is boilerplate by construction —
+    * measured max occupancy: 5 at sf0.1 and 317 at 100× data with
+    * r = 3; 22 / 1 036 with the r = 1 dial — the biggest bucket tracks
+    * the biggest dup cluster, so at ~1000× the r = 1 dial WOULD freeze
+    * its worst bucket, which is the cap doing its job on what is by
+    * then a 10k-member boilerplate cluster); exact-equivalence
+    * consumers (st15's shared d02 oracle) hold as long as no bucket
+    * freezes, which StreamDialSpec pins on the shipped corpora. Duplicate emissions
     * across bands (a pair sharing several buckets) are expected — the
     * consumer dedups pairs, exactly as the batch path's `.distinct()`
     * does.
