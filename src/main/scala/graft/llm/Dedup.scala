@@ -550,8 +550,10 @@ object Dedup {
       shingleAndBand(corpus, idCol, textCol, bands, rowsPerBand)
     // a (re)build REPLACES the whole index: drop every surviving
     // generation first, or appends from a previous build would leak into
-    // the new one (the gen=base overwrite alone only replaces itself)
-    for (sub <- Seq("bands", "hashes")) {
+    // the new one (the gen=base overwrite alone only replaces itself).
+    // tombstones included: a stale takedown list surviving a rebuild
+    // would silently anti-join ids that are live in the new corpus
+    for (sub <- Seq("bands", "hashes", "tombstones")) {
       val (fs, p) = sidecar(corpus.sparkSession, path, sub)
       if (fs.exists(p)) fs.delete(p, true): Unit
     }
@@ -676,7 +678,10 @@ object Dedup {
     }
     val bands = live(spark.read.parquet(s"$srcPath/bands").select("id", "bk"))
     val hashes = live(spark.read.parquet(s"$srcPath/hashes").select("id", "hs"))
-    for (sub <- Seq("bands", "hashes")) {
+    // "tombstones" included: the destination must START empty — a
+    // pre-existing takedown list at destPath (ping-pong compaction onto a
+    // previously-used dir) would silently kill live docs
+    for (sub <- Seq("bands", "hashes", "tombstones")) {
       val (fs, p) = sidecar(spark, destPath, sub)
       if (fs.exists(p)) fs.delete(p, true): Unit
     }
@@ -756,7 +761,7 @@ object Dedup {
     * the clamp is WARNED, not silent: drop to rowsPerBand = 1 (b = 8
     * suffices at any θ) or raise θ if the warning fires.
     */
-  private def bandsFor(minJaccard: Double, nTables: Int, rowsPerBand: Int): Int = {
+  private[graft] def bandsFor(minJaccard: Double, nTables: Int, rowsPerBand: Int): Int = {
     require(rowsPerBand >= 1, "rowsPerBand must be >= 1")
     require(minJaccard > 0 && minJaccard < 1, "minJaccard must be in (0, 1)")
     val raw = math.ceil(

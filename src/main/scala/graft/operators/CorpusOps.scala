@@ -485,50 +485,20 @@ object CorpusOps {
            |GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, d) => {
       import graft.plans.RangeJoinRewrite
-      // scoped session mutation: the band-width override and (if this
-      // lambda added it) the injected rule are restored in the finally —
-      // later queries in the same session keep their own plan shapes.
-      // CRUCIALLY, the rewritten join is EXECUTED inside the scope (via
-      // this Dataset's own pinned QueryExecution) and its rows returned as
-      // a local frame: any derived Dataset (the harness's coalesce+write)
-      // builds a NEW QueryExecution, which after the restore would
-      // silently re-plan WITHOUT the rule — the oracle would then be
-      // checking the plain BroadcastNestedLoop join, not the rewrite it
-      // exists to verify. The result is 80 aggregated rows, so
-      // materializing is free.
-      val hadRule = s.experimental.extraOptimizations.contains(RangeJoinRewrite)
-      val prevW =
-        try Some(s.conf.get(RangeJoinRewrite.BandWidthConf))
-        catch { case _: java.util.NoSuchElementException => None }
-      RangeJoinRewrite.ensureInjected(s)
-      s.conf.set(RangeJoinRewrite.BandWidthConf, "6000")
-      try {
+      // scoped-rule + pinned-execution harness (shared with j05): rule
+      // and band-width override live only inside this call, the rewritten
+      // join executes via its own pinned QueryExecution, the rewrite is
+      // require()d to have fired. 80 aggregated rows — materializing free.
+      RangeJoinRewrite.pinnedScopedExecution(s,
+          Map(RangeJoinRewrite.BandWidthConf -> "6000"), "j03") {
         orders(s, d).select("o_orderkey", "o_totalprice")
           .createOrReplaceTempView("j03_orders")
-        val df = s.sql("""SELECT band_id, COUNT(*) AS n_orders,
+        s.sql("""SELECT band_id, COUNT(*) AS n_orders,
                 |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
                 |FROM (SELECT CAST(id AS INT) AS band_id, id * 7500.0 AS lo,
                 |        id * 7500.0 + 12000.0 AS hi FROM range(0, 80)) b
                 |JOIN j03_orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
                 |GROUP BY band_id ORDER BY band_id""".stripMargin)
-        require(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
-          "j03: RangeJoinRewrite did not fire on the inequality join")
-        val rows = df.collect()
-        // pinned-execution collect is only valid for band-aggregate-sized
-        // output (≤80 rows here); the guard keeps a future reuse of this
-        // pattern on unbounded output from silently becoming a driver OOM
-        require(rows.length <= 10000,
-          s"j03: ${rows.length} rows — too large for driver-side pinning")
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally {
-        prevW match {
-          case Some(v) => s.conf.set(RangeJoinRewrite.BandWidthConf, v)
-          case None    => s.conf.unset(RangeJoinRewrite.BandWidthConf)
-        }
-        if (!hadRule) {
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
-        }
       }
     })
 
@@ -595,47 +565,19 @@ object CorpusOps {
            |GROUP BY band_id ORDER BY band_id""".stripMargin),
     (s, d) => {
       import graft.plans.RangeJoinRewrite
-      val hadRule = s.experimental.extraOptimizations.contains(RangeJoinRewrite)
-      val prevW =
-        try Some(s.conf.get(RangeJoinRewrite.BandWidthConf))
-        catch { case _: java.util.NoSuchElementException => None }
-      val prevM =
-        try Some(s.conf.get(RangeJoinRewrite.MaxBandsConf))
-        catch { case _: java.util.NoSuchElementException => None }
-      RangeJoinRewrite.ensureInjected(s)
-      s.conf.set(RangeJoinRewrite.BandWidthConf, "6000")
-      s.conf.set(RangeJoinRewrite.MaxBandsConf, "64")
-      try {
+      RangeJoinRewrite.pinnedScopedExecution(s,
+          Map(RangeJoinRewrite.BandWidthConf -> "6000",
+            RangeJoinRewrite.MaxBandsConf -> "64"), "j05") {
         orders(s, d).groupBy("o_custkey")
           .agg(min("o_totalprice").as("lo1"),
             (max("o_totalprice") + lit(1.0d)).as("hi1"))
           .createOrReplaceTempView("j05_cust")
-        val df = s.sql("""SELECT band_id, COUNT(*) AS n_cust,
+        s.sql("""SELECT band_id, COUNT(*) AS n_cust,
                 |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
                 |FROM (SELECT CAST(id AS INT) AS band_id, id * 9000.0 AS lo2,
                 |        id * 9000.0 + 15000.0 AS hi2 FROM range(0, 60)) b
                 |JOIN j05_cust c ON c.lo1 < b.hi2 AND b.lo2 < c.hi1
                 |GROUP BY band_id ORDER BY band_id""".stripMargin)
-        require(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
-          "j05: RangeJoinRewrite did not fire on the overlap join")
-        val rows = df.collect()
-        // same bounded-output contract as j03's pinned-execution collect
-        require(rows.length <= 10000,
-          s"j05: ${rows.length} rows — too large for driver-side pinning")
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally {
-        prevW match {
-          case Some(v) => s.conf.set(RangeJoinRewrite.BandWidthConf, v)
-          case None    => s.conf.unset(RangeJoinRewrite.BandWidthConf)
-        }
-        prevM match {
-          case Some(v) => s.conf.set(RangeJoinRewrite.MaxBandsConf, v)
-          case None    => s.conf.unset(RangeJoinRewrite.MaxBandsConf)
-        }
-        if (!hadRule) {
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
-        }
       }
     })
 

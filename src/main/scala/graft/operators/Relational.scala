@@ -787,7 +787,7 @@ object Relational {
       // a handful of part files (scratch-dir arrangement, not data
       // motion — a real deployment's generations land in one prefix)
       val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
       fs.listStatus(new org.apache.hadoop.fs.Path(v2dir))
         .filter(_.getPath.getName.endsWith(".avro"))
         .foreach { st =>
@@ -847,7 +847,7 @@ object Relational {
       // driver-side renames of a handful of part files — a real
       // deployment's generations land in one prefix over time)
       val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
       fs.listStatus(new org.apache.hadoop.fs.Path(v2dir))
         .filter(_.getPath.getName.endsWith(".csv"))
         .foreach { st =>
@@ -906,7 +906,7 @@ object Relational {
       // wipe, then append both generations into ONE dir — the layout a
       // long-lived table accumulates as its writer evolves
       val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = rootPath.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(rootPath)) fs.delete(rootPath, true): Unit
       c.filter(col("c_custkey") % 2 === 0)
         .select("c_custkey", "c_acctbal")

@@ -1198,7 +1198,85 @@ object StreamOps {
         .select("n_cal", "q_hat", "n_test", "n_covered")
     })
 
+  /** st22 — KEYED streaming conformal calibration (st21 generalized to
+    * the production shape its scaladoc promised, round-13 directive #3:
+    * [[graft.streaming.EventStreams.conformalQuantileByKey]]): one
+    * conformal monitor per segment (`o_orderkey % 4` here — (model,
+    * segment) in production), each holding its own O(domain) residual
+    * histogram in the state store, revising its own q̂ as its
+    * calibration window grows. The fold is st21's verbatim (shared
+    * `foldConformal`), so each key's final (n, q̂) is batch-placement-
+    * invariant independently — the backlog slices by order-key residue
+    * mod 3, deliberately mis-aligned with the mod-4 segments so every
+    * batch carries rows for every monitor. Per-key compaction by
+    * strictly-monotone n_cal, then the test-side coverage counts run
+    * batch-side per segment against a BROADCAST of the 4 final q̂ rows.
+    * Oracle: m18's SQL grouped by segment.
+    */
+  val st22 = QSpec(
+    "st22_stream_conformal_keyed",
+    Some("""WITH cal AS (SELECT o_orderkey % 4 AS seg,
+           |        abs(CAST(('0x' || substr(md5('m18:' || o_orderkey), 1, 12))
+           |        AS BIGINT) % 2001 - 1000) AS r
+           |      FROM orders WHERE o_orderkey % 5 IN (1, 2)),
+           |hist AS (SELECT seg, r, COUNT(*) AS c FROM cal GROUP BY seg, r),
+           |tot AS (SELECT seg, COUNT(*) AS n FROM cal GROUP BY seg),
+           |cum AS (SELECT h.seg, r, SUM(c) OVER (PARTITION BY h.seg ORDER BY r
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |        n, (9 * (n + 1) + 9) // 10 AS k
+           |        FROM hist h JOIN tot t ON h.seg = t.seg),
+           |q AS (SELECT seg, MIN(r) AS q_hat, MIN(n) AS n_cal FROM cum
+           |      WHERE cum >= k GROUP BY seg),
+           |test AS (SELECT o_orderkey % 4 AS seg,
+           |        abs(CAST(('0x' || substr(md5('m18:' || o_orderkey), 1, 12))
+           |        AS BIGINT) % 2001 - 1000) AS r
+           |      FROM orders WHERE o_orderkey % 5 = 0)
+           |SELECT q.seg AS seg, CAST(n_cal AS BIGINT) AS n_cal,
+           |  CAST(q_hat AS BIGINT) AS q_hat,
+           |  CAST(COUNT(*) AS BIGINT) AS n_test,
+           |  CAST(SUM(CASE WHEN t.r <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_covered
+           |FROM q JOIN test t ON q.seg = t.seg
+           |GROUP BY q.seg, n_cal, q_hat ORDER BY seg""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      def resid = abs(pmod(
+        conv(substring(md5(concat(lit("m18:"), col("o_orderkey").cast("string"))),
+          1, 12), 16, 10).cast("long"), lit(2001L)) - 1000L)
+      val o = orders(s, d)
+      val cal = o.filter(pmod(col("o_orderkey"), lit(5)).isin(1, 2))
+        .select(col("o_orderkey").as("k"),
+          pmod(col("o_orderkey"), lit(4L)).as("seg"), resid.as("r"))
+      val backlog = batchBacklog(s, d, "st22",
+        cal.filter(col("k") % 3 === 0).select("seg", "r"),
+        cal.filter(col("k") % 3 === 1).select("seg", "r"),
+        cal.filter(col("k") % 3 === 2).select("seg", "r"))
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seg",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(backlog)
+        .as[graft.streaming.EventStreams.KeyedResidualArrival]
+      val revs =
+        graft.streaming.EventStreams.conformalQuantileByKey(stream).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg").orderBy(col("n_cal").desc)
+      val fin = drainToTable(revs, "st22", d, "append")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("seg", "n_cal", "q_hat")
+      val test = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(pmod(col("o_orderkey"), lit(4L)).as("seg"), resid.as("r"))
+      test.join(broadcast(fin), Seq("seg"))
+        .groupBy("seg")
+        .agg(min("n_cal").as("n_cal"), min("q_hat").as("q_hat"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"))
+        .orderBy("seg")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
     st09, st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20,
-    st21)
+    st21, st22)
 }

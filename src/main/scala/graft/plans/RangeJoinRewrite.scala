@@ -324,4 +324,62 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
     }
   }
+
+  /** SCOPED rule injection + PINNED execution, the j03/j05 verification
+    * harness factored once (round-13 advice: two near-identical 30-line
+    * try/finally blocks invited a third fork).
+    *
+    * Semantics, exactly as the inline originals documented them:
+    *  - session mutation is SCOPED — the band-width/max-bands overrides
+    *    and (if this call added it) the injected rule are restored in the
+    *    finally, so later queries in the same session keep their own plan
+    *    shapes;
+    *  - the rewritten join is EXECUTED inside the scope via the built
+    *    Dataset's own pinned QueryExecution and its rows returned as a
+    *    local frame: any derived Dataset (the harness's coalesce+write)
+    *    builds a NEW QueryExecution, which after the restore would
+    *    silently re-plan WITHOUT the rule — the oracle would then check
+    *    the plain BroadcastNestedLoop join, not the rewrite this exists
+    *    to verify;
+    *  - `require(optimizedPlan contains "__graft_band")` asserts the
+    *    rewrite actually fired (a silently-not-firing rule would still
+    *    produce correct rows — through the scale-killing plan);
+    *  - the pinned collect is gated to band-aggregate-sized output
+    *    (≤10 000 rows) so a future reuse on unbounded output fails
+    *    loudly instead of silently becoming a driver OOM.
+    *
+    * @param confs rule confs to override for the scope (previous values,
+    *              set or unset, are restored per key)
+    * @param tag   query tag for the two require() messages
+    * @param body  builds the SQL/DataFrame under the scoped rule
+    */
+  def pinnedScopedExecution(s: SparkSession, confs: Map[String, String],
+      tag: String)(body: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hadRule = s.experimental.extraOptimizations.contains(RangeJoinRewrite)
+    val prev: Map[String, Option[String]] = confs.map { case (k, _) =>
+      k -> (try Some(s.conf.get(k))
+            catch { case _: java.util.NoSuchElementException => None })
+    }
+    ensureInjected(s)
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = body
+      require(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+        s"$tag: RangeJoinRewrite did not fire on the range/overlap join")
+      val rows = df.collect()
+      require(rows.length <= 10000,
+        s"$tag: ${rows.length} rows — too large for driver-side pinning")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+      if (!hadRule) {
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+      }
+    }
+  }
 }

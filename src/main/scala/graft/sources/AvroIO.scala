@@ -124,7 +124,13 @@ object AvroIO {
     val schema = df.schema
     val avroJson = avroSchema(schema).toString
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    // session Hadoop conf, scheme-aware on BOTH sides: resolved here for
+    // the driver's directory prep, shipped (serializable wrapper) into
+    // each write task — `new Configuration()` in a task would drop any
+    // session-configured FS impl/credentials (round-13 advice)
+    val confSer = new graft.util.SerializableHadoopConf(
+      df.sparkSession.sessionState.newHadoopConf())
+    val fs = dir.getFileSystem(confSer.value)
     if (fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
@@ -132,7 +138,7 @@ object AvroIO {
       else {
         val taskSchema = new Schema.Parser().parse(avroJson)
         val out = new Path(path, f"part-$pid%05d.avro")
-        val stream = out.getFileSystem(new Configuration()).create(out, true)
+        val stream = out.getFileSystem(confSer.value).create(out, true)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](taskSchema))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
@@ -197,13 +203,15 @@ object AvroIO {
   private def readResolved(spark: SparkSession, path: String,
       reader: Option[StructType]): DataFrame = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val confSer = new graft.util.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val fs = dir.getFileSystem(confSer.value)
     val files = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
     require(files.nonEmpty, s"no .avro files under $path")
     val schema = reader.getOrElse {
       val headerStream = new Path(files.head)
-        .getFileSystem(new Configuration()).open(new Path(files.head))
+        .getFileSystem(confSer.value).open(new Path(files.head))
       val headerReader = new DataFileStream[GenericRecord](headerStream,
         new GenericDatumReader[GenericRecord]())
       try sparkSchema(headerReader.getSchema) finally headerReader.close()
@@ -213,7 +221,7 @@ object AvroIO {
     val rowRdd = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.length)
       .flatMap { p =>
-        val in = new Path(p).getFileSystem(new Configuration())
+        val in = new Path(p).getFileSystem(confSer.value)
           .open(new Path(p))
         // with an expected (reader) schema, DataFileStream hands the
         // file's own header schema to the datum reader as the WRITER

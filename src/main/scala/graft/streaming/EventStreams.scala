@@ -379,6 +379,13 @@ object EventStreams {
   /** One arriving absolute residual, integer-valued in [0, domain). */
   final case class ResidualArrival(r: Long)
 
+  /** One arriving keyed residual: `seg` is the monitor key ((model,
+    * segment) in production, encoded to one long here). */
+  final case class KeyedResidualArrival(seg: Long, r: Long)
+
+  /** One keyed conformal revision — [[ConformalRev]] per monitor key. */
+  final case class KeyedConformalRev(seg: Long, n_cal: Long, q_hat: Long)
+
   /** Conformal monitor state: the residual histogram (bounded domain)
     * plus the arrival count — the minimal sufficient statistic for any
     * exact order statistic over the stream so far.
@@ -401,8 +408,9 @@ object EventStreams {
     * key — fixed, never per-arrival growth) folded commutatively; the
     * final state is therefore batch-placement-invariant and st21 shares
     * m18's oracle verbatim. One group here (a single global monitor);
-    * production keys the same state by (model, segment) and the state
-    * store scales with keys, each O(domain). While n < k (too few
+    * the production (model, segment)-keyed form is
+    * [[conformalQuantileByKey]] (st22) — same fold, state store scales
+    * with keys, each O(domain). While n < k (too few
     * calibration points to certify 1−α coverage) the emitted q̂ is the
     * maximal representable residual — the bounded-domain stand-in for
     * conformal's +∞ — and out-of-domain residuals are refused loudly,
@@ -415,34 +423,74 @@ object EventStreams {
       .flatMapGroupsWithState[ConformalState, ConformalRev](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: Int, rows: Iterator[ResidualArrival], state: GroupState[ConformalState]) =>
-          val prev = state.getOption
-            .getOrElse(ConformalState(new Array[Long](domain), 0L))
-          val hist = prev.hist.clone()
-          var added = 0L
-          rows.foreach { a =>
-            require(a.r >= 0 && a.r < domain,
-              s"residual ${a.r} outside the declared domain [0, $domain)")
-            hist(a.r.toInt) += 1L
-            added += 1L
-          }
-          if (added == 0L) Iterator.empty
-          else {
-            val n = prev.n + added
-            state.update(ConformalState(hist, n))
-            // k = ⌈(alphaNum/alphaDen)·(n+1)⌉, the conformal rank
-            val k = (alphaNum * (n + 1) + (alphaDen - 1)) / alphaDen
-            var cum = 0L
-            var q = domain - 1
-            var i = 0
-            var found = false
-            while (i < domain && !found) {
-              cum += hist(i)
-              if (cum >= k) { q = i; found = true }
-              i += 1
-            }
-            Iterator.single(ConformalRev(n, q.toLong))
-          }
+          foldConformal(rows.map(_.r), state, domain, alphaNum, alphaDen)
+            .map { case (n, q) => ConformalRev(n, q) }
       }
+  }
+
+  /** KEYED streaming split-conformal calibration — [[conformalQuantile]]
+    * as the production (model, segment)-keyed monitor its own scaladoc
+    * promised (round-13 directive: the keyed form was a prose claim; now
+    * it's a parameter). One state entry per live `seg`, each the SAME
+    * O(domain) histogram + count — the state store scales with keys and
+    * nothing else, and the per-key fold is the shared [[foldConformal]],
+    * so every per-key (n, q̂) stream is batch-placement-invariant exactly
+    * as the global one (Round15OpsSpec pins it per key; st22's oracle is
+    * m18's SQL grouped by segment). Keys hash-partition across the
+    * cluster like any stateful agg — no key ever needs another key's
+    * state, so 10⁶ monitors are 10⁶ independent histograms.
+    */
+  def conformalQuantileByKey(rs: Dataset[KeyedResidualArrival],
+      domain: Int = 1001, alphaNum: Int = 9, alphaDen: Int = 10)
+      : Dataset[KeyedConformalRev] = {
+    import rs.sparkSession.implicits._
+    rs.groupByKey(_.seg)
+      .flatMapGroupsWithState[ConformalState, KeyedConformalRev](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (seg: Long, rows: Iterator[KeyedResidualArrival],
+            state: GroupState[ConformalState]) =>
+          foldConformal(rows.map(_.r), state, domain, alphaNum, alphaDen)
+            .map { case (n, q) => KeyedConformalRev(seg, n, q) }
+      }
+  }
+
+  /** The one conformal state fold both forms share: add a micro-batch of
+    * residuals to the bounded-domain histogram, emit the revised
+    * (n, q̂) — q̂ the ⌈(alphaNum/alphaDen)·(n+1)⌉-th smallest residual,
+    * `domain − 1` (the bounded stand-in for conformal's +∞) while the
+    * rank exceeds the mass. Commutative in arrival order by
+    * construction: the histogram is a sum.
+    */
+  private def foldConformal(rs: Iterator[Long],
+      state: GroupState[ConformalState], domain: Int, alphaNum: Int,
+      alphaDen: Int): Iterator[(Long, Long)] = {
+    val prev = state.getOption
+      .getOrElse(ConformalState(new Array[Long](domain), 0L))
+    val hist = prev.hist.clone()
+    var added = 0L
+    rs.foreach { r =>
+      require(r >= 0 && r < domain,
+        s"residual $r outside the declared domain [0, $domain)")
+      hist(r.toInt) += 1L
+      added += 1L
+    }
+    if (added == 0L) Iterator.empty
+    else {
+      val n = prev.n + added
+      state.update(ConformalState(hist, n))
+      // k = ⌈(alphaNum/alphaDen)·(n+1)⌉, the conformal rank
+      val k = (alphaNum * (n + 1) + (alphaDen - 1)) / alphaDen
+      var cum = 0L
+      var q = domain - 1
+      var i = 0
+      var found = false
+      while (i < domain && !found) {
+        cum += hist(i)
+        if (cum >= k) { q = i; found = true }
+        i += 1
+      }
+      Iterator.single((n, q.toLong))
+    }
   }
 
   /** Streaming output-mode helper for tests. */

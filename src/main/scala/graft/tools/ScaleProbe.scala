@@ -239,8 +239,13 @@ object ScaleProbe {
       val distinctC = raw.select("doc_a", "doc_b").distinct().count()
       val verified = ver.count()
       val docs = graft.util.Tables.documents(spark, dir).count()
+      // per-doc key count derived from the SAME banding formula the
+      // operator uses (round-13 advice: the old hardcoded 42/8 would
+      // silently misreport if θ/nTables/r moved, and SCALE.md cites
+      // these rows as measurements)
+      val keysPerDoc = graft.llm.Dedup.bandsFor(0.5, 8, r)
       println(s"PROBE st15dial $dir COUNTS r=$r docs=$docs " +
-        s"keys=${docs * (if (r == 3) 42 else 8)} emissions=$emissions " +
+        s"keys=${docs * keysPerDoc} emissions=$emissions " +
         s"distinct_cands=$distinctC verified=$verified")
     }
   }

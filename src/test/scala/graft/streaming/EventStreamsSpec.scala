@@ -317,6 +317,46 @@ class EventStreamsSpec extends SparkSpec {
     an[Exception] should be thrownBy drain(Seq(Seq(32L)), "cq_bad")
   }
 
+  test("conformalQuantileByKey: per-key rank math matches the global fold " +
+      "per key, placement invariant PER KEY under mixed/segregated/" +
+      "scrambled batching, keys fully independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{KeyedConformalRev, KeyedResidualArrival}
+    def drain(batches: Seq[Seq[(Long, Long)]], name: String)
+        : Map[Long, (Long, Long)] = {
+      val input = MemoryStream[KeyedResidualArrival]
+      val q = EventStreams
+        .conformalQuantileByKey(input.toDS(), domain = 32)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b =>
+        if (b.nonEmpty)
+          input.addData(b.map(t => KeyedResidualArrival(t._1, t._2)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[KeyedConformalRev].collect()
+        .groupBy(_.seg).view
+        .mapValues(rs => { val m = rs.maxBy(_.n_cal); (m.n_cal, m.q_hat) })
+        .toMap
+    }
+    // key 0: residuals 0..18 → k = ⌈0.9·20⌉ = 18 → q̂ = 17 (the global
+    // test's hand walk, now per key); key 1: 4 samples < k → +∞ stand-in
+    val k0 = (0L until 19L).map(r => (0L, r))
+    val k1 = Seq((1L, 5L), (1L, 1L), (1L, 9L), (1L, 1L))
+    val want = Map(0L -> ((19L, 17L)), 1L -> ((4L, 31L)))
+    drain(Seq(k0 ++ k1), "ck_one") shouldBe want                // one batch
+    drain(Seq(k0.toSeq, k1), "ck_seg") shouldBe want            // segregated
+    // interleaved: each batch carries rows of BOTH keys (st22's backlog
+    // shape — slicing deliberately mis-aligned with the key)
+    val mixed = (k0 ++ k1).zipWithIndex.groupBy(_._2 % 3).toSeq
+      .sortBy(_._1).map(_._2.map(_._1))
+    drain(mixed, "ck_mix") shouldBe want
+    // scrambled per-row arrival (fixed seed — deterministic replay)
+    drain(new scala.util.Random(42).shuffle((k0 ++ k1).toList)
+      .map(Seq(_)), "ck_each") shouldBe want
+    // key independence: dropping key 0 entirely leaves key 1 untouched
+    drain(Seq(k1), "ck_only1") shouldBe Map(1L -> ((4L, 31L)))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventRow]
