@@ -679,4 +679,39 @@ object Multimodal {
       }
     }
   }
+
+  /** Top-k most-SIMILAR video signatures by shared-frame count — the
+    * temporal-shift-tolerant retrieval [[extractVideoSignature]]'s own
+    * scaladoc names (band the FRAME hashes like d04's grams, instead of
+    * exact-signature grouping): each distinct signature explodes to its
+    * per-frame aHashes (set semantics — a frame repeated within one
+    * video counts once), candidates share ≥ 1 frame hash (equi-join on
+    * the 64-bit-equivalent frame key, never pairwise over signatures),
+    * ranked by the number of DISTINCT shared frames descending. Partial
+    * overlaps — trailers, re-cuts, frame-inserted re-uploads — surface
+    * with shared < n_frames; exact re-encodes share all frames.
+    *
+    * Same collapse contract as [[Similarity.signatureTopK]]: `sigs` is
+    * one row per DISTINCT signature (on the planted corpus ~231 rows at
+    * any N — the doc→signature collapse happens upstream as a plain
+    * groupBy, so the frame join is bounded by signature-space structure,
+    * not corpus size). Ties break (shared desc, neighbor string asc).
+    */
+  def sharedFrameTopK(spark: SparkSession, sigs: DataFrame, sigCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = sigs.select(col(sigCol).as("sig"))
+      .select(col("sig"), explode(split(col("sig"), "\\|")).as("fh"))
+      .distinct()
+    val w = Window.partitionBy("sig")
+      .orderBy(col("shared_frames").desc, col("neighbor_sig"))
+    frames.as("a").join(frames.as("b"),
+        col("a.fh") === col("b.fh") && col("a.sig") =!= col("b.sig"))
+      .groupBy(col("a.sig").as("sig"), col("b.sig").as("neighbor_sig"))
+      .agg(count(lit(1)).as("shared_frames")) // (sig, fh) distinct ⇒ exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("sig"), col("neighbor_sig"), col("rank"),
+        col("shared_frames"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.llm
 import graft.functions.{CosineSimilarity, GraftFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -609,5 +610,204 @@ object Similarity {
     df.join(comp, Seq(idCol), "left")
       .filter(col("group_id").isNull || col(idCol) === col("group_id"))
       .drop("group_id")
+  }
+
+  // ------------------------------------------ binary-signature top-k ---
+
+  /** Top-k NEAREST SIGNATURES by Hamming distance over a '0'/'1' bit
+    * string column — the s-family index for the multimodal signature
+    * columns (mm06's image aHash, any SimHash-like fingerprint): band
+    * the L bits into L/`bandLen` substring keys, candidates share ≥ 1
+    * band (the d03/d05 band geometry on the signature ITSELF — no
+    * hyperplane projection needed, the column already IS a binary
+    * sketch), exact Hamming re-rank on candidates only via
+    * chunked `conv` + `bit_count` (codegen'd integer xor/popcount, no
+    * per-character comparison). `sim` is the cosine of the ±1 vector
+    * reading, (L − 2·ham)/L — exact rational, so the oracle reproduces
+    * it bit-for-bit.
+    *
+    * CONTRACT: `sigs` carries one row per DISTINCT signature (the
+    * caller collapses doc → signature first — on a planted-dup corpus
+    * the distinct table is ~256 rows while docs grow with N, so banding
+    * RAW docs would be N²/|sigs|; collapse-then-band keeps the candidate
+    * join bounded by signature-space collisions, the j11 corner-collapse
+    * lesson applied to media dedup). Ties break (ham asc, neighbor
+    * string asc) — fully deterministic.
+    */
+  def signatureTopK(spark: SparkSession, sigs: DataFrame, sigCol: String,
+      sigLen: Int, k: Int, bandLen: Int = 16): DataFrame = {
+    require(sigLen % bandLen == 0, s"sigLen=$sigLen not a multiple of $bandLen")
+    val s = sigs.select(col(sigCol).as("sig"))
+    val withBands = s.select(col("sig"), posexplode(array(
+      (0 until sigLen / bandLen).map(b =>
+        substring(col("sig"), b * bandLen + 1, bandLen)): _*))
+      .as(Seq("band", "key")))
+    val cand = withBands.as("a").join(withBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.sig") =!= col("b.sig"))
+      .select(col("a.sig").as("sig"), col("b.sig").as("neighbor_sig"))
+      .distinct()
+    val ham = (0 until sigLen by 16).map { off =>
+      call_function("bit_count",
+        conv(substring(col("sig"), off + 1, 16), 2, 10).cast("long")
+          .bitwiseXOR(
+            conv(substring(col("neighbor_sig"), off + 1, 16), 2, 10)
+              .cast("long")))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sig").orderBy(col("ham"), col("neighbor_sig"))
+    cand.withColumn("ham", ham.cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("sig"), col("neighbor_sig"), col("rank"), col("ham"),
+        round((lit(sigLen) - lit(2) * col("ham")) / lit(sigLen), 6).as("sim"))
+  }
+
+  // -------------------------------------------- NN-Descent kNN graph ---
+
+  /** Result of [[nnDescentGraph]]: the ranked edge list plus the MEASURED
+    * similarity-evaluation count per stage (seed candidates, then one
+    * entry per refinement round) — the graph's honesty ledger: mass must
+    * stay linear in N for the operator to be declared at all (the s12
+    * history: the 0.9-recall IVF route was 0.4·N² and got deleted).
+    */
+  final case class NnDescentResult(edges: DataFrame, simEvals: Seq[Long])
+
+  /** kNN GRAPH construction via NN-DESCENT (Dong/Charikar/Li, WWW'11 —
+    * "neighbor of a neighbor is likely a neighbor"): every node's top-k
+    * WITHOUT the all-pairs crossJoin and without relying on partition
+    * locality (the failure mode of the grid/IVF escapes: on this
+    * embedding shape mid-similarity neighbors are NOT cell-local —
+    * COVERAGE.md's s12 probe record).
+    *
+    * Shape per refinement round, all bulk-relational (no driver loops
+    * over rows — the rounds themselves are a driver-side loop of 2–3
+    * DataFrame jobs):
+    *  1. B = forward edges ∪ reverse edges, reverse degree CAPPED at
+    *     `kBuild` by similarity rank (popular nodes would otherwise make
+    *     the local join quadratic in their in-degree);
+    *  2. LOCAL JOIN: co-members of any B-list become candidate pairs —
+    *     a self-equi-join of B on the node id, `a < b` de-duplicated;
+    *  3. exact cosine on candidates (each pair ONCE, both directions
+    *     derived), merged into the per-node lists, trimmed back to
+    *     `kBuild` by the bounded [[graft.functions.TopKSim]] aggregate.
+    * Per-node candidate count is ≤ C(2·kBuild, 2) per list membership —
+    * independent of N, so each round's similarity mass is O(N·kBuild²)
+    * and the whole build is LINEAR in the corpus at fixed (kBuild,
+    * rounds). Every stage is an equi-join/agg on the node id: at 100 TB
+    * these co-partition on one hash exchange of 8-byte keys; embedding
+    * payloads ride only the candidate-pair sim join.
+    *
+    * The SEED list is IVF at a small fixed nprobe (linear scan mass,
+    * recall ~0.6 alone — measured in `probe_s12_np.scala`); refinement
+    * is what closes it to ≥ 0.9 (ScaleProbe `nnd` records the
+    * per-round recall/mass curve at three SFs). `kBuild` > k is the
+    * standard NN-Descent slack: a too-thin working list starves the
+    * local join of exploration paths.
+    */
+  def nnDescentGraph(spark: SparkSession, corpus: DataFrame,
+      idCol: String, embCol: String, k: Int, kBuild: Int = 10,
+      rounds: Int = 2, nClusters: Int = -1, seedNprobe: Int = 8,
+      corpusKey: Option[String] = None, seedMode: String = "ivf")
+      : NnDescentResult = {
+    require(kBuild >= k, s"kBuild=$kBuild must be >= k=$k")
+    require(seedMode == "ivf" || seedMode == "random",
+      s"seedMode must be 'ivf' or 'random', not '$seedMode'")
+    val emb = corpus.select(col(idCol).cast("long").as("id"),
+      col(embCol).as("emb")).persist(StorageLevel.MEMORY_AND_DISK)
+    // nClusters = -1 → OCCUPANCY-CONSTANT sizing, clamp(n/32, 128, 2048):
+    // a FIXED cell count makes the seed N²/cells (the exact quadratic
+    // class the round-13 s12 was deleted for, just with a smaller
+    // constant); cells ∝ N keeps seed mass at np·32 sims/node — constant
+    // per node, linear total — until the 2048 cap (k-means tractability;
+    // past it occupancy grows N/2048 and a hierarchical quantizer is the
+    // next dial, documented not shipped).
+    val cellsWanted =
+      if (nClusters > 0) nClusters
+      else {
+        val n = emb.count()
+        math.max(128L, math.min(2048L, n / 32L)).toInt
+      }
+    // localCheckpoint per iteration: TRUNCATES the logical plan, not just
+    // caches it — the IVF seed's lineage embeds the centroid table as a
+    // literal expression tree, and without truncation every round's
+    // union re-walks it through Catalyst (measured: round 1 in 21 s,
+    // round 2 never finishes analysis). A multi-executor deployment uses
+    // reliable checkpoint() for the same lineage cut; the iteration
+    // contract is identical.
+    var (cur, seedEvals) = seedMode match {
+      case "ivf" =>
+        val idx = corpusKey match {
+          case Some(key) =>
+            cachedIvfIndex(spark, corpus, key, idCol, embCol, cellsWanted)
+          case None => buildIvfIndex(spark, corpus, idCol, embCol, cellsWanted)
+        }
+        // seed mass = members of each probe's nprobe cells (what
+        // ivfSearch scans), counted from the same cluster assignment
+        val np = math.min(seedNprobe, idx.centroids.length)
+        val evals = probeClusters(spark, idx, corpus, idCol, embCol, np)
+          .join(idx.inverted.groupBy("cluster")
+            .agg(count(lit(1)).as("m")), "cluster")
+          .agg(sum("m")).head().getLong(0)
+        (ivfSearch(spark, idx, corpus, idCol, embCol, kBuild, np)
+          .select(col("p_id").as("id"), col("neighbor_id").as("nbr"),
+            col("sim"))
+          .localCheckpoint(), evals)
+      case "random" =>
+        // classic NN-Descent init: kBuild deterministic pseudo-random
+        // neighbors per node — STRICTLY O(N·kBuild) seed mass with no
+        // index build at all; convergence then rides the local joins
+        // alone (the probe measures how many extra rounds that costs)
+        val n = emb.count()
+        val rnd = emb.select(col("id"),
+            explode(sequence(lit(0), lit(kBuild - 1))).as("j"))
+          .select(col("id"), pmod(
+            // splitmix-style integer hash of (id, j), reduced mod n
+            hash(col("id"), col("j"), lit(0x9E3779B9L)).cast("long"),
+            lit(n)).as("nbr"))
+          .filter(col("nbr") =!= col("id")).distinct()
+        val seeded = rnd
+          .join(emb.select(col("id"), col("emb").as("ea")), "id")
+          .join(emb.select(col("id").as("nbr"), col("emb").as("eb")), "nbr")
+          .select(col("id"), col("nbr"),
+            cosine(spark, col("ea"), col("eb")).as("sim"))
+          .localCheckpoint()
+        (seeded, seeded.count())
+    }
+    val evals = scala.collection.mutable.ArrayBuffer[Long](seedEvals)
+    val wRev = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("sim").desc, col("nbr"))
+    for (_ <- 1 to rounds) {
+      val rev = cur.select(col("nbr").as("id"), col("id").as("nbr"), col("sim"))
+        .withColumn("rn", row_number().over(wRev))
+        .filter(col("rn") <= kBuild).drop("rn", "sim")
+      val b = cur.select("id", "nbr").union(rev).distinct()
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.id") === col("y.id") && col("x.nbr") < col("y.nbr"))
+        .select(col("x.nbr").as("a"), col("y.nbr").as("b")).distinct()
+      val sims = pairs
+        .join(emb.select(col("id").as("a"), col("emb").as("ea")), "a")
+        .join(emb.select(col("id").as("b"), col("emb").as("eb")), "b")
+        .select(col("a"), col("b"),
+          cosine(spark, col("ea"), col("eb")).as("sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      evals += sims.count()
+      val merged = cur
+        .union(sims.select(col("a").as("id"), col("b").as("nbr"), col("sim")))
+        .union(sims.select(col("b").as("id"), col("a").as("nbr"), col("sim")))
+        // same pair can arrive via several lists and a prior round —
+        // max-merge before the trim so the top-k array holds distinct ids
+        .groupBy("id", "nbr").agg(max("sim").as("sim"))
+      GraftFunctions.ensureRegistered(spark)
+      cur = merged.groupBy("id")
+        .agg(call_function("topk_sim", col("sim"), col("nbr"), lit(kBuild)).as("top"))
+        .select(col("id"), explode(col("top")).as("e"))
+        .select(col("id"), col("e.id").as("nbr"), col("e.sim").as("sim"))
+        .localCheckpoint()
+      sims.unpersist(blocking = false)
+    }
+    val edges = finishTopK(cur.select(col("id").as("p_id"),
+      col("nbr").as("neighbor_id"), col("sim")), k)
+    NnDescentResult(edges, evals.toSeq)
   }
 }

@@ -2103,6 +2103,171 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** mm11 — image SIGNATURE similarity through the s-family banding
+    * ([[Similarity.signatureTopK]]): mm06 groups EXACT aHash collisions;
+    * this is the Hamming-tolerant retrieval its scaladoc names — top-3
+    * nearest distinct signatures by Hamming, candidates sharing ≥ 1 of
+    * the 4 16-bit substring bands (the d03 SimHash band geometry applied
+    * to the decoded image hash), exact chunked-popcount re-rank. The
+    * probe vetted non-degenerate structure first (mm10 precedent): at
+    * sf0.01 the 500 docs collapse to 96 distinct hashes whose pairwise
+    * Hamming spans 0–64 with a real near tail (2336/32640 distinct-seed
+    * pairs at ham 0, 5916 at ≤ 8, median 31). COLLAPSE-FIRST is the
+    * scale story: docs → distinct signatures is a plain hash-groupBy
+    * (mm06's shape), and the banded join runs on the distinct table —
+    * on a planted-dup corpus banding raw docs would be N²/|sigs|, the
+    * j11 corner-collapse lesson. `sim` = (64 − 2·ham)/64, the exact
+    * cosine of the ±1 bit-vector reading — every column closed-form
+    * reproducible without a decoder, so the oracle hash-pins decode →
+    * hash → collapse → band → popcount → rank end to end.
+    */
+  val mm11 = QSpec(
+    "mm11_image_signature_ann",
+    Some("""WITH px AS (SELECT doc_id, (doc_id * 37) % 256 AS seed FROM documents),
+           |lum AS (SELECT doc_id, list_transform(range(0, 64),
+           |          p -> (((seed + 3*p) % 256) + ((seed + 3*p + 1) % 256)
+           |                + ((seed + 3*p + 2) % 256)) // 3) AS l
+           |        FROM px),
+           |h AS (SELECT doc_id, list_aggregate(list_transform(range(0, 64),
+           |        p -> CASE WHEN 64 * l[p + 1] > list_sum(l)
+           |             THEN '1' ELSE '0' END), 'string_agg', '') AS ahash
+           |      FROM lum),
+           |g AS (SELECT ahash, COUNT(*) AS n_members FROM h GROUP BY ahash),
+           |b AS (SELECT ahash, band, substr(ahash, CAST(band*16 + 1 AS INT), 16) AS key
+           |      FROM g, UNNEST(range(0, 4)) AS t(band)),
+           |cand AS (SELECT DISTINCT a.ahash AS sig, b2.ahash AS neighbor_sig
+           |         FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+           |           AND a.ahash <> b2.ahash),
+           |hm AS (SELECT sig, neighbor_sig, list_sum(list_transform(range(1, 65),
+           |          i -> CASE WHEN substr(sig, CAST(i AS INT), 1)
+           |                 <> substr(neighbor_sig, CAST(i AS INT), 1)
+           |               THEN 1 ELSE 0 END)) AS ham
+           |       FROM cand),
+           |r AS (SELECT sig, neighbor_sig, ham, ROW_NUMBER() OVER
+           |        (PARTITION BY sig ORDER BY ham, neighbor_sig) AS rank
+           |      FROM hm)
+           |SELECT r.sig AS sig, CAST(g.n_members AS BIGINT) AS n_members,
+           |  neighbor_sig, CAST(rank AS BIGINT) AS rank,
+           |  CAST(ham AS BIGINT) AS ham,
+           |  ROUND((64 - 2*ham) / 64.0, 6) AS sim
+           |FROM r JOIN g ON r.sig = g.ahash
+           |WHERE rank <= 3 ORDER BY sig, rank""".stripMargin),
+    (s, d) => {
+      val hashes = Multimodal.extractAHash(
+        Multimodal.syntheticPpm(documents(s, d), "doc_id", 8, 8)).toDF()
+      val g = hashes.groupBy("ahash").agg(count(lit(1)).as("n_members"))
+      Similarity.signatureTopK(s, g, "ahash", 64, 3)
+        .join(g.select(col("ahash").as("sig"), col("n_members")), "sig")
+        .select("sig", "n_members", "neighbor_sig", "rank", "ham", "sim")
+        .orderBy("sig", "rank")
+    })
+
+  /** mm12 — video SHARED-FRAME retrieval
+    * ([[Multimodal.sharedFrameTopK]]): mm07 groups exact full-signature
+    * collisions; this is the temporal-shift-tolerant matching its
+    * scaladoc names — band the per-FRAME hashes like d04's grams, rank
+    * candidate videos by distinct shared frames. Probe-vetted first: at
+    * sf0.01 the 256 seeds yield 231 distinct signatures over only 96
+    * distinct frame hashes, with 5450 distinct-seed pairs sharing a
+    * PARTIAL frame set (1–5 of 6) — the re-cut/trailer structure the
+    * operator exists to surface; exact re-encodes share all 6. Same
+    * collapse-first scale shape as mm11: doc → signature groupBy, then
+    * the frame equi-join runs on the ~231-row distinct table, never
+    * pairwise over docs.
+    */
+  val mm12 = QSpec(
+    "mm12_video_shared_frames",
+    Some("""WITH px AS (SELECT doc_id, (doc_id * 29) % 256 AS seed FROM documents),
+           |fh AS (SELECT doc_id, f, list_transform(range(0, 64),
+           |          p -> (((seed + 11*f + 3*p) % 256) + ((seed + 11*f + 3*p + 1) % 256)
+           |                + ((seed + 11*f + 3*p + 2) % 256)) // 3) AS l
+           |       FROM px, UNNEST(range(0, 6)) AS t(f)),
+           |h AS (SELECT doc_id, f, list_aggregate(list_transform(range(0, 64),
+           |        p -> CASE WHEN 64 * l[p + 1] > list_sum(l)
+           |             THEN '1' ELSE '0' END), 'string_agg', '') AS ahash
+           |      FROM fh),
+           |sg AS (SELECT doc_id, string_agg(ahash, '|' ORDER BY f) AS sig
+           |       FROM h GROUP BY doc_id),
+           |g AS (SELECT sig, COUNT(*) AS n_members FROM sg GROUP BY sig),
+           |fr AS (SELECT DISTINCT sig, fh FROM
+           |        (SELECT sig, UNNEST(string_split(sig, '|')) AS fh FROM g)),
+           |sh AS (SELECT a.sig AS sig, b.sig AS neighbor_sig,
+           |         COUNT(*) AS shared_frames
+           |       FROM fr a JOIN fr b ON a.fh = b.fh AND a.sig <> b.sig
+           |       GROUP BY 1, 2),
+           |r AS (SELECT sig, neighbor_sig, shared_frames, ROW_NUMBER() OVER
+           |        (PARTITION BY sig
+           |         ORDER BY shared_frames DESC, neighbor_sig) AS rank
+           |      FROM sh)
+           |SELECT sig, CAST(g.n_members AS BIGINT) AS n_members,
+           |  neighbor_sig, CAST(rank AS BIGINT) AS rank,
+           |  CAST(shared_frames AS BIGINT) AS shared_frames
+           |FROM r JOIN g USING (sig)
+           |WHERE rank <= 3 ORDER BY sig, rank""".stripMargin),
+    (s, d) => {
+      val sigs = Multimodal.extractVideoSignature(
+        Multimodal.syntheticVideo(documents(s, d), "doc_id", 6, 8, 8)).toDF()
+      val g = sigs.groupBy("sig").agg(count(lit(1)).as("n_members"))
+      Multimodal.sharedFrameTopK(s, g, "sig", 3)
+        .join(g.select(col("sig"), col("n_members")), "sig")
+        .select("sig", "n_members", "neighbor_sig", "rank", "shared_frames")
+        .orderBy("sig", "rank")
+    })
+
+  /** s12 — kNN GRAPH construction via NN-DESCENT
+    * ([[Similarity.nnDescentGraph]]): every vector's top-k — the
+    * primitive under embedding clustering, semantic-dedup graphs and
+    * diversity sampling, where s02–s11 answer PROBE queries. RE-LANDED
+    * after the round-13 deletion with the probe the non-starter note
+    * asked for: the 0.9-recall IVF route was ~0.4·N² similarity mass
+    * (deleted as a scale-killer); NN-Descent refinement over an IVF
+    * seed (occupancy-constant cells, np = 16) measures recall
+    * 0.995 / 0.956 / 0.921 at sf0.01 / sf0.1 / gsf1 — the directive's
+    * three measurement points — at similarity mass 0.75× / 0.36× /
+    * 0.061× of brute force (kBuild = 20, rounds = 2 — ScaleProbe
+    * `nnd`; refinement mass per node is bounded by C(2·kBuild, 2) per
+    * round, independent of N, and the strictly-linear random-seed
+    * variant measures 0.925 recall at rounds = 3 on sf0.1). Recall at
+    * a FIXED budget decays as N grows the task (exact top-3 of 200 k
+    * is a harder target than of 20 k): gsf10 measures 0.786 at this
+    * setting — the budget dial (kBuild / rounds / seedNprobe, each
+    * linear in N) is the honest lever, measured in SCALE.md, never
+    * hidden. The exact all-pairs baseline exists only as an AUDIT
+    * on a bounded probe slice (vec_id < 40 — fixed-size, so audit cost
+    * stays linear in the corpus at any SF). Contract, all computed
+    * in-plan: every node got edges, no node exceeds k, audited recall
+    * ≥ 0.9 vs brute force.
+    */
+  val s12 = QSpec(
+    "s12_knn_graph",
+    Some("""SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 40)
+           |   AS BIGINT) AS n_audited,
+           | TRUE AS all_nodes_covered, TRUE AS edges_le_k,
+           | TRUE AS recall_ge_090""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val k = 3
+      val ann = Similarity.nnDescentGraph(s, emb, "vec_id", "embedding",
+          k, kBuild = 20, rounds = 2, corpusKey = Some(d))
+        .edges.select("p_id", "neighbor_id").cache()
+      val perNode = ann.groupBy("p_id").agg(count(lit(1)).as("deg"))
+      val stats = perNode.agg(count(lit(1)).as("nodes"), max("deg").as("maxdeg"))
+      val probes = emb.filter(col("vec_id") < 40)
+      val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", k)
+        .select("p_id", "neighbor_id")
+      exact.join(ann.filter(col("p_id") < 40),
+          Seq("p_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("total"),
+          countDistinct(col("p_id")).as("n_audited")))
+        .crossJoin(stats)
+        .crossJoin(emb.agg(count(lit(1)).as("corpus_n")))
+        .select(col("n_audited"),
+          (col("nodes") === col("corpus_n")).as("all_nodes_covered"),
+          (col("maxdeg") <= k).as("edges_le_k"),
+          (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"))
+    })
+
   /** s11 — metadata-FILTERED ANN (the production complication every
     * vector store hits: "top-k neighbors among vectors WHERE label < 5").
     * The predicate is pushed INTO the index scan — the shared fitted IVF
@@ -2246,5 +2411,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09, mm10, s11, p16, p17)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09, mm10, mm11, mm12, s11, s12, p16, p17)
 }

@@ -35,6 +35,7 @@ object ScaleProbe {
       case "d14" => args.drop(1).foreach(d => d14Counts(spark, d))
       case "s06" => args.drop(1).foreach(d => s06Counts(spark, d))
       case "st15dial" => args.drop(1).foreach(d => st15DialCounts(spark, d))
+      case "nnd" => args.drop(1).foreach(d => nndCounts(spark, d))
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
@@ -223,6 +224,49 @@ object ScaleProbe {
       Dedup.longSubstringPairs(corpus, "doc_id", "text", 8, 12, 32).count())
     println(s"PROBE d09 $dir COUNTS kept=$keptN candidates=$candN " +
       s"pairs=$outN pairs2=$t2")
+  }
+
+  /** The NN-Descent kNN-graph probe (round-13 directive #2 — the
+    * sub-quadratic route s12's non-starter note named but never
+    * measured): build the graph at k = 3 via
+    * [[graft.llm.Similarity.nnDescentGraph]] (IVF np = 8 seed, kBuild =
+    * 10, then 1..3 refinement rounds), measure RECALL against brute
+    * force on a 500-node audit slice and SIMILARITY MASS (exact sim
+    * evaluations) per stage. Decision bar: recall ≥ 0.9 at every SF with
+    * mass growing linearly in N — then s12 re-lands; otherwise the
+    * numbers go into the non-starter note.
+    */
+  private def nndCounts(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val kBuild = sys.env.getOrElse("NND_KBUILD", "10").toInt
+    val roundsList = sys.env.getOrElse("NND_ROUNDS", "1,2,3")
+      .split(",").map(_.trim.toInt).toSeq
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val k = 3
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 500)
+    val brute = graft.llm.Similarity
+      .bruteTopK(spark, emb, probes, "vec_id", "embedding", k)
+      .select("p_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val seedMode = sys.env.getOrElse("NND_SEED", "ivf")
+    val np = sys.env.getOrElse("NND_NP", "8").toInt
+    for (rounds <- roundsList) {
+      val res = timedP("nnd", dir, s"kb=$kBuild seed=$seedMode np=$np rounds=$rounds build")(
+        graft.llm.Similarity.nnDescentGraph(spark, emb, "vec_id",
+          "embedding", k, kBuild = kBuild, rounds = rounds,
+          seedNprobe = np, seedMode = seedMode))
+      val got = res.edges
+        .filter(org.apache.spark.sql.functions.col("p_id") < 500)
+        .select("p_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = got.intersect(brute).size.toDouble / brute.size
+      println(s"PROBE nnd $dir COUNTS n=$n kb=$kBuild seed=$seedMode np=$np rounds=$rounds " +
+        f"recall=$recall%.3f mass=${res.simEvals.mkString("+")}" +
+        s" total=${res.simEvals.sum} brute_mass=${n * (n - 1)}")
+      res.edges.sparkSession.catalog.clearCache()
+      graft.llm.Similarity.invalidateIvfIndexes(spark)
+    }
   }
 
   /** st15's banding dial measured on the SAME backlog (round-12

@@ -102,6 +102,47 @@ class Round15OpsSpec extends SparkSpec {
     rows(s"$root/c") shouldBe want
   }
 
+  test("signatureTopK hand fixture: exact hamming ranks, band contract " +
+      "(no shared 16-bit band => not a candidate), string tie order") {
+    val z16 = "0" * 16
+    val o16 = "1" * 16
+    val a = z16 * 4                   // all zeros
+    val b = "0" * 63 + "1"            // ham(a,b)=1, shares bands 0-2 with a
+    val c = o16 + z16 * 3             // ham(a,c)=16, shares bands 1-3 with a
+    val dd = o16 * 4                  // ham(a,d)=64, shares NO band with a
+    val sigs = Seq(a, b, c, dd).toDF("sig")
+    val got = graft.llm.Similarity.signatureTopK(spark, sigs, "sig", 64, 3)
+      .select("sig", "neighbor_sig", "rank", "ham", "sim")
+      .as[(String, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(r =>
+        (r._2, r._4, r._5)).toSeq).toMap
+    // a: b at ham 1 then c at ham 16; d NOT a candidate (band contract)
+    got(a) shouldBe Seq((b, 1L, 0.96875), (c, 16L, 0.5))
+    // d: c shares band 0 (ham 48); b shares band 3? b's band 3 is
+    // "0...01" ≠ "1"*16 — so c only
+    got(dd) shouldBe Seq((c, 48L, -0.5))
+    // sim is the exact ±1-vector cosine: (64 − 2·ham)/64
+    got(b).head._2 shouldBe 1L
+    got(b).map(_._1).toSet should contain(a)
+  }
+
+  test("sharedFrameTopK hand fixture: distinct-frame set semantics, " +
+      "shared-count ranks, no-shared-frame pairs absent") {
+    val s1 = "a|b|c"
+    val s2 = "a|b|d"   // shares {a,b} with s1
+    val s3 = "x|y|z"   // shares nothing
+    val s4 = "a|a|b"   // repeated frame counts ONCE; shares {a,b} with s1/s2
+    val sigs = Seq(s1, s2, s3, s4).toDF("sig")
+    val got = graft.llm.Multimodal.sharedFrameTopK(spark, sigs, "sig", 3)
+      .as[(String, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(r =>
+        (r._2, r._4)).toSeq).toMap
+    got(s1) shouldBe Seq((s4, 2L), (s2, 2L)) // tie: "a|a|b" < "a|b|d"
+    got(s2) shouldBe Seq((s4, 2L), (s1, 2L))
+    got(s4) shouldBe Seq((s1, 2L), (s2, 2L)) // set semantics: 2, not 3
+    got.contains(s3) shouldBe false
+  }
+
   test("st22 keyed conformal: within-session re-run lands on the " +
       "identical per-segment result; segments agree with m18's global " +
       "math run per segment batch-side") {
