@@ -308,7 +308,162 @@ object Similarity {
     */
   def invalidateIvfIndexes(spark: SparkSession): Unit = {
     ivfMemo.invalidate(spark)
+    ivf2Memo.invalidate(spark)
     ivfStoreMemo.invalidate(spark)
+  }
+
+  // ----------------------------------- two-level IVF coarse quantizer ---
+
+  /** TWO-LEVEL IVF index (the "hierarchical coarse quantizer" a flat IVF
+    * needs past its k-means cap): level 1 is [[buildIvfIndex]]'s spherical
+    * k-means (`k1` cells), level 2 is ONE SHARED residual codebook (`k2`
+    * plain-Euclidean k-means centroids over `v − c1[assign(v)]` — the
+    * IVFADC residual construction, Jégou/Douze/Schmid PAMI'11 §III).
+    * Effective cell count is k1·k2 from two fits that are each bounded
+    * (k1, k2 ≤ a few thousand; fit samples ≤ `maxFitRows`), so cell count
+    * can track N — occupancy stays CONSTANT — long after a single flat
+    * fit stops being tractable: the flat quantizer's occupancy grows
+    * N/cap past n ≈ 65 k, which made the nnd seed O(N²/cap) (SCALE.md's
+    * gsf10 ledger row: 421 M of 552 M sims were seed). `centroids1` and
+    * `residuals2` are each driver/literal-sized like any coarse
+    * quantizer; the composite centroid c1[j] + r2[l] is never
+    * materialized as a table — probe ranking reconstructs it per probed
+    * cell (k1 + np1·k2 work per probe, see [[probe2Cells]]).
+    */
+  final case class Ivf2Index(inverted: DataFrame,
+      centroids1: Array[Array[Float]], residuals2: Array[Array[Float]])
+
+  def buildIvf2Index(spark: SparkSession, corpus: DataFrame,
+      idCol: String, embCol: String, k1: Int, k2: Int,
+      seed: Long = 42L, maxFitRows: Long = 100000L): Ivf2Index = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.Normalizer
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import spark.implicits._
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+      .withColumn("raw_fv", array_to_vector(col("emb")))
+    val cn = new Normalizer().setInputCol("raw_fv").setOutputCol("fv")
+      .setP(2.0).transform(c)
+    val n = cn.count()
+    val sampled =
+      if (n <= maxFitRows) cn
+      else cn.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+    val fitParts = math.max(1, (math.min(n, maxFitRows) / 25000L).toInt)
+    val fitSet = sampled.coalesce(fitParts).cache()
+    val kk1 = math.max(2, math.min(k1.toLong, n / 2L).toInt)
+    val m1 = new KMeans().setK(kk1).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("c1").fit(fitSet)
+    val c1 = m1.clusterCenters.map(_.toArray.map(_.toFloat))
+    // residual = fv − c1[assignment]; the centroid table is index
+    // metadata (k1 × dim floats) → broadcast join, never a wide literal
+    // in the per-row path
+    val c1Df = c1.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("c1", "c1v")
+    def withResidual(df: DataFrame): DataFrame =
+      m1.transform(df)
+        .join(broadcast(c1Df), "c1")
+        .withColumn("rv", array_to_vector(zip_with(
+          vector_to_array(col("fv")), col("c1v"),
+          (a, b) => a - b.cast("double"))))
+    val kk2 = math.max(2, math.min(k2.toLong, n / 2L).toInt)
+    val m2 = new KMeans().setK(kk2).setSeed(seed + 1)
+      .setFeaturesCol("rv").setPredictionCol("c2")
+      .fit(withResidual(fitSet))
+    fitSet.unpersist(blocking = false)
+    val inv = m2.transform(withResidual(cn))
+      .select("neighbor_id", "emb", "c1", "c2")
+    Ivf2Index(inv, c1, m2.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** Build-once-per-JVM memo over [[buildIvf2Index]] — same contract as
+    * [[cachedIvfIndex]] (seeded fits ⇒ byte-identical centroids on hit
+    * and miss; keyed on live session + corpus-path fingerprint).
+    */
+  private val ivf2Memo =
+    new graft.util.SessionMemo[(String, Int, Int, Long, Long), Ivf2Index]
+
+  def cachedIvf2Index(spark: SparkSession, corpus: => DataFrame,
+      corpusKey: String, idCol: String, embCol: String, k1: Int, k2: Int,
+      seed: Long = 42L, maxFitRows: Long = 100000L): Ivf2Index =
+    ivf2Memo.getOrElseUpdate(spark,
+      (s"$corpusKey#${graft.util.SessionMemo.pathFingerprint(corpusKey)}",
+        k1, k2, seed, maxFitRows)) {
+      val idx = buildIvf2Index(spark, corpus, idCol, embCol, k1, k2,
+        seed, maxFitRows)
+      idx.copy(inverted = idx.inverted.persist(StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** The `nprobe` nearest (c1, c2) cells per probe. Two bounded stages,
+    * both per-row expression work over literal-sized quantizer tables
+    * (exactly [[probeClusters]]' proven regime — one codegen'd
+    * `cosine_sim` per centroid inside a transform over a literal struct
+    * array; NO nested vector arithmetic in lambda bodies, which Spark
+    * evaluates interpreted and which re-evaluates inlined
+    * sub-expressions per combo — measured 10-min hang at 2 k rows):
+    *  1. one cosine per level-1 centroid (k1 of them) and one per
+    *     residual codeword (k2), each scaled by the centroid's
+    *     DRIVER-CONSTANT norm: cos(p, c)·‖c‖ = pn·c, so the two passes
+    *     yield exact inner products against the normalized probe;
+    *  2. the np1·k2 composite grid is ranked by pn·(c1[j] + r2[l]) =
+    *     pn·c1[j] + pn·r2[l] — the dot product DISTRIBUTES over the
+    *     residual decomposition, so grid scoring is pure scalar adds
+    *     over already-computed terms (the ADC trick: composite-cell
+    *     score from per-codebook lookup tables, Jégou PAMI'11 §IV.A).
+    * Ranking by inner product rather than exact composite L2 drops the
+    * per-cell norm correction ‖c1+r2‖²; for a SEED pruner feeding
+    * NN-Descent refinement that bias is noise — the measured recall
+    * ledger (SCALE.md) is the contract, not per-cell exactness.
+    */
+  def probe2Cells(spark: SparkSession, idx: Ivf2Index, probes: DataFrame,
+      idCol: String, embCol: String, nprobe1: Int, nprobe: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    def dotStructs(cents: Array[Array[Float]], idName: String): Column =
+      array(cents.zipWithIndex.map { case (ctr, i) =>
+        val nrm = math.sqrt(ctr.map(x => x.toDouble * x).sum)
+        struct(lit(i).as(idName), array(ctr.map(lit(_)): _*).as("cv"),
+          lit(nrm).as("nrm"))
+      }: _*)
+    def negDots(lits: Column, idName: String): Column =
+      transform(lits, ce => struct(
+        (when(ce.getField("nrm") > 0,
+          -call_function("cosine_sim", col("p_emb"), ce.getField("cv"))
+            * ce.getField("nrm")).otherwise(lit(0.0d))).as("negDot"),
+        ce.getField(idName).as(idName)))
+    val np1 = math.min(nprobe1, idx.centroids1.length)
+    val npAll = math.min(nprobe, np1 * idx.residuals2.length)
+    probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
+      .withColumn("near1", slice(array_sort(
+        negDots(dotStructs(idx.centroids1, "cid"), "cid")), 1, np1))
+      .withColumn("near2", array_sort(
+        negDots(dotStructs(idx.residuals2, "rid"), "rid")))
+      .withColumn("cells", slice(array_sort(flatten(
+        transform(col("near1"), n1 => transform(col("near2"), n2 => struct(
+          (n1.getField("negDot") + n2.getField("negDot")).as("negScore"),
+          n1.getField("cid").as("c1"),
+          n2.getField("rid").as("c2")))))), 1, npAll))
+      .select(col("p_id"), col("p_emb"), explode(col("cells")).as("cell"))
+      .select(col("p_id"), col("p_emb"),
+        col("cell.c1").as("c1"), col("cell.c2").as("c2"))
+  }
+
+  /** IVF2 ANN top-k: exact cosine re-rank on the members of each probe's
+    * `nprobe` composite cells. The candidate join is a plain equi-join on
+    * the (c1, c2) cell key — both sides hash-partition on it (the probe
+    * side is nprobe rows per probe, far too wide for a broadcast when the
+    * probe set is the corpus itself, the nnd-seed case), and occupancy is
+    * constant by construction, so candidate volume is nprobe·occupancy
+    * per probe at any N.
+    */
+  def ivf2Search(spark: SparkSession, idx: Ivf2Index, probes: DataFrame,
+      idCol: String, embCol: String, k: Int, nprobe1: Int, nprobe: Int)
+      : DataFrame = {
+    val p = probe2Cells(spark, idx, probes, idCol, embCol, nprobe1, nprobe)
+    val cand = idx.inverted.join(p, Seq("c1", "c2"))
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), col("neighbor_id"),
+        cosine(spark, col("emb"), col("p_emb")).as("sim"))
+    finishTopK(cand, k)
   }
 
   /** Write-once-per-JVM companion to [[cachedIvfIndex]]: the store at
@@ -671,7 +826,20 @@ object Similarity {
     * stay linear in N for the operator to be declared at all (the s12
     * history: the 0.9-recall IVF route was 0.4·N² and got deleted).
     */
-  final case class NnDescentResult(edges: DataFrame, simEvals: Seq[Long])
+  final case class NnDescentResult(edges: DataFrame, simEvals: Seq[Long],
+      cleanup: () => Unit = () => ())
+
+  /** Free the RDD partitions a `localCheckpoint()` pinned (Dataset
+    * exposes no unpersist for them — the checkpointed RDD lives inside
+    * the LogicalRDD leaf). Best-effort: a plan shape this doesn't
+    * recognize just stays pinned until session end, never breaks.
+    */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** kNN GRAPH construction via NN-DESCENT (Dong/Charikar/Li, WWW'11 —
     * "neighbor of a neighbor is likely a neighbor"): every node's top-k
@@ -708,25 +876,30 @@ object Similarity {
   def nnDescentGraph(spark: SparkSession, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, kBuild: Int = 10,
       rounds: Int = 2, nClusters: Int = -1, seedNprobe: Int = 8,
-      corpusKey: Option[String] = None, seedMode: String = "ivf")
-      : NnDescentResult = {
+      corpusKey: Option[String] = None, seedMode: String = "ivf",
+      maxFlatCells: Int = 2048): NnDescentResult = {
     require(kBuild >= k, s"kBuild=$kBuild must be >= k=$k")
     require(seedMode == "ivf" || seedMode == "random",
       s"seedMode must be 'ivf' or 'random', not '$seedMode'")
     val emb = corpus.select(col(idCol).cast("long").as("id"),
       col(embCol).as("emb")).persist(StorageLevel.MEMORY_AND_DISK)
-    // nClusters = -1 → OCCUPANCY-CONSTANT sizing, clamp(n/32, 128, 2048):
+    // nClusters = -1 → OCCUPANCY-CONSTANT sizing, max(128, n/32) cells:
     // a FIXED cell count makes the seed N²/cells (the exact quadratic
     // class the round-13 s12 was deleted for, just with a smaller
     // constant); cells ∝ N keeps seed mass at np·32 sims/node — constant
-    // per node, linear total — until the 2048 cap (k-means tractability;
-    // past it occupancy grows N/2048 and a hierarchical quantizer is the
-    // next dial, documented not shipped).
+    // per node, linear total. Up to `maxFlatCells` (k-means
+    // tractability, default 2048 ⇒ n ≈ 65 k) one flat quantizer does it;
+    // past that the seed switches to the TWO-LEVEL quantizer
+    // ([[buildIvf2Index]]: k1·k2 composite cells from two bounded fits),
+    // which keeps occupancy at ~32 to n ≈ 2 M at the default k2 = 32 —
+    // the round-14 ledger measured the flat cap's cost at gsf10 (421 M
+    // of 552 M sims were seed, N/128 per node); growing k2 (or a third
+    // level) is the dial past 2 M.
     val cellsWanted =
       if (nClusters > 0) nClusters
       else {
         val n = emb.count()
-        math.max(128L, math.min(2048L, n / 32L)).toInt
+        math.max(128L, n / 32L).toInt
       }
     // localCheckpoint per iteration: TRUNCATES the logical plan, not just
     // caches it — the IVF seed's lineage embeds the centroid table as a
@@ -736,7 +909,7 @@ object Similarity {
     // reliable checkpoint() for the same lineage cut; the iteration
     // contract is identical.
     var (cur, seedEvals) = seedMode match {
-      case "ivf" =>
+      case "ivf" if cellsWanted <= maxFlatCells =>
         val idx = corpusKey match {
           case Some(key) =>
             cachedIvfIndex(spark, corpus, key, idCol, embCol, cellsWanted)
@@ -753,11 +926,43 @@ object Similarity {
           .select(col("p_id").as("id"), col("neighbor_id").as("nbr"),
             col("sim"))
           .localCheckpoint(), evals)
+      case "ivf" =>
+        // past the flat cap: TWO-LEVEL quantizer, same occupancy target
+        // (cellsWanted composite cells at k2 = 32 residual codewords)
+        // k1·k2 ≈ cellsWanted keeps composite-cell occupancy at the same
+        // ~32 the flat path targets (no 128-cell floor here — that floor
+        // is a flat-quantizer granularity guard; applied to k1 it would
+        // MULTIPLY through k2 and starve every cell)
+        val k2 = 32
+        val k1 = math.min(maxFlatCells.toLong,
+          math.max(2L, (cellsWanted.toLong + k2 - 1) / k2)).toInt
+        val idx = corpusKey match {
+          case Some(key) =>
+            cachedIvf2Index(spark, corpus, key, idCol, embCol, k1, k2)
+          case None => buildIvf2Index(spark, corpus, idCol, embCol, k1, k2)
+        }
+        val np1 = math.max(4, math.min(seedNprobe, idx.centroids1.length))
+        val evals = probe2Cells(spark, idx, corpus, idCol, embCol,
+            np1, seedNprobe)
+          .join(idx.inverted.groupBy("c1", "c2")
+            .agg(count(lit(1)).as("m")), Seq("c1", "c2"))
+          .agg(sum("m")).head().getLong(0)
+        (ivf2Search(spark, idx, corpus, idCol, embCol, kBuild,
+            np1, seedNprobe)
+          .select(col("p_id").as("id"), col("neighbor_id").as("nbr"),
+            col("sim"))
+          .localCheckpoint(), evals)
       case "random" =>
         // classic NN-Descent init: kBuild deterministic pseudo-random
         // neighbors per node — STRICTLY O(N·kBuild) seed mass with no
         // index build at all; convergence then rides the local joins
-        // alone (the probe measures how many extra rounds that costs)
+        // alone (the probe measures how many extra rounds that costs).
+        // ASSUMES DENSE ids 0..n−1 (true of the probe corpora that use
+        // this mode): the fabricated neighbor id pmod(hash(id,j), n)
+        // only lands on a real row under that layout — with sparse ids
+        // some fabricated neighbors match nothing and silently thin the
+        // join, so a general-corpus caller must densify (zipWithIndex)
+        // first or use the ivf seed.
         val n = emb.count()
         val rnd = emb.select(col("id"),
             explode(sequence(lit(0), lit(kBuild - 1))).as("j"))
@@ -799,15 +1004,25 @@ object Similarity {
         // max-merge before the trim so the top-k array holds distinct ids
         .groupBy("id", "nbr").agg(max("sim").as("sim"))
       GraftFunctions.ensureRegistered(spark)
+      val prev = cur
       cur = merged.groupBy("id")
         .agg(call_function("topk_sim", col("sim"), col("nbr"), lit(kBuild)).as("top"))
         .select(col("id"), explode(col("top")).as("e"))
         .select(col("id"), col("e.id").as("nbr"), col("e.sim").as("sim"))
         .localCheckpoint()
       sims.unpersist(blocking = false)
+      // localCheckpoint is eager, so `prev`'s partitions are dead the
+      // moment the new checkpoint exists — free them (in a long-lived
+      // JVM the per-round snapshots otherwise accumulate for the session)
+      unpersistLocalCheckpoint(prev)
     }
+    emb.unpersist(blocking = false)
+    val last = cur
     val edges = finishTopK(cur.select(col("id").as("p_id"),
       col("nbr").as("neighbor_id"), col("sim")), k)
-    NnDescentResult(edges, evals.toSeq)
+    // the FINAL checkpoint must outlive the returned edges — the caller
+    // signals it is done with them via cleanup()
+    NnDescentResult(edges, evals.toSeq,
+      () => unpersistLocalCheckpoint(last))
   }
 }

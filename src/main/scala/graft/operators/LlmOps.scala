@@ -2247,15 +2247,17 @@ object LlmOps {
     (s, d) => {
       val emb = embeddings(s, d)
       val k = 3
-      val ann = Similarity.nnDescentGraph(s, emb, "vec_id", "embedding",
-          k, kBuild = 20, rounds = 2, corpusKey = Some(d))
-        .edges.select("p_id", "neighbor_id").cache()
+      // seedNprobe = 16 is the MEASURED dial (SCALE.md nnd ledger:
+      // recall 0.921 at gsf1; np = 8 reads 0.887, under the contract)
+      val res = Similarity.nnDescentGraph(s, emb, "vec_id", "embedding",
+        k, kBuild = 20, rounds = 2, seedNprobe = 16, corpusKey = Some(d))
+      val ann = res.edges.select("p_id", "neighbor_id").cache()
       val perNode = ann.groupBy("p_id").agg(count(lit(1)).as("deg"))
       val stats = perNode.agg(count(lit(1)).as("nodes"), max("deg").as("maxdeg"))
       val probes = emb.filter(col("vec_id") < 40)
       val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", k)
         .select("p_id", "neighbor_id")
-      exact.join(ann.filter(col("p_id") < 40),
+      val out = exact.join(ann.filter(col("p_id") < 40),
           Seq("p_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .crossJoin(exact.agg(count(lit(1)).as("total"),
@@ -2266,6 +2268,13 @@ object LlmOps {
           (col("nodes") === col("corpus_n")).as("all_nodes_covered"),
           (col("maxdeg") <= k).as("edges_le_k"),
           (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"))
+        // one row — materialize eagerly so the build's working state can
+        // be released NOW instead of pinning the session (advice: the
+        // 223-query bench JVM otherwise accumulates one graph per run)
+        .localCheckpoint()
+      ann.unpersist(blocking = false)
+      res.cleanup()
+      out
     })
 
   /** s11 — metadata-FILTERED ANN (the production complication every

@@ -36,6 +36,8 @@ object ScaleProbe {
       case "s06" => args.drop(1).foreach(d => s06Counts(spark, d))
       case "st15dial" => args.drop(1).foreach(d => st15DialCounts(spark, d))
       case "nnd" => args.drop(1).foreach(d => nndCounts(spark, d))
+      case "stfloor" => stFloor(spark, args(1), args.drop(2).toSeq)
+      case "sigcount" => args.drop(1).foreach(d => sigCounts(spark, d))
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
@@ -252,11 +254,14 @@ object ScaleProbe {
       .as[(Long, Long)].collect().toSet
     val seedMode = sys.env.getOrElse("NND_SEED", "ivf")
     val np = sys.env.getOrElse("NND_NP", "8").toInt
+    // NND_MAXFLAT forces the two-level seed quantizer below its natural
+    // n ≈ 65 k engagement point (e.g. 64 at sf0.1 ⇒ ivf2 on 2 k vectors)
+    val maxFlat = sys.env.getOrElse("NND_MAXFLAT", "2048").toInt
     for (rounds <- roundsList) {
-      val res = timedP("nnd", dir, s"kb=$kBuild seed=$seedMode np=$np rounds=$rounds build")(
+      val res = timedP("nnd", dir, s"kb=$kBuild seed=$seedMode np=$np rounds=$rounds maxflat=$maxFlat build")(
         graft.llm.Similarity.nnDescentGraph(spark, emb, "vec_id",
           "embedding", k, kBuild = kBuild, rounds = rounds,
-          seedNprobe = np, seedMode = seedMode))
+          seedNprobe = np, seedMode = seedMode, maxFlatCells = maxFlat))
       val got = res.edges
         .filter(org.apache.spark.sql.functions.col("p_id") < 500)
         .select("p_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -264,9 +269,90 @@ object ScaleProbe {
       println(s"PROBE nnd $dir COUNTS n=$n kb=$kBuild seed=$seedMode np=$np rounds=$rounds " +
         f"recall=$recall%.3f mass=${res.simEvals.mkString("+")}" +
         s" total=${res.simEvals.sum} brute_mass=${n * (n - 1)}")
+      res.cleanup()
       res.edges.sparkSession.catalog.clearCache()
       graft.llm.Similarity.invalidateIvfIndexes(spark)
     }
+  }
+
+  /** Directive: make driver-run st-family noise FALSIFIABLE. Every st
+    * query pays a micro-batch FLOOR (maxFilesPerTrigger = 1 ⇒ wall ≈
+    * batch count × per-batch overhead), which a contended host inflates
+    * multiplicatively — this probe measures each query's batch count and
+    * per-batch cost so a driver-vs-calm delta can be read as
+    * (driver per-batch ms / calm per-batch ms) instead of guessed at.
+    * Counts come from the engine's own progress events.
+    */
+  private def stFloor(spark: SparkSession, dir: String,
+      names: Seq[String]): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val trigMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val inRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        batches.incrementAndGet()
+        trigMs.addAndGet(Option(e.progress.durationMs
+          .get("triggerExecution")).map(_.longValue()).getOrElse(0L))
+        inRows.addAndGet(e.progress.numInputRows)
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val qmap = graft.SparkEntry.queries
+    val run = if (names.nonEmpty) names
+      else qmap.keys.filter(_.startsWith("st")).toSeq.sorted
+    for (name <- run) {
+      batches.set(0); trigMs.set(0); inRows.set(0)
+      val t0 = System.nanoTime()
+      qmap(name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus is async — let events drain
+      val b = batches.get
+      println(f"PROBE stfloor $dir $name batches=$b " +
+        f"trigger_s=${trigMs.get / 1000.0}%.2f input_rows=${inRows.get} " +
+        f"wall_s=$wall%.2f " +
+        f"per_batch_ms=${if (b > 0) trigMs.get.toDouble / b else 0.0}%.1f")
+      spark.catalog.clearCache()
+      graft.util.Tables.dropGraftTempViews(spark)
+    }
+    spark.streams.removeListener(listener)
+  }
+
+  /** mm11/mm12 scale guard (round-14 verdict #5): distinct-signature
+    * growth vs corpus size. The collapse-first band join is
+    * |sigs|-bounded, so the scale question is whether |sigs| tracks N.
+    * Also counts mm11's band-key candidate volume — the quantity a
+    * d04-style occupancy cap would bound if signatures ever grew ≈ N.
+    */
+  private def sigCounts(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.Multimodal
+    val docs = graft.util.Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val hashes = Multimodal.extractAHash(
+      Multimodal.syntheticPpm(docs, "doc_id", 8, 8)).toDF()
+    val g = hashes.groupBy("ahash").count()
+    val nSigs = g.count()
+    val bands = g.select(col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("ahash"), col("band"),
+        expr("substring(ahash, band*16 + 1, 16)").as("key"))
+    val maxBucket = bands.groupBy("band", "key").count()
+      .agg(max("count")).head().getLong(0)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.ahash") =!= col("b.ahash"))
+      .select(col("a.ahash"), col("b.ahash")).distinct().count()
+    val vsigs = Multimodal.extractVideoSignature(
+      Multimodal.syntheticVideo(docs, "doc_id", 6, 8, 8)).toDF()
+      .select("sig").distinct().count()
+    println(s"PROBE sigcount $dir COUNTS docs=$nDocs img_sigs=$nSigs " +
+      s"img_band_max_bucket=$maxBucket img_band_cand_pairs=$cands " +
+      s"video_sigs=$vsigs")
   }
 
   /** st15's banding dial measured on the SAME backlog (round-12
