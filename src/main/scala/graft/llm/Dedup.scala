@@ -731,6 +731,58 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** CROSS-INDEX near-dup retrieval: match one [[writeMinhashIndex]]
+    * store against another with BOTH sides answered from stored parquet —
+    * no document is ever re-shingled. This is the train/eval
+    * CONTAMINATION check at index level (does any eval doc near-dup a
+    * train doc?): each corpus pays its shingle + signature cost once, at
+    * its own build/append time, and the leak check itself is a band-key
+    * equi-join of the two stored key tables followed by exact Jaccard
+    * verification on the two stored sorted-hash tables. At 100 TB both
+    * bands tables are bucketed on `bk`, making the candidate join
+    * co-located, and re-running the check after either side grows
+    * (appends) or shrinks (tombstones) costs only the join — the
+    * economics that make "re-check contamination per eval refresh"
+    * viable at all. Both stores' LSH parameters must match the requested
+    * ones (same loud refusal as [[minhashPairsAgainstIndex]] — and hence
+    * each other: band keys from different (θ, nTables, r) are
+    * incomparable key spaces). Tombstones on BOTH sides are honored
+    * merge-on-read, same mechanism as single-index queries.
+    * Output: (a_id, b_id, jaccard) — exact Jaccard ≥ θ, ids from the
+    * `pathA` / `pathB` store respectively.
+    */
+  def minhashPairsIndexVsIndex(spark: SparkSession, pathA: String,
+      pathB: String, minJaccard: Double, nTables: Int = 8,
+      rowsPerBand: Int = 3): DataFrame = {
+    val expected = s"""{"minJaccard": $minJaccard, "nTables": $nTables, """ +
+      s""""rowsPerBand": $rowsPerBand, "bands": ${bandsFor(minJaccard, nTables, rowsPerBand)}}"""
+    for (p <- Seq(pathA, pathB)) {
+      val meta = new String(
+        readSidecarBytes(spark, p, "_graft_index.json"), "UTF-8")
+      require(meta == expected,
+        s"index at $p was built with $meta, requested $expected")
+    }
+    def liveHashes(path: String): DataFrame = {
+      val h = spark.read.parquet(s"$path/hashes")
+      readTombstones(spark, path) match {
+        case Some(t) => h.join(broadcast(t), Seq("id"), "left_anti")
+        case None => h
+      }
+    }
+    val candKeys = spark.read.parquet(s"$pathA/bands").as("a")
+      .join(spark.read.parquet(s"$pathB/bands").as("b"),
+        col("a.bk") === col("b.bk"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val cand = candKeys
+      .join(liveHashes(pathA).select(col("id").as("a_id"),
+        col("hs").as("ha")), "a_id")
+      .join(liveHashes(pathB).select(col("id").as("b_id"),
+        col("hs").as("hb")), "b_id")
+    verifyJaccard(cand, minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Keeper selection over near-dup GROUPS: given [[connectedComponents]]
     * output and a per-doc quality frame, keep the highest-quality doc per
     * group (doc id breaks ties deterministically). The step that turns

@@ -1631,8 +1631,82 @@ object CorpusOps {
         .orderBy("box_id")
     })
 
+  /** t21 — per-DOMAIN perplexity mix (t17 × p09: the quality-by-domain
+    * report a curation pipeline reads to set per-source sampling
+    * weights — which domains contribute the head/middle/tail of the
+    * perplexity distribution, and in what proportion of their own
+    * volume). Reuses t17's trained model and per-lang tercile bucketing
+    * verbatim ([[Curation.perplexityBuckets]]); the only new plan is a
+    * doc_id join back to the scan for `source` plus one (source, bucket)
+    * aggregate and a per-source share window — the share denominator is
+    * the source's own doc count, so the row reads as "X % of src3 is
+    * tail-perplexity", the number the mixer actually dials. Counts and
+    * nll sums are exact BIGINTs; `share` is one IEEE division rounded to
+    * 6 (the repo's round-before-compare contract).
+    */
+  val t21 = QSpec(
+    "t21_domain_perplexity_mix",
+    Some("""WITH bg_all AS (
+           |  SELECT doc_id, lang, source, substr(text, CAST(i AS INT), 2) AS bg
+           |  FROM documents, UNNEST(range(1, len(text))) AS t(i)),
+           |m0 AS (SELECT lang, bg, COUNT(*) AS c_bg FROM bg_all
+           |       WHERE source = 'src0' GROUP BY 1, 2),
+           |c1m AS (SELECT lang, substr(bg, 1, 1) AS c1, SUM(c_bg) AS c_c1
+           |        FROM m0 GROUP BY 1, 2),
+           |vm AS (SELECT lang, COUNT(*) AS v FROM c1m GROUP BY 1),
+           |model AS (SELECT m0.lang, m0.bg,
+           |    CAST(ROUND(ln((c_bg + 1.0) / (c_c1 + v)) * 1000000) AS BIGINT) AS lp
+           |  FROM m0 JOIN c1m ON m0.lang = c1m.lang AND substr(m0.bg, 1, 1) = c1m.c1
+           |       JOIN vm ON m0.lang = vm.lang),
+           |fb1 AS (SELECT c1m.lang, c1,
+           |    CAST(ROUND(ln(1.0 / (c_c1 + v)) * 1000000) AS BIGINT) AS lp0
+           |  FROM c1m JOIN vm ON c1m.lang = vm.lang),
+           |fbg AS (SELECT lang, CAST(ROUND(ln(1.0 / v) * 1000000) AS BIGINT) AS lpg
+           |        FROM vm),
+           |db AS (SELECT doc_id, lang, bg, COUNT(*) AS n FROM bg_all GROUP BY 1, 2, 3),
+           |sc AS (SELECT db.doc_id, db.lang,
+           |    -SUM(n * COALESCE(model.lp, fb1.lp0, fbg.lpg)) AS nll, SUM(n) AS nb
+           |  FROM db LEFT JOIN model ON db.lang = model.lang AND db.bg = model.bg
+           |       LEFT JOIN fb1 ON db.lang = fb1.lang AND substr(db.bg, 1, 1) = fb1.c1
+           |       JOIN fbg ON db.lang = fbg.lang
+           |  GROUP BY 1, 2),
+           |avgd AS (SELECT doc_id, lang, nll // nb AS avg_nll FROM sc),
+           |cal AS (SELECT lang, doc_id, avg_nll,
+           |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY lang) AS ns
+           |  FROM avgd WHERE doc_id % 10 = 0),
+           |th AS (SELECT lang,
+           |    MAX(CASE WHEN rn <= (ns + 2) // 3 THEN avg_nll END) AS t1,
+           |    MAX(CASE WHEN rn <= (2 * ns + 2) // 3 THEN avg_nll END) AS t2
+           |  FROM cal GROUP BY 1),
+           |b AS (SELECT a.doc_id,
+           |    CASE WHEN a.avg_nll <= th.t1 THEN 'head'
+           |         WHEN a.avg_nll <= th.t2 THEN 'middle'
+           |         ELSE 'tail' END AS bucket, a.avg_nll
+           |  FROM avgd a JOIN th ON a.lang = th.lang),
+           |j AS (SELECT d.source, b.bucket, b.avg_nll
+           |      FROM b JOIN documents d ON b.doc_id = d.doc_id),
+           |gg AS (SELECT source, bucket, COUNT(*) AS n, SUM(avg_nll) AS snll
+           |       FROM j GROUP BY 1, 2)
+           |SELECT source, bucket, CAST(n AS BIGINT) AS n_docs,
+           |  CAST(snll AS BIGINT) AS sum_avg_nll,
+           |  ROUND(n / CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE), 6) AS share
+           |FROM gg ORDER BY source, bucket""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val perDoc = Curation.perplexityBuckets(docs,
+        "doc_id", "lang", "text", isRef = col("source") === "src0")
+      val g = perDoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("avg_nll").as("sum_avg_nll"))
+      g.withColumn("share", round(col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy("source")), 6))
+        .orderBy("source", "bucket")
+    })
+
   val specs: Seq[QSpec] = Seq(p04, p05, p06, d08, t10, x05, x06, j01, j02,
     mm04, mm05, q30, x07, q31, x08, x13, j03, j04, j05, j06, j07, p07, p08,
     p09, p10, p11, p12, t16, w06, m13, t17, p13, t18, t19, t20, j08, j09,
-    j10, p14, j11, j12)
+    j10, p14, j11, j12, t21)
 }

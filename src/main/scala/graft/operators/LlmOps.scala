@@ -471,6 +471,54 @@ object LlmOps {
         .orderBy("new_id", "corpus_id")
     })
 
+  /** d22 — CROSS-INDEX dedup ([[Dedup.minhashPairsIndexVsIndex]] — the
+    * train/eval CONTAMINATION check at index level, closing the
+    * d13…d21 lifecycle): the train corpus (doc_id ≢ 2 mod 3) and the
+    * eval corpus (doc_id ≡ 2 mod 3) each build their OWN persisted
+    * index, and the leak check joins the two stored band tables — no
+    * document on either side is re-shingled at query time, which is
+    * what makes "re-run the contamination check on every eval refresh"
+    * affordable at 100 TB (both bands tables bucketed on `bk` ⇒
+    * co-located join). The oracle replays the exact cross-set Jaccard
+    * of train × eval against brute force — identical ground truth to
+    * d19's, transposed to the (train_id, eval_id) reading — so recall
+    * of the two-stored-sides path is asserted, not just
+    * self-consistency.
+    */
+  val d22 = QSpec(
+    "d22_cross_index_dedup",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+           |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS inter
+           |      FROM g a JOIN g b ON a.gram = b.gram
+           |      WHERE a.doc_id % 3 < 2 AND b.doc_id % 3 = 2
+           |      GROUP BY 1, 2)
+           |SELECT train_id, eval_id,
+           |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           |FROM p JOIN sz sa ON train_id = sa.doc_id JOIN sz sb ON eval_id = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+           |ORDER BY train_id, eval_id""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d)
+      val train = graft.util.Tables.scratch(d, "d22_train_index")
+      val eval = graft.util.Tables.scratch(d, "d22_eval_index")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", train, 0.5)
+      // the train index GROWS like production: shard 1 appended, so the
+      // check runs against a multi-generation store on the A side
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", train, "shard1", 0.5)
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", eval, 0.5)
+      Dedup.minhashPairsIndexVsIndex(s, train, eval, 0.5)
+        .select(col("a_id").as("train_id"), col("b_id").as("eval_id"),
+          col("jaccard"))
+        .orderBy("train_id", "eval_id")
+    })
+
   /** d14 — keeper selection over near-dup groups: d07's components joined
     * with t02's quality score; the highest-quality doc per group survives
     * (doc id breaks rounded-score ties). Keep-BEST — the curation upgrade
@@ -2420,5 +2468,5 @@ object LlmOps {
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09, mm10, mm11, mm12, s11, s12, p16, p17)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09, mm10, mm11, mm12, s11, s12, p16, p17, d22)
 }
