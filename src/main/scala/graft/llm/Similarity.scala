@@ -395,21 +395,36 @@ object Similarity {
     }
 
   /** The `nprobe` nearest (c1, c2) cells per probe. Two bounded stages,
-    * both per-row expression work over literal-sized quantizer tables
-    * (exactly [[probeClusters]]' proven regime — one codegen'd
-    * `cosine_sim` per centroid inside a transform over a literal struct
-    * array; NO nested vector arithmetic in lambda bodies, which Spark
-    * evaluates interpreted and which re-evaluates inlined
-    * sub-expressions per combo — measured 10-min hang at 2 k rows):
-    *  1. one cosine per level-1 centroid (k1 of them) and one per
-    *     residual codeword (k2), each scaled by the centroid's
-    *     DRIVER-CONSTANT norm: cos(p, c)·‖c‖ = pn·c, so the two passes
-    *     yield exact inner products against the normalized probe;
+    * both per-row expression work over literal-sized quantizer tables:
+    *  1. one codegen'd `cosine_sim` per level-1 centroid (k1 of them)
+    *     and one per residual codeword (k2), each scaled by the
+    *     centroid's DRIVER-CONSTANT norm: cos(p, c)·‖c‖ = pn·c, so the
+    *     two passes yield exact inner products against the normalized
+    *     probe;
     *  2. the np1·k2 composite grid is ranked by pn·(c1[j] + r2[l]) =
     *     pn·c1[j] + pn·r2[l] — the dot product DISTRIBUTES over the
     *     residual decomposition, so grid scoring is pure scalar adds
     *     over already-computed terms (the ADC trick: composite-cell
     *     score from per-codebook lookup tables, Jégou PAMI'11 §IV.A).
+    *
+    * PERFORMANCE SHAPE (two measured lessons):
+    *  - every ranking array is a PACKED INT64 (negated dot quantized to
+    *    2⁻²⁰ in the high bits, centroid id in the low bits), so the
+    *    array_sort comparators — which Spark evaluates INTERPRETED, one
+    *    If-eval per compare — are single long compares. The first cut
+    *    sorted structs of (double, int) and nested a zip_with/aggregate
+    *    L2 grid with an inlined normalization: interpreted eval
+    *    re-evaluated the inlined sub-expressions per combo and hung for
+    *    10 min on 2 k rows. Quantization ties break on the id bits —
+    *    deterministic; a 2⁻²⁰ dot tie is noise for a cell PRUNER.
+    *  - callers joining this output against the inverted file MUST put a
+    *    materialization barrier (persist/localCheckpoint) on it first:
+    *    without one, Catalyst collapses the whole cell expression into
+    *    the join-side predicates and re-evaluates it PER CANDIDATE ROW
+    *    (nprobe× the probe count — measured as 12 CPU-hours stuck in a
+    *    generated Filter at gsf10). The flat path never hits this only
+    *    because `broadcast()` happens to be such a barrier.
+    *
     * Ranking by inner product rather than exact composite L2 drops the
     * per-cell norm correction ‖c1+r2‖²; for a SEED pruner feeding
     * NN-Descent refinement that bias is noise — the measured recall
@@ -418,33 +433,42 @@ object Similarity {
   def probe2Cells(spark: SparkSession, idx: Ivf2Index, probes: DataFrame,
       idCol: String, embCol: String, nprobe1: Int, nprobe: Int): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    def dotStructs(cents: Array[Array[Float]], idName: String): Column =
+    val Q = 1 << 20 // dot quantum: key = round((2 − dot)·Q)·4096 + id
+    def packedKeys(cents: Array[Array[Float]]): Column =
       array(cents.zipWithIndex.map { case (ctr, i) =>
         val nrm = math.sqrt(ctr.map(x => x.toDouble * x).sum)
-        struct(lit(i).as(idName), array(ctr.map(lit(_)): _*).as("cv"),
-          lit(nrm).as("nrm"))
+        val dot =
+          if (nrm > 0)
+            call_function("cosine_sim", col("p_emb"),
+              array(ctr.map(lit(_)): _*)) * lit(nrm)
+          else lit(0.0d)
+        (round((lit(2.0d) - dot) * Q).cast("long") * 4096L + i).as(s"k$i")
       }: _*)
-    def negDots(lits: Column, idName: String): Column =
-      transform(lits, ce => struct(
-        (when(ce.getField("nrm") > 0,
-          -call_function("cosine_sim", col("p_emb"), ce.getField("cv"))
-            * ce.getField("nrm")).otherwise(lit(0.0d))).as("negDot"),
-        ce.getField(idName).as(idName)))
+    val k2n = idx.residuals2.length
+    require(k2n <= 4096, s"residual codebook too large to pack: $k2n")
+    require(idx.centroids1.length <= 2048,
+      s"level-1 codebook too large to pack: ${idx.centroids1.length}")
     val np1 = math.min(nprobe1, idx.centroids1.length)
-    val npAll = math.min(nprobe, np1 * idx.residuals2.length)
+    val npAll = math.min(nprobe, np1 * k2n)
     probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
-      .withColumn("near1", slice(array_sort(
-        negDots(dotStructs(idx.centroids1, "cid"), "cid")), 1, np1))
-      .withColumn("near2", array_sort(
-        negDots(dotStructs(idx.residuals2, "rid"), "rid")))
+      .withColumn("near1",
+        slice(array_sort(packedKeys(idx.centroids1)), 1, np1))
+      .withColumn("near2", array_sort(packedKeys(idx.residuals2)))
+      // grid key = (q1 + q2) · 2²³ + c1 · 2¹² + c2: quantized-dot sums
+      // rank first, ids break ties — all int64 shift/mask arithmetic,
+      // no structs (q sums stay < 2²⁴, ids < 2¹² each, so fields never
+      // overlap and the total stays far under 2⁶³)
       .withColumn("cells", slice(array_sort(flatten(
-        transform(col("near1"), n1 => transform(col("near2"), n2 => struct(
-          (n1.getField("negDot") + n2.getField("negDot")).as("negScore"),
-          n1.getField("cid").as("c1"),
-          n2.getField("rid").as("c2")))))), 1, npAll))
+        transform(col("near1"), a => transform(col("near2"), b =>
+          (shiftright(a, 12) + shiftright(b, 12)) * lit(1L << 23)
+            + a.bitwiseAND(lit(4095L)) * lit(4096L)
+            + b.bitwiseAND(lit(4095L)))))), 1, npAll))
       .select(col("p_id"), col("p_emb"), explode(col("cells")).as("cell"))
+      // c1 is 11 bits (bits 12–22; c1 < 2048 by the require above) — an
+      // 12-bit mask would capture bit 23, the score field's lowest bit
       .select(col("p_id"), col("p_emb"),
-        col("cell.c1").as("c1"), col("cell.c2").as("c2"))
+        shiftright(col("cell"), 12).bitwiseAND(lit(2047L)).cast("int").as("c1"),
+        col("cell").bitwiseAND(lit(4095L)).cast("int").as("c2"))
   }
 
   /** IVF2 ANN top-k: exact cosine re-rank on the members of each probe's
@@ -458,8 +482,21 @@ object Similarity {
   def ivf2Search(spark: SparkSession, idx: Ivf2Index, probes: DataFrame,
       idCol: String, embCol: String, k: Int, nprobe1: Int, nprobe: Int)
       : DataFrame = {
+    // the persist is load-bearing, not an optimization — see the
+    // probe2Cells scaladoc's barrier lesson (without it the cell
+    // expression is re-evaluated per candidate row inside the join)
     val p = probe2Cells(spark, idx, probes, idCol, embCol, nprobe1, nprobe)
-    val cand = idx.inverted.join(p, Seq("c1", "c2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ivf2SearchFromCells(spark, idx, p, k)
+  }
+
+  /** Search from an already-materialized [[probe2Cells]] table — the
+    * form callers use when they need the cell table twice (scan
+    * accounting + search) or want to control its lifecycle.
+    */
+  def ivf2SearchFromCells(spark: SparkSession, idx: Ivf2Index,
+      cells: DataFrame, k: Int): DataFrame = {
+    val cand = idx.inverted.join(cells, Seq("c1", "c2"))
       .filter(col("neighbor_id") =!= col("p_id"))
       .select(col("p_id"), col("neighbor_id"),
         cosine(spark, col("emb"), col("p_emb")).as("sim"))
@@ -942,16 +979,22 @@ object Similarity {
           case None => buildIvf2Index(spark, corpus, idCol, embCol, k1, k2)
         }
         val np1 = math.max(4, math.min(seedNprobe, idx.centroids1.length))
-        val evals = probe2Cells(spark, idx, corpus, idCol, embCol,
+        // ONE materialized cell table feeds both the scan accounting and
+        // the seed search (probe2Cells scaladoc: the barrier is
+        // load-bearing), and is dropped once the seed is checkpointed
+        val cells = probe2Cells(spark, idx, corpus, idCol, embCol,
             np1, seedNprobe)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val evals = cells
           .join(idx.inverted.groupBy("c1", "c2")
             .agg(count(lit(1)).as("m")), Seq("c1", "c2"))
           .agg(sum("m")).head().getLong(0)
-        (ivf2Search(spark, idx, corpus, idCol, embCol, kBuild,
-            np1, seedNprobe)
+        val seed = ivf2SearchFromCells(spark, idx, cells, kBuild)
           .select(col("p_id").as("id"), col("neighbor_id").as("nbr"),
             col("sim"))
-          .localCheckpoint(), evals)
+          .localCheckpoint()
+        cells.unpersist(blocking = false)
+        (seed, evals)
       case "random" =>
         // classic NN-Descent init: kBuild deterministic pseudo-random
         // neighbors per node — STRICTLY O(N·kBuild) seed mass with no
