@@ -910,6 +910,21 @@ object Similarity {
     * standard NN-Descent slack: a too-thin working list starves the
     * local join of exploration paths.
     */
+  /** The measured recall envelope for the SHIPPED s12 dial (kBuild = 20,
+    * np = 16, rounds = 2): audited recall ≥ 0.9 holds at every measured
+    * corpus size up to gsf1's 20 k vectors (0.995 / 0.956 / 0.921 at
+    * 500 / 2 k / 20 k — ScaleProbe `nnd`); the next measured point
+    * (200 k) reads 0.567 through the bounded two-level seed. Within the
+    * envelope the declared contract promises recall; past it only the
+    * budget (seed np·occupancy + C(2·kBuild,2)·rounds sims per node) is
+    * promised, and SCALE.md's ledger carries the measured out-of-envelope
+    * recall. 25 000 = the largest measured-green size, NOT an
+    * extrapolation — growing the envelope means measuring a bigger
+    * corpus green first (the round-11 "fractions, not absolutes" rule
+    * applied to a promise).
+    */
+  val NndRecallEnvelopeN = 25000L
+
   def nnDescentGraph(spark: SparkSession, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, kBuild: Int = 10,
       rounds: Int = 2, nClusters: Int = -1, seedNprobe: Int = 8,

@@ -1276,7 +1276,77 @@ object StreamOps {
         .orderBy("seg")
     })
 
+
+  /** st23 — PSI drift monitor through the STREAMING engine (a14's
+    * st-twin): the serving-vs-training population check maintained AT
+    * INGEST, the shape a production model monitor actually runs — each
+    * arriving event lands in its (side, bin) histogram cell and the
+    * drift report is re-derivable at any moment from ≤ 10 rows of state.
+    * Reference side = even event ids at their real values; "current" =
+    * odd ids with the planted ×1.1 shift (a14's trick — organic halves
+    * would be identically distributed and prove nothing). The streaming
+    * plan is ONE complete-mode conditional-sum aggregate over the bin
+    * key — a commutative fold, so micro-batch placement can't show
+    * through (st01's invariance argument) — and state is 10 rows × two
+    * BIGINTs forever, at any stream length. The PSI math (Laplace
+    * smoothing, per-bin contribution) runs on the DRAINED ≤ 10-row
+    * table, off the streaming path, exactly like a14's batch tail.
+    */
+  val st23 = QSpec(
+    "st23_stream_psi_drift",
+    Some("""WITH b AS (
+           |  SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side,
+           |    LEAST(CAST(FLOOR((CASE WHEN event_id % 2 = 0 THEN value
+           |      ELSE value * 1.1 END) / 50) AS BIGINT), 9) AS bin
+           |  FROM events),
+           |c AS (SELECT side, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+           |n AS (SELECT side, SUM(cnt) AS n FROM c GROUP BY 1),
+           |grid AS (SELECT s.side, g.bin
+           |         FROM (VALUES (0), (1)) s(side), UNNEST(range(0, 10)) g(bin)),
+           |p AS (SELECT grid.side, grid.bin,
+           |        (COALESCE(c.cnt, 0) + 0.5) / (n.n + 5.0) AS prop
+           |      FROM grid
+           |      LEFT JOIN c ON c.side = grid.side AND c.bin = grid.bin
+           |      JOIN n ON n.side = grid.side)
+           |SELECT r.bin, ROUND(r.prop, 6) AS p_ref, ROUND(cu.prop, 6) AS p_cur,
+           |  ROUND((r.prop - cu.prop) * LN(r.prop / cu.prop), 6) AS psi_term
+           |FROM p r JOIN p cu ON r.bin = cu.bin AND r.side = 0 AND cu.side = 1
+           |ORDER BY r.bin""".stripMargin),
+    (s, d) => {
+      val side = when(col("event_id") % 2 === 0, 0).otherwise(1)
+      val value = when(col("event_id") % 2 === 0, col("value"))
+        .otherwise(col("value") * 1.1)
+      // ONE streamed scan: both sides' histograms from conditional sums
+      // in a single complete-mode aggregate (a14's one-scan lesson)
+      val counts = eventStream(s, d)
+        .select(side.as("side"),
+          least(floor(value / 50).cast("long"), lit(9L)).as("bin"))
+        .groupBy("bin")
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("cnt_cur"))
+      val drained = drainToTable(counts, "st23", d, "complete")
+      // batch tail: PSI on the <=10-row drained histogram (a14 verbatim)
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val withTotals = s.range(0, 10).select(col("id").as("bin"))
+        .join(drained, Seq("bin"), "left")
+        .select(col("bin"),
+          coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+          coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+        .withColumn("n_ref", sum(col("cnt_ref")).over(all))
+        .withColumn("n_cur", sum(col("cnt_cur")).over(all))
+      val pRef = (col("cnt_ref") + 0.5) / (col("n_ref") + 5.0)
+      val pCur = (col("cnt_cur") + 0.5) / (col("n_cur") + 5.0)
+      withTotals
+        .select(col("bin"), round(pRef, 6).as("p_ref"),
+          round(pCur, 6).as("p_cur"),
+          round((pRef - pCur) * log(pRef / pCur), 6).as("psi_term"))
+        .orderBy("bin")
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
     st09, st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20,
-    st21, st22)
+    st21, st22, st23)
 }

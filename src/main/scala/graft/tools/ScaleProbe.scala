@@ -38,6 +38,21 @@ object ScaleProbe {
       case "nnd" => args.drop(1).foreach(d => nndCounts(spark, d))
       case "stfloor" => stFloor(spark, args(1), args.drop(2).toSeq)
       case "sigcount" => args.drop(1).foreach(d => sigCounts(spark, d))
+      // generic declared-query run: show the result rows at each dir —
+      // the contract-boolean probe for new operators (dial vetting at
+      // gsf* scales the sf0.01 oracle gate never reaches)
+      case "query" =>
+        val name = args(1)
+        args.drop(2).foreach { d =>
+          val t0 = System.nanoTime()
+          val rows = graft.SparkEntry.queries(name)(spark, d).collect()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE query $name $d secs=$secs%.2f rows=${rows.length}")
+          rows.take(20).foreach(r => println(s"PROBE query $name $d ROW $r"))
+          spark.catalog.clearCache()
+          graft.util.Tables.dropGraftTempViews(spark)
+          graft.llm.Similarity.invalidateIvfIndexes(spark)
+        }
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
