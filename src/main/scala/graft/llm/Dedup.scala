@@ -12,31 +12,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   // ---------------------------------------------------- index sidecar IO ---
-  // Sidecars (`_graft_index.json`, `_graft_bloom.bin`) open through the
-  // Hadoop FileSystem resolved from the INDEX PATH's scheme (round-12
-  // advice: the old java.nio calls worked only for local paths, so an
-  // hdfs:///s3a:// index silently had no working sidecar while its parquet
-  // half used scheme-aware Spark IO — the same split AvroIO already avoids).
+  // Shared with the IVF store lifecycle ([[graft.util.IndexSidecar]]) —
+  // thin local aliases keep the ~20 call sites below unchanged.
 
   private def sidecar(spark: SparkSession, dir: String, name: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) =
+    graft.util.IndexSidecar.resolve(spark, dir, name)
 
   private def writeSidecarBytes(spark: SparkSession, dir: String,
-      name: String, bytes: Array[Byte]): Unit = {
-    val (fs, p) = sidecar(spark, dir, name)
-    val out = fs.create(p, true)
-    try out.write(bytes) finally out.close()
-  }
+      name: String, bytes: Array[Byte]): Unit =
+    graft.util.IndexSidecar.writeBytes(spark, dir, name, bytes)
 
   private def readSidecarBytes(spark: SparkSession, dir: String,
-      name: String): Array[Byte] = {
-    val (fs, p) = sidecar(spark, dir, name)
-    val in = fs.open(p)
-    try in.readAllBytes() finally in.close()
-  }
+      name: String): Array[Byte] =
+    graft.util.IndexSidecar.readBytes(spark, dir, name)
 
   /** Exact dedup statistics: total rows, distinct texts, duplicate rows.
     * (Keeper assignment — one surviving row per text — is [[dedupKeepFirst]].)

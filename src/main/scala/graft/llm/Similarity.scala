@@ -283,15 +283,20 @@ object Similarity {
     * (weak-keyed, stopped sessions evict — [[graft.util.SessionMemo]])
     * plus a file-metadata fingerprint of the corpus path, so an in-JVM
     * regen under the same path rebuilds instead of serving a stale index.
+    * `keySuffix` disambiguates indexes over different SUBSETS of the same
+    * path (the s14–s16 lifecycle queries fit their quantizer on the base
+    * shard only — same path, same nClusters, different corpus — which
+    * without the suffix would collide with s02's full-corpus key).
     */
   private val ivfMemo =
     new graft.util.SessionMemo[(String, Int, Long, Long), IvfIndex]
 
   def cachedIvfIndex(spark: SparkSession, corpus: => DataFrame,
       corpusKey: String, idCol: String, embCol: String, nClusters: Int,
-      seed: Long = 42L, maxFitRows: Long = 100000L): IvfIndex =
+      seed: Long = 42L, maxFitRows: Long = 100000L,
+      keySuffix: String = ""): IvfIndex =
     ivfMemo.getOrElseUpdate(spark,
-      (s"$corpusKey#${graft.util.SessionMemo.pathFingerprint(corpusKey)}",
+      (s"$corpusKey#${graft.util.SessionMemo.pathFingerprint(corpusKey)}#$keySuffix",
         nClusters, seed, maxFitRows)) {
         val idx = buildIvfIndex(spark, corpus, idCol, embCol, nClusters, seed, maxFitRows)
         // the inverted file is used several times per search plan (members,
@@ -385,9 +390,10 @@ object Similarity {
 
   def cachedIvf2Index(spark: SparkSession, corpus: => DataFrame,
       corpusKey: String, idCol: String, embCol: String, k1: Int, k2: Int,
-      seed: Long = 42L, maxFitRows: Long = 100000L): Ivf2Index =
+      seed: Long = 42L, maxFitRows: Long = 100000L,
+      keySuffix: String = ""): Ivf2Index =
     ivf2Memo.getOrElseUpdate(spark,
-      (s"$corpusKey#${graft.util.SessionMemo.pathFingerprint(corpusKey)}",
+      (s"$corpusKey#${graft.util.SessionMemo.pathFingerprint(corpusKey)}#$keySuffix",
         k1, k2, seed, maxFitRows)) {
       val idx = buildIvf2Index(spark, corpus, idCol, embCol, k1, k2,
         seed, maxFitRows)
@@ -525,24 +531,167 @@ object Similarity {
     * nprobe cluster scan prunes to exactly those files; plain parquet
     * keeps the gate portable. Round-trip fidelity is float-exact, which
     * the s06 gate asserts search-result-for-search-result.
+    *
+    * LAYOUT (round-16 — lifecycle parity with the minhash store d13/d19):
+    * the inverted lists live in GENERATION directories
+    * (`inverted/gen=base` here; [[appendToIvfIndex]] adds
+    * `gen=<batchId>` shards), takedowns in an append-only
+    * `tombstones/gen=<batchId>` id list, and the `_graft_index.json`
+    * meta sidecar is written LAST so a half-written store fails loudly
+    * on first read instead of answering from partial data. A (re)build
+    * REPLACES the whole index — surviving generations or a stale
+    * takedown list from a previous build at the same path would silently
+    * leak into the new one, so both trees are dropped first (the d13
+    * rebuild rule).
     */
   def writeIvfIndex(idx: IvfIndex, path: String): Unit = {
     val spark = idx.inverted.sparkSession
     import spark.implicits._
-    idx.inverted.write.mode("overwrite").parquet(s"$path/inverted")
+    for (sub <- Seq("inverted", "tombstones"))
+      graft.util.IndexSidecar.deleteIfExists(spark, path, sub)
+    idx.inverted.select("neighbor_id", "emb", "cluster")
+      .write.mode("overwrite").parquet(s"$path/inverted/gen=base")
     idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    val dim = idx.centroids.headOption.map(_.length).getOrElse(0)
+    graft.util.IndexSidecar.writeBytes(spark, path, "_graft_index.json",
+      s"""{"kind": "ivf", "nCells": ${idx.centroids.length}, "dim": $dim}"""
+        .getBytes("UTF-8"))
   }
 
-  /** Load a [[writeIvfIndex]] store. The centroid fetch is nClusters
-    * rows — index metadata, not data. */
-  def readIvfIndex(spark: SparkSession, path: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+  /** The stored coarse quantizer alone — nClusters rows of index
+    * metadata, not data. Refuses a store whose meta sidecar is missing
+    * (the write-meta-LAST choreography makes that the signature of a
+    * half-written store). */
+  def readIvfCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    require(graft.util.IndexSidecar.exists(spark, path, "_graft_index.json"),
+      s"no IVF index meta at $path — store missing or half-written")
+    spark.read.parquet(s"$path/centroids")
       .select("cid", "cv").collect()
       .sortBy(_.getInt(0))
       .map(_.getSeq[Float](1).toArray)
-    IvfIndex(spark.read.parquet(s"$path/inverted"), centroids)
+  }
+
+  /** Load a [[writeIvfIndex]] store: all generations of the inverted
+    * file, with tombstoned ids excluded MERGE-ON-READ (one broadcast
+    * anti-join against the takedown list — dead vectors stop surfacing
+    * the moment the tombstone lands, physically reclaimed at the next
+    * [[compactIvfIndex]]; the d21 delete-vector pattern on the inverted
+    * file). The explicit select drops the `gen` partition-discovery
+    * column, so a one-generation and a many-generation store present the
+    * identical schema. */
+  def readIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = readIvfCentroids(spark, path)
+    val inv = spark.read.parquet(s"$path/inverted")
+      .select("neighbor_id", "emb", "cluster")
+    val live =
+      if (graft.util.IndexSidecar.exists(spark, path, "tombstones"))
+        inv.join(broadcast(spark.read.parquet(s"$path/tombstones")
+            .select(col("id").as("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti")
+      else inv
+    IvfIndex(live, centroids)
+  }
+
+  /** Nearest-centroid assignment at a FIXED coarse quantizer — the
+    * ingest half of incremental index maintenance: new vectors join the
+    * store's existing cells (argmax cosine over the stored centroids,
+    * ties to the smallest cid — [[probeClusters]] at nprobe = 1, so the
+    * assignment rule and the search-time cell ranking are the SAME
+    * expression), with NO refit. Per-row work is nClusters codegen'd
+    * cosines against literal centroid arrays — embarrassingly parallel,
+    * no shuffle, which is exactly why append never needs the k-means
+    * pass that makes a rebuild expensive.
+    */
+  def assignToCentroids(spark: SparkSession, df: DataFrame, idCol: String,
+      embCol: String, centroids: Array[Array[Float]]): DataFrame =
+    probeClusters(spark, IvfIndex(null, centroids), df, idCol, embCol, 1)
+      .select(col("p_id").as("neighbor_id"), col("p_emb").as("emb"),
+        col("cluster"))
+
+  /** Append a new shard to a [[writeIvfIndex]] store — incremental index
+    * MAINTENANCE for the vector store (the round-15 verdict's #1: the
+    * embedding store was the one 100 TB asset still requiring a full
+    * refit on new data; the d19 generation-dir choreography applies
+    * nearly verbatim). New vectors are assigned to the EXISTING stored
+    * centroids ([[assignToCentroids]] — no refit; quantizer drift is
+    * compaction-with-rebuild territory, out of scope by design) and land
+    * as one `inverted/gen=<batchId>` generation — a single parquet
+    * write, so the commit choreography is simpler than minhash's
+    * two-table hashes-first/bands-last: either the generation directory
+    * publishes complete or the write fails whole. Retrying the same
+    * `batchId` OVERWRITES the generation — idempotent recovery, no
+    * duplicate rows. Search-after-append over the grown store is
+    * IDENTICAL to search over an index whose inverted file was built
+    * from the union corpus at the same fixed quantizer — the s14 oracle
+    * pins that invisibility row-for-row (at fixed centroids, a vector's
+    * cell does not depend on any other vector, so append ≡ rebuild
+    * exactly; only a reFIT could differ, and append promises not to).
+    */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, embCol: String,
+      path: String, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base" &&
+      !batchId.exists(c => c == '/' || c == '=' || c.isWhitespace),
+      s"batchId must be a non-empty path-safe token, not 'base': '$batchId'")
+    val spark = batch.sparkSession
+    val centroids = readIvfCentroids(spark, path)
+    assignToCentroids(spark, batch, idCol, embCol, centroids)
+      .write.mode("overwrite").parquet(s"$path/inverted/gen=$batchId")
+  }
+
+  /** TOMBSTONE vectors in a [[writeIvfIndex]] store — the DELETE of the
+    * vector-index lifecycle (takedowns, right-to-be-forgotten over
+    * embedded content): an append-only id list in its own
+    * `tombstones/gen=<batchId>` generation, never an in-place rewrite of
+    * the inverted lists (at 100 TB that is a full-table job per takedown
+    * batch; the id-list anti-join is a broadcast per query). Consumers
+    * exclude dead ids merge-on-read ([[readIvfIndex]]); the rows are
+    * physically reclaimed at the next [[compactIvfIndex]] — d20/d21's
+    * lakehouse delete-vector pattern verbatim on the inverted file.
+    * Idempotent per batchId (overwrite); duplicate ids across
+    * generations are harmless (anti-join semantics).
+    */
+  def tombstoneIvfIndex(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String, batchId: String): Unit = {
+    require(batchId.nonEmpty &&
+      !batchId.exists(c => c == '/' || c == '=' || c.isWhitespace),
+      s"batchId must be a non-empty path-safe token: '$batchId'")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstones/gen=$batchId")
+  }
+
+  /** COMPACT a [[writeIvfIndex]] store into a fresh single-generation
+    * index at `destPath` — the maintenance step that closes the
+    * build → append → tombstone → query lifecycle: many per-shard
+    * generations (small-file pressure) rewrite as one `gen=base`, live
+    * tombstones become PHYSICAL deletes (the destination starts with an
+    * empty takedown list), and the centroids copy over unchanged — pure
+    * IO, the k-means fit is never re-paid, which is the entire economics
+    * of the persisted index. Crash-safe by construction (the d20
+    * version-swap pattern): the destination is a NEW directory, the
+    * source is read-only throughout, and the meta sidecar is written
+    * LAST so a half-written destination refuses loudly on first use.
+    * The s16 oracle pins compacted-search ≡ grown-store-search ≡ the
+    * fixed-quantizer rebuild, and that the physical row count equals the
+    * live count (distinguishing real reclamation from merge-on-read
+    * masking).
+    */
+  def compactIvfIndex(spark: SparkSession, srcPath: String,
+      destPath: String): Unit = {
+    require(srcPath != destPath,
+      "compaction writes a NEW index directory (version-swap pattern); " +
+        "in-place compaction would lose crash safety")
+    val meta = graft.util.IndexSidecar.readBytes(spark, srcPath,
+      "_graft_index.json")
+    val live = readIvfIndex(spark, srcPath) // merge-on-read: tombstones applied
+    for (sub <- Seq("inverted", "tombstones", "centroids"))
+      graft.util.IndexSidecar.deleteIfExists(spark, destPath, sub)
+    live.inverted.write.mode("overwrite").parquet(s"$destPath/inverted/gen=base")
+    spark.read.parquet(s"$srcPath/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$destPath/centroids")
+    graft.util.IndexSidecar.writeBytes(spark, destPath,
+      "_graft_index.json", meta)
   }
 
   /** The `nprobe` nearest clusters per probe: (p_id, p_emb, cluster) rows.
@@ -563,6 +712,57 @@ object Similarity {
       .select(col("p_id"), col("p_emb"),
         explode(col("near").getField("cid")).as("cluster"))
   }
+
+  /** [[ivfSearch]] at k = 1 without the rank window — per-probe-ROW
+    * duplicate retrieval as ONE max aggregate, the IVF twin of
+    * [[lshTop1EachRow]] and the shape a STREAMING probe side needs
+    * (st24): the static corpus carries the fitted inverted file (planned
+    * per micro-batch like any stream-static join), each arriving probe
+    * explodes to its `nprobe` ranked cells — bounded, stateless,
+    * per-row expression work — and the only keyed state is the
+    * per-probe argmax, O(1) per id, complete-mode convergent because a
+    * probe's candidates arrive in its own micro-batch. The explicit
+    * `repartition` on the cell key is the streaming stand-in for the
+    * batch path's broadcast/persist barrier ([[probe2Cells]]'s measured
+    * lesson): the exchange materializes the ranked-cell projection
+    * BEFORE the join, so the centroid expression evaluates once per
+    * probe row, never per candidate row. Ties break on the SMALLER
+    * neighbor id via the (sim, −id) struct ordering, matching
+    * [[finishTopK]]. Output: (p_id, neighbor_id, rank = 1, sim rounded
+    * to 1e-6), inner semantics (a probe whose probed cells are all
+    * empty drops out — which the st24 gate's closed-form probe count
+    * would catch loudly).
+    */
+  def ivfTop1EachRow(spark: SparkSession, idx: IvfIndex, probes: DataFrame,
+      idCol: String, embCol: String, nprobe: Int): DataFrame =
+    top1FromCells(spark,
+      probeClusters(spark, idx, probes, idCol, embCol, nprobe)
+        .repartition(col("cluster")),
+      idx.inverted, Seq("cluster"))
+
+  /** [[ivfTop1EachRow]] through the TWO-LEVEL quantizer ([[Ivf2Index]]) —
+    * the past-the-flat-cap leg of the size-routed streaming retrieval
+    * twin (st24 ↔ s13): identical argmax shape, candidates from the
+    * probe's `nprobe` ranked composite (c1, c2) cells.
+    */
+  def ivf2Top1EachRow(spark: SparkSession, idx: Ivf2Index, probes: DataFrame,
+      idCol: String, embCol: String, nprobe1: Int, nprobe: Int): DataFrame =
+    top1FromCells(spark,
+      probe2Cells(spark, idx, probes, idCol, embCol, nprobe1, nprobe)
+        .repartition(col("c1"), col("c2")),
+      idx.inverted, Seq("c1", "c2"))
+
+  private def top1FromCells(spark: SparkSession, cells: DataFrame,
+      inverted: DataFrame, joinKey: Seq[String]): DataFrame =
+    cells.join(inverted, joinKey)
+      .filter(col("neighbor_id") =!= col("p_id"))
+      .select(col("p_id"), struct(
+        cosine(spark, col("emb"), col("p_emb")).as("sim"),
+        (-col("neighbor_id")).as("negn")).as("cand"))
+      .groupBy("p_id")
+      .agg(max("cand").as("best"))
+      .select(col("p_id"), (-col("best.negn")).as("neighbor_id"),
+        lit(1L).as("rank"), round(col("best.sim"), 6).as("sim"))
 
   /** IVF (inverted-file) ANN top-k search over a prebuilt index: exact
     * cosine re-rank on the members of each probe's `nprobe` clusters.
@@ -918,12 +1118,14 @@ object Similarity {
     * envelope the declared contract promises recall; past it only the
     * budget (seed np·occupancy + C(2·kBuild,2)·rounds sims per node) is
     * promised, and SCALE.md's ledger carries the measured out-of-envelope
-    * recall. 25 000 = the largest measured-green size, NOT an
-    * extrapolation — growing the envelope means measuring a bigger
+    * recall. 20 000 = the largest measured-GREEN size, NOT an
+    * extrapolation (the round-15 ADVICE pin: the previous 25 000
+    * exceeded the then-largest green point) — growing the envelope
+    * means measuring a bigger
     * corpus green first (the round-11 "fractions, not absolutes" rule
     * applied to a promise).
     */
-  val NndRecallEnvelopeN = 25000L
+  val NndRecallEnvelopeN = 20000L
 
   def nnDescentGraph(spark: SparkSession, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, kBuild: Int = 10,

@@ -2416,6 +2416,85 @@ object LlmOps {
     * doubles as the scan accounting input, so the declared scan term
     * counts exactly what the search scanned.
     */
+  /** The s13 SIZE ROUTE as a reusable piece (round-16: mm13 routes the
+    * media vectors and st24's streaming twin routes its probes through
+    * the SAME decision and the SAME fitted per-JVM indexes): flat IVF at
+    * the shared 512-cell quantizer and its measured 40 %-of-cells dial
+    * below the k-means tractability cap (occupancy-constant cells,
+    * n ≲ 65 k), the two-level IVFADC quantizer at its measured
+    * 20 %-of-composite-cells dial past it. `emb`/`probes` carry
+    * (vec_id, embedding); `keySuffix` namespaces the per-JVM index memo
+    * per corpus family (""= the text embeddings s02/s06/s10/s11/s12
+    * share; "media" = mm13's landmark vectors). Returns the ANN top-k
+    * and the probed-cell scan accounting (the scanned term counts
+    * exactly what the search scanned — both ride the same cell table).
+    */
+  private[operators] def routedAnnWithScan(s: SparkSession, emb: DataFrame,
+      d: String, keySuffix: String, probes: DataFrame, k: Int)
+      : (DataFrame, DataFrame) = {
+    val n = emb.count()
+    val flatCap = 2048L
+    val cellsWanted = math.max(128L, n / 32L)
+    if (cellsWanted <= flatCap) {
+      // flat route: the shared fitted s02 quantizer at its measured
+      // 40 %-of-cells dial
+      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding",
+        512, keySuffix = keySuffix)
+      val np = math.max(1, idx.centroids.length * 2 / 5)
+      (Similarity.ivfSearch(s, idx, probes, "vec_id", "embedding", k, np)
+         .select("p_id", "neighbor_id"),
+       ivfProbeScanCount(s, idx, probes, np))
+    } else {
+      // two-level route: occupancy-constant composite cells, the
+      // measured 20 %-of-cells dial
+      val k2 = 32
+      val k1 = math.max(2L, math.min(flatCap, (cellsWanted + k2 - 1) / k2)).toInt
+      val idx = Similarity.cachedIvf2Index(s, emb, d, "vec_id", "embedding",
+        k1, k2, keySuffix = keySuffix)
+      val nCells = idx.centroids1.length.toLong * idx.residuals2.length
+      val np1 = math.max(4, (idx.centroids1.length + 1) / 2)
+      val np = math.max(1L, nCells / 5).toInt
+      val cells = Similarity.probe2Cells(s, idx, probes, "vec_id", "embedding",
+        np1, np).localCheckpoint() // eager: barrier + tiny (n_probes·np rows)
+      (Similarity.ivf2SearchFromCells(s, idx, cells, k)
+         .select("p_id", "neighbor_id"),
+       cells.join(idx.inverted.groupBy("c1", "c2").agg(count(lit(1)).as("m")),
+           Seq("c1", "c2"))
+         .agg(coalesce(sum(col("m")), lit(0L)).as("scanned")))
+    }
+  }
+
+  /** [[routedAnnWithScan]]'s TOP-1 sibling for duplicate retrieval —
+    * the same size route and the same fitted per-JVM indexes, but the
+    * one-max-aggregate search shape ([[Similarity.ivfTop1EachRow]] /
+    * [[Similarity.ivf2Top1EachRow]]) that a STREAMING probe side can
+    * run: st24 drives this with an unbounded probe frame, and its batch
+    * twin drives it with the identical batch frame — same function,
+    * same index, so the declared stream≡batch equality isolates exactly
+    * the micro-batch execution difference.
+    */
+  private[operators] def routedTop1(s: SparkSession, emb: DataFrame,
+      d: String, keySuffix: String, probes: DataFrame): DataFrame = {
+    val n = emb.count()
+    val flatCap = 2048L
+    val cellsWanted = math.max(128L, n / 32L)
+    if (cellsWanted <= flatCap) {
+      val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding",
+        512, keySuffix = keySuffix)
+      val np = math.max(1, idx.centroids.length * 2 / 5)
+      Similarity.ivfTop1EachRow(s, idx, probes, "vec_id", "embedding", np)
+    } else {
+      val k2 = 32
+      val k1 = math.max(2L, math.min(flatCap, (cellsWanted + k2 - 1) / k2)).toInt
+      val idx = Similarity.cachedIvf2Index(s, emb, d, "vec_id", "embedding",
+        k1, k2, keySuffix = keySuffix)
+      val nCells = idx.centroids1.length.toLong * idx.residuals2.length
+      val np1 = math.max(4, (idx.centroids1.length + 1) / 2)
+      val np = math.max(1L, nCells / 5).toInt
+      Similarity.ivf2Top1EachRow(s, idx, probes, "vec_id", "embedding", np1, np)
+    }
+  }
+
   val s13 = QSpec(
     "s13_ivf2_ann",
     Some("""SELECT CAST(5 AS BIGINT) AS n_probes,
@@ -2423,43 +2502,220 @@ object LlmOps {
     (s, d) => {
       val emb = embeddings(s, d)
       val probes = emb.filter(col("vec_id") < 5)
-      val n = emb.count()
-      val flatCap = 2048L
-      val cellsWanted = math.max(128L, n / 32L)
       val exact = Similarity.bruteTopK(s, emb, probes, "vec_id", "embedding", 10)
         .select("p_id", "neighbor_id")
-      val (ann, scanned) =
-        if (cellsWanted <= flatCap) {
-          // flat route: the shared fitted s02 quantizer at its measured
-          // 40 %-of-cells dial
-          val idx = Similarity.cachedIvfIndex(s, emb, d, "vec_id", "embedding", 512)
-          val np = math.max(1, idx.centroids.length * 2 / 5)
-          (Similarity.ivfSearch(s, idx, probes, "vec_id", "embedding", 10, np)
-             .select("p_id", "neighbor_id"),
-           ivfProbeScanCount(s, idx, probes, np))
-        } else {
-          // two-level route: occupancy-constant composite cells, the
-          // measured 20 %-of-cells dial
-          val k2 = 32
-          val k1 = math.max(2L, math.min(flatCap, (cellsWanted + k2 - 1) / k2)).toInt
-          val idx = Similarity.cachedIvf2Index(s, emb, d, "vec_id", "embedding", k1, k2)
-          val nCells = idx.centroids1.length.toLong * idx.residuals2.length
-          val np1 = math.max(4, (idx.centroids1.length + 1) / 2)
-          val np = math.max(1L, nCells / 5).toInt
-          val cells = Similarity.probe2Cells(s, idx, probes, "vec_id", "embedding",
-            np1, np).localCheckpoint() // eager: barrier + tiny (n_probes·np rows)
-          (Similarity.ivf2SearchFromCells(s, idx, cells, 10)
-             .select("p_id", "neighbor_id"),
-           cells.join(idx.inverted.groupBy("c1", "c2").agg(count(lit(1)).as("m")),
-               Seq("c1", "c2"))
-             .agg(coalesce(sum(col("m")), lit(0L)).as("scanned")))
-        }
+      val (ann, scanned) = routedAnnWithScan(s, emb, d, "", probes, 10)
       annRecallCounts(exact, ann, emb).crossJoin(scanned)
         .select(
           col("n_probes"),
           (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"),
           (col("scanned").cast("double") / (col("n_probes") * col("corpus_n")) <= 0.5)
             .as("scan_frac_le_050"))
+    })
+
+  /** mm13 — media vectors through the SIZE-ROUTED index (the round-15
+    * verdict's mm09 directive: the handoff's 100 TB path, declared):
+    * mm09 hands the decoded landmark vectors to the exact brute-force
+    * stack and hash-pins the full top-k; this twin hands the SAME
+    * vector column to [[routedAnnWithScan]] — s13's route, s13's
+    * contract — so the media corpus rides the flat 512-cell quantizer
+    * at the gate SFs (500–5 000 docs) and the TWO-LEVEL IVFADC index on
+    * the scale curve (gsf2's 100 k docs onward — documents outnumber
+    * text embeddings 2.5×, so the media family crosses the flat cap
+    * EARLIER than s13 itself, which is precisely why the route belongs
+    * on this corpus). The media index is its own per-JVM fitted memo
+    * (`keySuffix = "media"` — landmark vectors and text embeddings are
+    * different corpora under the same data dir). Contract terms are
+    * s13's verbatim: recall@10 ≥ 0.9 vs the exact brute-force baseline
+    * over the decoded vectors, scan ≤ 50 % of the corpus, all in-plan.
+    */
+  val mm13 = QSpec(
+    "mm13_media_ann_routed",
+    Some("""SELECT CAST(5 AS BIGINT) AS n_probes,
+           | TRUE AS recall_ge_090, TRUE AS scan_frac_le_050""".stripMargin),
+    (s, d) => {
+      val vecs = Multimodal.extractLandmarkVectors(
+        Multimodal.syntheticWav(documents(s, d), "doc_id", 256, 16000))
+        .toDF().select(col("doc_id").as("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probes = vecs.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteTopK(s, vecs, probes, "vec_id", "embedding", 10)
+        .select("p_id", "neighbor_id")
+      val (ann, scanned) = routedAnnWithScan(s, vecs, d, "media", probes, 10)
+      val out = annRecallCounts(exact, ann, vecs).crossJoin(scanned)
+        .select(
+          col("n_probes"),
+          (col("hits").cast("double") / col("total") >= 0.9).as("recall_ge_090"),
+          (col("scanned").cast("double") / (col("n_probes") * col("corpus_n")) <= 0.5)
+            .as("scan_frac_le_050"))
+        .localCheckpoint() // one row — free the decoded corpus now
+      vecs.unpersist(blocking = false)
+      out
+    })
+
+  // ----------------------------- vector-index lifecycle (s14–s16) ---
+  // The round-15 verdict's top directive: the embedding store gets the
+  // same persisted build → append → tombstone → compact choreography the
+  // minhash store has had since d19–d21 — incremental ingest and takedown
+  // WITHOUT a quantizer refit, the two operations a production vector
+  // store at 100 TB cannot live without.
+
+  /** Shared scaffolding for the s14–s16 lifecycle queries: the corpus
+    * splits into a base shard (vec_id ≢ 2 mod 3) and an append shard
+    * (≡ 2); the coarse quantizer is fitted ONCE on the base shard
+    * (memoized per JVM under its own key — `keySuffix` keeps it from
+    * colliding with s02's full-corpus index) and NEVER refit — the
+    * lifecycle contract is "new data joins existing cells", so every
+    * reference index below shares these exact centroids. Returns the
+    * probe set, the base index, the fixed-quantizer UNION inverted file
+    * (base assignment ∪ expression-assigned shard — by construction
+    * byte-identical to what the store holds after build + append, since
+    * at a fixed quantizer a vector's cell depends on nothing but the
+    * vector), and the store path with build + append already committed.
+    */
+  private def lifecycleIvfStore(s: SparkSession, d: String, qname: String)
+      : (DataFrame, Similarity.IvfIndex, DataFrame, String) = {
+    val emb = embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 3 < 2)
+    val shard = emb.filter(col("vec_id") % 3 === 2)
+    val probes = emb.filter(col("vec_id") < 5)
+    val idxBase = Similarity.cachedIvfIndex(s, base, d, "vec_id",
+      "embedding", 512, keySuffix = "lifecycle-base")
+    val path = graft.util.Tables.scratch(d, qname)
+    Similarity.writeIvfIndex(idxBase, path)
+    Similarity.appendToIvfIndex(shard, "vec_id", "embedding", path, "shard1")
+    val unionInv = idxBase.inverted.unionByName(
+      Similarity.assignToCentroids(s, shard, "vec_id", "embedding",
+        idxBase.centroids))
+    (probes, idxBase, unionInv, path)
+  }
+
+  /** Stored-index search vs in-memory reference search, aligned on
+    * (p_id, rank) — the s06 fidelity-join shape, shared by s14–s16. */
+  private def storeVsMem(s: SparkSession, stored: Similarity.IvfIndex,
+      mem: Similarity.IvfIndex, probes: DataFrame, np: Int): DataFrame = {
+    val memR = Similarity.ivfSearch(s, mem, probes, "vec_id", "embedding", 10, np)
+      .select(col("p_id"), col("rank"),
+        col("neighbor_id").as("n1"), col("sim").as("s1"))
+    val disk = Similarity.ivfSearch(s, stored, probes, "vec_id", "embedding", 10, np)
+      .select(col("p_id"), col("rank"),
+        col("neighbor_id").as("n2"), col("sim").as("s2"))
+    memR.join(disk, Seq("p_id", "rank"), "full_outer")
+  }
+
+  /** s14 — persisted IVF index APPEND ([[Similarity.appendToIvfIndex]] —
+    * the vector-store twin of d19): the store is built from the base
+    * shard, the append shard lands as its own `gen=shard1` generation
+    * with vectors assigned to the EXISTING stored centroids (no refit —
+    * one expression pass, no k-means), and the search over the grown
+    * store must equal, ROW FOR ROW, the search over an index whose
+    * inverted file was rebuilt from the union corpus at the same fixed
+    * quantizer — the d19 invisibility contract transposed: append ≡
+    * rebuild exactly, because at a fixed quantizer a vector's cell
+    * depends on nothing but the vector. `appended_in_topk` additionally
+    * pins that appended vectors actually SURFACE as neighbors (an
+    * append that published an empty or unreachable generation would
+    * pass the equality row vacuously only if the rebuild also missed
+    * it — this term kills the no-op-append failure class outright;
+    * measured TRUE at every bench SF before declaring, per the
+    * probe-first rule).
+    */
+  val s14 = QSpec(
+    "s14_ivf_index_append",
+    Some("""SELECT CAST(50 AS BIGINT) AS n_rows,
+           | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS appended_in_topk"""
+      .stripMargin),
+    (s, d) => {
+      val (probes, idxBase, unionInv, path) = lifecycleIvfStore(s, d, "s14_ivf")
+      val np = math.max(1, idxBase.centroids.length * 2 / 5)
+      val stored = Similarity.readIvfIndex(s, path)
+      val mem = Similarity.IvfIndex(unionInv, idxBase.centroids)
+      storeVsMem(s, stored, mem, probes, np)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n1") <=> col("n2") && col("s1") <=> col("s2"), 0)
+            .otherwise(1)).cast("long").as("n_mismatch"),
+          (sum(when(col("n2") % 3 === 2, 1).otherwise(0)) > 0)
+            .as("appended_in_topk"))
+    })
+
+  /** s15 — persisted IVF index TOMBSTONES ([[Similarity
+    * .tombstoneIvfIndex]] — d21 on the inverted file): after build +
+    * append, every vector with id ≡ 1 (mod 4) is taken down as an
+    * append-only id-list generation; the store must then search as if
+    * those vectors never existed — row-for-row equal to the
+    * fixed-quantizer rebuild over the SURVIVING corpus (over-deletion
+    * kills live neighbors, under-deletion surfaces dead ones; either
+    * breaks the equality, and `no_dead_neighbors` pins the
+    * under-deletion direction explicitly). Deletion is merge-on-read
+    * (one broadcast anti-join per query — never an inverted-file
+    * rewrite); physical reclamation is s16's compaction.
+    */
+  val s15 = QSpec(
+    "s15_ivf_index_tombstones",
+    Some("""SELECT CAST(50 AS BIGINT) AS n_rows,
+           | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS no_dead_neighbors"""
+      .stripMargin),
+    (s, d) => {
+      val (probes, idxBase, unionInv, path) = lifecycleIvfStore(s, d, "s15_ivf")
+      val np = math.max(1, idxBase.centroids.length * 2 / 5)
+      Similarity.tombstoneIvfIndex(s, path,
+        embeddings(s, d).filter(col("vec_id") % 4 === 1).select("vec_id"),
+        "vec_id", "takedown1")
+      val stored = Similarity.readIvfIndex(s, path)
+      val mem = Similarity.IvfIndex(
+        unionInv.filter(col("neighbor_id") % 4 =!= 1), idxBase.centroids)
+      storeVsMem(s, stored, mem, probes, np)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n1") <=> col("n2") && col("s1") <=> col("s2"), 0)
+            .otherwise(1)).cast("long").as("n_mismatch"),
+          (sum(when(col("n2") % 4 === 1, 1).otherwise(0)) === 0)
+            .as("no_dead_neighbors"))
+    })
+
+  /** s16 — persisted IVF index COMPACTION ([[Similarity
+    * .compactIvfIndex]] — d20's version-swap on the vector store): the
+    * grown, tombstoned store (two inverted generations + a takedown
+    * list) compacts into a fresh single-generation index at a NEW path —
+    * pure IO, the quantizer is copied, never refit — and the compacted
+    * store must search row-for-row equal to the same surviving-corpus
+    * reference s15 pins (compaction is result-INVISIBLE).
+    * `physical_rows_match_live` distinguishes real reclamation from
+    * merge-on-read masking: the compacted inverted file's raw parquet
+    * row count must equal the live count (a compaction that silently
+    * carried dead rows — or dropped live ones — fails here even though
+    * a tombstone-aware reader would still answer correctly), and
+    * `tombstones_reset` pins that the destination starts with an empty
+    * takedown list (a carried-over list would re-kill re-ingested ids —
+    * the d20 ping-pong hazard).
+    */
+  val s16 = QSpec(
+    "s16_ivf_index_compaction",
+    Some("""SELECT CAST(50 AS BIGINT) AS n_rows,
+           | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS physical_rows_match_live,
+           | TRUE AS tombstones_reset""".stripMargin),
+    (s, d) => {
+      val (probes, idxBase, unionInv, path) = lifecycleIvfStore(s, d, "s16_ivf")
+      val np = math.max(1, idxBase.centroids.length * 2 / 5)
+      Similarity.tombstoneIvfIndex(s, path,
+        embeddings(s, d).filter(col("vec_id") % 4 === 1).select("vec_id"),
+        "vec_id", "takedown1")
+      val dest = graft.util.Tables.scratch(d, "s16_ivf_compacted")
+      Similarity.compactIvfIndex(s, path, dest)
+      val stored = Similarity.readIvfIndex(s, dest)
+      val liveInv = unionInv.filter(col("neighbor_id") % 4 =!= 1)
+      val mem = Similarity.IvfIndex(liveInv, idxBase.centroids)
+      val phys = s.read.parquet(s"$dest/inverted")
+        .agg(count(lit(1)).as("n_phys"))
+      val live = liveInv.agg(count(lit(1)).as("n_live"))
+      storeVsMem(s, stored, mem, probes, np)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n1") <=> col("n2") && col("s1") <=> col("s2"), 0)
+            .otherwise(1)).cast("long").as("n_mismatch"))
+        .crossJoin(phys).crossJoin(live)
+        .select(col("n_rows"), col("n_mismatch"),
+          (col("n_phys") === col("n_live")).as("physical_rows_match_live"),
+          lit(!graft.util.IndexSidecar.exists(s, dest, "tombstones"))
+            .as("tombstones_reset"))
     })
 
   /** p16 — CURRICULUM ordering ([[graft.llm.Curation.curriculumStages]]):
@@ -2559,8 +2815,94 @@ object LlmOps {
         .orderBy("source", "chunk")
     })
 
+  /** p18 — DECONTAMINATED curation (p15 ∘ d22, the round-15 verdict's
+    * pipeline-composition directive): p15 selects the training set but
+    * never asks whether a selected document leaks an EVAL document —
+    * the contamination question every training pipeline must answer
+    * before shipping data. This operator closes it end-to-end: the
+    * train split (doc_id ≢ 2 mod 3) is curated exactly as p15 does
+    * (exact-dedup keeper pass → quality/length gate), the eval split
+    * holds out its own persisted minhash index, contamination is
+    * answered INDEX-VS-INDEX (d22's two-stored-sides join — the train
+    * side grows by append like production, no document re-shingled at
+    * check time), and contaminated survivors are anti-joined out
+    * BEFORE the quota sample, so domain quotas fill from clean
+    * documents (removing after would leave rank holes — the selection
+    * must be a valid contiguous ranking of what ships). Plan shape:
+    * p15's three shuffles + the d22 band-key join + one broadcast
+    * anti-join on the (tiny) contaminated id set; every stage is the
+    * same plan its standalone operator runs, which is what makes the
+    * composition a pipeline rather than a new algorithm. The oracle
+    * replays the whole thing: brute-force cross-split Jaccard for the
+    * contamination set (d22's ground truth — so LSH recall is asserted,
+    * not assumed), then p15's selection math on the surviving train
+    * docs, hash-pinning every kept (source, doc_id, score, rank).
+    */
+  val p18 = QSpec(
+    "p18_decontaminated_curation",
+    Some(s"""WITH keep AS (
+            |  SELECT MIN(doc_id) AS doc_id FROM documents
+            |  WHERE doc_id % 3 < 2
+            |  GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+            |$scoredDocsSql,
+            |gw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            |gg AS (SELECT DISTINCT doc_id,
+            |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+            |      FROM gw, UNNEST(range(1, len(words) - 1)) AS t(i)),
+            |gsz AS (SELECT doc_id, COUNT(*) AS n FROM gg GROUP BY doc_id),
+            |cp AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS inter
+            |      FROM gg a JOIN gg b ON a.gram = b.gram
+            |      WHERE a.doc_id % 3 < 2 AND b.doc_id % 3 = 2
+            |      GROUP BY 1, 2),
+            |contam AS (SELECT DISTINCT train_id AS doc_id
+            |      FROM cp JOIN gsz sa ON train_id = sa.doc_id
+            |              JOIN gsz sb ON eval_id = sb.doc_id
+            |      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+            |f AS (SELECT s.doc_id, d.source, s.quality_score
+            |      FROM s JOIN keep USING (doc_id)
+            |      JOIN documents d USING (doc_id)
+            |      WHERE s.quality_score >= 0.5 AND s.word_cnt BETWEEN 5 AND 1000
+            |        AND d.doc_id % 3 < 2
+            |        AND s.doc_id NOT IN (SELECT doc_id FROM contam)),
+            |n AS (SELECT GREATEST(5, COUNT(*) // 100) AS cap FROM f),
+            |r AS (SELECT source, doc_id, quality_score,
+            |    ROW_NUMBER() OVER (PARTITION BY source
+            |      ORDER BY quality_score DESC,
+            |        CAST(('0x' || substr(md5('quota:' || doc_id), 1, 12)) AS BIGINT),
+            |        doc_id) AS rn
+            |  FROM f)
+            |SELECT source, doc_id, quality_score, CAST(rn AS BIGINT) AS rank
+            |FROM r, n WHERE rn <= cap ORDER BY source, rank""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d)
+      val train = docs.filter(col("doc_id") % 3 < 2)
+      val trainIdx = graft.util.Tables.scratch(d, "p18_train_index")
+      val evalIdx = graft.util.Tables.scratch(d, "p18_eval_index")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", trainIdx, 0.5)
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", trainIdx, "shard1", 0.5)
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", evalIdx, 0.5)
+      val contaminated = Dedup.minhashPairsIndexVsIndex(s, trainIdx, evalIdx, 0.5)
+        .select(col("a_id").as("doc_id")).distinct()
+      val keepers = Dedup
+        .dedupKeepFirstByFingerprint(train, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val survivors = scoredDocs(s, d, barrier = true)
+        .join(train.select("doc_id", "source"), "doc_id")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("quality_score") >= 0.5 && col("word_cnt").between(5, 1000) &&
+          col("__b") >= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      graft.llm.Curation
+        .domainQuotaSample(survivors, "doc_id", "source", "quality_score")
+        .orderBy("source", "rank")
+    })
+
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
-    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09, mm10, mm11, mm12, s11, s12, s13, p16, p17, d22)
+    mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09,
+    mm10, mm11, mm12, mm13, s11, s12, s13, s14, s15, s16, p16, p17, d22, p18)
 }

@@ -28,8 +28,9 @@ import graft.infer.{PreparedPredictor, Predictor}
   *    same format as X_test.csv). This is a REAL distributed job:
   *    `spark.read.csv` → full feature transform → model → smearing
   *    inverse, returned as `id_annonce,prediction_price` CSV
-  *    (app.py:110-112's result frame). Batch size is bounded by the
-  *    upload, so collecting the projected 2-column result is safe.
+  *    (app.py:110-112's result frame). The result is written by the
+  *    executors and STREAMED to the response — no driver-side collect,
+  *    so batch size is bounded by cluster capacity, not driver heap.
   *
   * Single-row eval is serialized on a lock: catalyst `Expression.eval`
   * trees may hold per-instance mutable state (codegen-fallback exprs,
@@ -54,7 +55,7 @@ final class PredictionServer(
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", handler(handleForm))
     server.createContext("/health", handler(handleHealth))
-    server.createContext("/predict/batch", handler(handleBatch))
+    server.createContext("/predict/batch", streamingHandler(handleBatch))
     server.createContext("/predict", handler(handleSingle))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
@@ -72,19 +73,38 @@ final class PredictionServer(
         respond(ex, code, contentType, body)
       } catch {
         case e: Exception =>
-          // Client errors (schema violations via require/coerce, malformed
-          // JSON) are 400; anything else is a genuine server-side failure
-          // and must say so — a Spark executor error is not the caller's
-          // fault.
-          val code = e match {
-            case _: IllegalArgumentException => 400
-            case _: com.fasterxml.jackson.core.JsonProcessingException => 400
-            case _ => 500
-          }
-          respond(ex, code, "application/json",
+          respond(ex, errorCode(e), "application/json",
             mapper.createObjectNode()
               .put("error", String.valueOf(e.getMessage)).toString)
       } finally ex.close()
+
+  /** [[handler]] for endpoints that stream their own response body
+    * (the batch path): `f` commits headers and writes bytes itself. An
+    * exception BEFORE the commit still produces the clean JSON error;
+    * one after it (a failure mid-stream) can only truncate the chunked
+    * response — the client sees a protocol error instead of a silently
+    * short file, which is the correct failure mode for a stream.
+    */
+  private def streamingHandler(f: HttpExchange => Unit): HttpHandler =
+    (ex: HttpExchange) =>
+      try f(ex)
+      catch {
+        case e: Exception =>
+          try respond(ex, errorCode(e), "application/json",
+            mapper.createObjectNode()
+              .put("error", String.valueOf(e.getMessage)).toString)
+          catch { case _: java.io.IOException => () }
+      } finally ex.close()
+
+  /** Client errors (schema violations via require/coerce, malformed
+    * JSON) are 400; anything else is a genuine server-side failure and
+    * must say so — a Spark executor error is not the caller's fault.
+    */
+  private def errorCode(e: Exception): Int = e match {
+    case _: IllegalArgumentException => 400
+    case _: com.fasterxml.jackson.core.JsonProcessingException => 400
+    case _ => 500
+  }
 
   private def respond(ex: HttpExchange, code: Int, contentType: String,
       body: String): Unit = {
@@ -194,35 +214,58 @@ final class PredictionServer(
     }
   }
 
-  private def handleBatch(ex: HttpExchange): (Int, String, String) = {
+  /** Batch predictions WITHOUT a driver-side collect (round-15 advice:
+    * this was the one unbounded `collect()` left in the tree): the
+    * 2-column result is formatted and written BY THE EXECUTORS as a
+    * distributed CSV job, and the handler then streams the part files
+    * into a chunked response — O(io-buffer) driver heap at any batch
+    * size, where the old `collect()` held the whole result. Spark's
+    * `format_string` is Locale.US by construction, so a comma-decimal
+    * default locale (fr_FR) can't corrupt the 2-column CSV (the old
+    * Locale.ROOT guard, now enforced executor-side). The Spark job runs
+    * to completion BEFORE the response commits, so analysis errors (a
+    * CSV missing model columns) still surface as a clean 400.
+    */
+  private def handleBatch(ex: HttpExchange): Unit = {
     require(ex.getRequestMethod == "POST", "POST a CSV body with a header row")
     // app.py:137-143 — spool the upload to a temp file for spark.read.csv
     val tmp = java.nio.file.Files.createTempFile("graft-serve-batch", ".csv")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-serve-out")
     try {
       java.nio.file.Files.copy(ex.getRequestBody, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val input = spark.read.option("header", "true")
         .option("inferSchema", "true").csv(tmp.toString)
-      val rows =
-        try predictor.predictBatch(input)
-          .select("id_annonce", "prediction_price").collect()
-        catch {
-          // a CSV missing required columns fails analysis — that is the
-          // caller's upload, not a server fault: surface it as a 400
-          case e: org.apache.spark.sql.AnalysisException =>
-            throw new IllegalArgumentException(
-              s"batch CSV does not match the model's input schema: ${e.getMessage}")
-        }
-      val csv = new StringBuilder("id_annonce,prediction_price\n")
-      rows.foreach { r =>
-        // Locale.ROOT: a comma-decimal default locale (fr_FR) would emit
-        // '1234,56' and corrupt the 2-column CSV
-        csv.append(r.get(0)).append(',')
-          .append(String.format(java.util.Locale.ROOT, "%.2f",
-            Double.box(r.getDouble(1)))).append('\n')
+      import org.apache.spark.sql.functions.{col, format_string}
+      try predictor.predictBatch(input)
+        .select(col("id_annonce"),
+          format_string("%.2f", col("prediction_price")).as("prediction_price"))
+        .write.mode("overwrite").csv(outDir.toString)
+      catch {
+        // a CSV missing required columns fails analysis — that is the
+        // caller's upload, not a server fault: surface it as a 400
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"batch CSV does not match the model's input schema: ${e.getMessage}")
       }
-      (200, "text/csv", csv.toString)
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+      ex.getResponseHeaders.set("Content-Type", "text/csv")
+      ex.sendResponseHeaders(200, 0) // chunked — length unknown unbuffered
+      val os = ex.getResponseBody
+      os.write("id_annonce,prediction_price\n".getBytes(UTF_8))
+      val parts = java.nio.file.Files.list(outDir)
+      try parts.filter(_.getFileName.toString.startsWith("part-"))
+        .sorted().forEachOrdered { p =>
+          java.nio.file.Files.copy(p, os): Unit
+        }
+      finally parts.close()
+      os.flush()
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+      val walk = java.nio.file.Files.walk(outDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEachOrdered(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally walk.close()
+    }
   }
 }
 

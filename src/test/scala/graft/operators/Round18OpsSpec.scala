@@ -31,7 +31,8 @@ class Round18OpsSpec extends SparkSpec {
     val value = when(col("event_id") % 2 === 0, col("value"))
       .otherwise(col("value") * 1.1)
     val batch = e.select(side.as("side"),
-        least(floor(value / 50).cast("long"), lit(9L)).as("bin"))
+        greatest(least(floor(value / 50).cast("long"), lit(9L)), lit(0L))
+          .as("bin"))
       .groupBy("side", "bin").count()
       .as[(Int, Long, Long)].collect()
       .map { case (s, b, c) => (s, b) -> c }.toMap
@@ -43,12 +44,16 @@ class Round18OpsSpec extends SparkSpec {
       .orderBy("bin")
       .as[(Long, Double, Double, Double)].collect()
     assert(got.length === 10)
+    // Spark's round() is HALF_UP; math.rint is HALF_EVEN — an exact tie
+    // at the 6th decimal would diverge, so the expectation uses the same
+    // HALF_UP rule (the round-15 ADVICE pin)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     for ((bin, pRef, pCur, term) <- got) {
       val er = p(0, nRef)(bin); val ec = p(1, nCur)(bin)
-      assert(pRef === math.rint(er * 1e6) / 1e6, s"p_ref bin $bin")
-      assert(pCur === math.rint(ec * 1e6) / 1e6, s"p_cur bin $bin")
-      assert(term === math.rint((er - ec) * math.log(er / ec) * 1e6) / 1e6,
-        s"psi_term bin $bin")
+      assert(pRef === r6(er), s"p_ref bin $bin")
+      assert(pCur === r6(ec), s"p_cur bin $bin")
+      assert(term === r6((er - ec) * math.log(er / ec)), s"psi_term bin $bin")
     }
     // the planted x1.1 shift must actually register as drift: total PSI
     // clearly positive (an identically-distributed split would read ~0)
