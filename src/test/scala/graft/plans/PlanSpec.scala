@@ -338,6 +338,29 @@ class PlanSpec extends SparkSpec {
     cg should be >= 2
   }
 
+  test("p18 decontaminated curation: p15's stages + the stored-index " +
+      "contamination join, pruned scans, one bounded cap cross only") {
+    val (sh, bc, cg, w) = finalShape("p18_decontaminated_curation")
+    // p15's shape (keeper agg, scoring scan, source attach, quota window,
+    // output sort) + the d22 contamination path (stored band-key join,
+    // two hash-table attach joins, contaminated-id distinct) with the
+    // tiny contaminated set and the keeper/source/cap sides riding
+    // broadcasts — broadcast count pinned exactly so a stage silently
+    // de-broadcasting or the band join degenerating shows up here; the
+    // shuffle count rides the a02/s02 AQE exchange-reuse wobble
+    // (observed 8 isolated vs 10 in-suite; 8 is the BETTER plan)
+    bc shouldBe 10
+    sh should (be >= 8 and be <= 10)
+    w.max should be <= 2 // every documents/index scan column-pruned
+    cg should be >= 2
+    // the only non-equi join is the 1-row quota-cap scalar cross (the
+    // deliberate p14/p15 bounded shape); nothing pairwise anywhere else
+    val p = SparkEntry.queries("p18_decontaminated_curation")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    "BroadcastNestedLoopJoin".r.findAllIn(p).length shouldBe 1
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("mm09 media ANN handoff: decode scan + bounded probe broadcast + " +
       "top-k agg, 1-col scans") {
     val (sh, bc, cg, w) = finalShape("mm09_media_ann_handoff")
