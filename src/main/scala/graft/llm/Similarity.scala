@@ -523,6 +523,112 @@ object Similarity {
     }: Unit
   }
 
+  // ------------------------------------------ IVF store meta sidecar ---
+
+  /** Fit-time (or current) HEALTH of an IVF index — the two quantities
+    * that erode under sustained fixed-quantizer appends (round-16
+    * verdict ask 1) and that a re-quantize repairs:
+    *  - `occMaxOverMean`: max cell occupancy over the mean across ALL
+    *    declared cells (empty cells count — a drifted corpus that
+    *    crowds into few cells leaves the rest empty). The recall/scan
+    *    contract prices work as nprobe·mean-occupancy; the hot cell
+    *    costs max-occupancy per probe that ranks it, so this ratio IS
+    *    the contract-erosion factor.
+    *  - `meanResidual`: mean (1 − cos(v, centroid[assign(v)])) over the
+    *    inverted file — how well the quantizer still explains the data.
+    *    Appends drawn from the fit distribution keep it flat; drifted
+    *    appends raise it (their nearest stored centroid is far), which
+    *    degrades cell pruning long before occupancy shows it.
+    * Both are one aggregation job over the inverted file (the per-row
+    * centroid lookup is an element_at into the literal centroid table —
+    * the probeClusters expression shape, but only the ASSIGNED cell's
+    * cosine, so per-row work is one codegen'd kernel call).
+    */
+  final case class IvfHealth(n: Long, occMaxOverMean: Double,
+      meanResidual: Double)
+
+  /** The `_graft_index.json` sidecar, now a MANIFEST (round-17): `gens`
+    * lists the LIVE inverted generations — readers resolve exactly
+    * those directories, so a crashed append/compaction's orphan dirs
+    * are invisible until the meta write commits them (the lakehouse
+    * manifest pattern, scaled down to one JSON file; the meta write is
+    * the single commit point for every store mutation). `health` is the
+    * FIT-TIME baseline [[ivfIndexHealth]] measures drift against;
+    * `epoch` namespaces incremental-compaction rewrite dirs.
+    */
+  final case class IvfMeta(nCells: Int, dim: Int, gens: Seq[String],
+      epoch: Int, health: Option[IvfHealth])
+
+  private def metaMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def writeIvfMeta(spark: SparkSession, path: String, meta: IvfMeta): Unit = {
+    val h = meta.health.map(h =>
+      s""","health": {"n": ${h.n}, "occMaxOverMean": ${h.occMaxOverMean},
+         | "meanResidual": ${h.meanResidual}}""".stripMargin).getOrElse("")
+    val gens = meta.gens.map(g => "\"" + g + "\"").mkString("[", ", ", "]")
+    graft.util.IndexSidecar.writeBytes(spark, path, "_graft_index.json",
+      (s"""{"kind": "ivf", "nCells": ${meta.nCells}, "dim": ${meta.dim}, """ +
+        s""""gens": $gens, "epoch": ${meta.epoch}$h}""").getBytes("UTF-8"))
+  }
+
+  def readIvfMeta(spark: SparkSession, path: String): IvfMeta = {
+    require(graft.util.IndexSidecar.exists(spark, path, "_graft_index.json"),
+      s"no IVF index meta at $path — store missing or half-written")
+    val node = metaMapper.readTree(new String(
+      graft.util.IndexSidecar.readBytes(spark, path, "_graft_index.json"),
+      "UTF-8"))
+    val gens =
+      if (node.has("gens"))
+        (0 until node.get("gens").size()).map(node.get("gens").get(_).asText())
+      else Seq("base") // pre-manifest store: the only layout it could have
+    val health =
+      if (node.has("health")) {
+        val h = node.get("health")
+        Some(IvfHealth(h.get("n").asLong(),
+          h.get("occMaxOverMean").asDouble(), h.get("meanResidual").asDouble()))
+      } else None
+    IvfMeta(node.get("nCells").asInt(), node.get("dim").asInt(), gens,
+      if (node.has("epoch")) node.get("epoch").asInt() else 0, health)
+  }
+
+  /** Measure [[IvfHealth]] of an inverted file against its quantizer —
+    * one distributed aggregation; the centroid table rides as a literal
+    * (index metadata, driver-sized by construction).
+    */
+  def computeIvfHealth(spark: SparkSession, inverted: DataFrame,
+      centroids: Array[Array[Float]]): IvfHealth = {
+    GraftFunctions.ensureRegistered(spark)
+    val centArr = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+    val row = inverted
+      .select(col("cluster"),
+        (lit(1.0d) - call_function("cosine_sim", col("emb"),
+          element_at(centArr, col("cluster") + 1))).as("res"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("m"), sum("res").as("r"))
+      .agg(sum("m").cast("long").as("n"), max("m").as("mx"), sum("r").as("rs"))
+      .head()
+    val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (n == 0L) IvfHealth(0L, 1.0, 0.0)
+    else IvfHealth(n,
+      row.getLong(1).toDouble / (n.toDouble / centroids.length),
+      row.getDouble(2) / n)
+  }
+
+  /** Fit-time baseline ([[IvfMeta.health]]) vs the CURRENT live store —
+    * the index-health check a store owner runs before deciding to
+    * re-quantize: returns (baseline, current). Drift shows as
+    * current.occMaxOverMean / baseline.occMaxOverMean (and the residual
+    * ratio) pulling away from 1.
+    */
+  def ivfIndexHealth(spark: SparkSession, path: String)
+      : (IvfHealth, IvfHealth) = {
+    val meta = readIvfMeta(spark, path)
+    val idx = readIvfIndex(spark, path)
+    val baseline = meta.health.getOrElse(
+      sys.error(s"store at $path has no fit-time health baseline"))
+    (baseline, computeIvfHealth(spark, idx.inverted, idx.centroids))
+  }
+
   /** Persist an [[IvfIndex]]: the inverted lists (cluster-keyed member
     * embeddings — the full-pass assignment output, the expensive part)
     * as parquet, the centroid table (nClusters × dim floats, driver-sized
@@ -547,7 +653,16 @@ object Similarity {
   def writeIvfIndex(idx: IvfIndex, path: String): Unit = {
     val spark = idx.inverted.sparkSession
     import spark.implicits._
-    for (sub <- Seq("inverted", "tombstones"))
+    // The META sidecar is deleted FIRST (round-16 advice): an in-place
+    // rebuild that crashed between the inverted write and the centroids
+    // write would otherwise pair new lists with the previous quantizer
+    // under a still-valid sidecar — readIvfCentroids' guard would pass
+    // and searches would be silently wrong. Dropping the sidecar up
+    // front (and every data subtree, centroids included — the minhash
+    // store's delete-all-upfront rule) makes ANY mid-rebuild crash leave
+    // a store that refuses loudly until the final meta write re-commits.
+    graft.util.IndexSidecar.deleteIfExists(spark, path, "_graft_index.json")
+    for (sub <- Seq("inverted", "tombstones", "centroids"))
       graft.util.IndexSidecar.deleteIfExists(spark, path, sub)
     idx.inverted.select("neighbor_id", "emb", "cluster")
       .write.mode("overwrite").parquet(s"$path/inverted/gen=base")
@@ -555,9 +670,13 @@ object Similarity {
       .toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val dim = idx.centroids.headOption.map(_.length).getOrElse(0)
-    graft.util.IndexSidecar.writeBytes(spark, path, "_graft_index.json",
-      s"""{"kind": "ivf", "nCells": ${idx.centroids.length}, "dim": $dim}"""
-        .getBytes("UTF-8"))
+    // fit-time health baseline: measured on the just-written generation
+    // (one agg job per store PUBLISH — store writes are memoized, so
+    // this is paid once per index, not per search)
+    val health = computeIvfHealth(spark,
+      spark.read.parquet(s"$path/inverted/gen=base"), idx.centroids)
+    writeIvfMeta(spark, path, IvfMeta(idx.centroids.length, dim,
+      Seq("base"), 0, Some(health)))
   }
 
   /** The stored coarse quantizer alone — nClusters rows of index
@@ -583,7 +702,13 @@ object Similarity {
     * identical schema. */
   def readIvfIndex(spark: SparkSession, path: String): IvfIndex = {
     val centroids = readIvfCentroids(spark, path)
-    val inv = spark.read.parquet(s"$path/inverted")
+    // MANIFEST read (round-17): resolve exactly the generations the meta
+    // sidecar committed — an orphan dir left by a crashed append or
+    // incremental compaction (published data, unreached commit point) is
+    // invisible rather than silently doubled into results.
+    val meta = readIvfMeta(spark, path)
+    val inv = spark.read
+      .parquet(meta.gens.map(g => s"$path/inverted/gen=$g"): _*)
       .select("neighbor_id", "emb", "cluster")
     val live =
       if (graft.util.IndexSidecar.exists(spark, path, "tombstones"))
@@ -638,6 +763,14 @@ object Similarity {
     val centroids = readIvfCentroids(spark, path)
     assignToCentroids(spark, batch, idCol, embCol, centroids)
       .write.mode("overwrite").parquet(s"$path/inverted/gen=$batchId")
+    // COMMIT: the generation joins the manifest only after its data is
+    // fully published (meta-LAST — a crash above leaves an orphan dir
+    // that manifest readers never see; retrying the same batchId
+    // overwrites it and commits once). The distinct keeps a retried
+    // append from double-listing its generation.
+    val meta = readIvfMeta(spark, path)
+    if (!meta.gens.contains(batchId))
+      writeIvfMeta(spark, path, meta.copy(gens = meta.gens :+ batchId))
   }
 
   /** TOMBSTONE vectors in a [[writeIvfIndex]] store — the DELETE of the
@@ -657,6 +790,13 @@ object Similarity {
     require(batchId.nonEmpty &&
       !batchId.exists(c => c == '/' || c == '=' || c.isWhitespace),
       s"batchId must be a non-empty path-safe token: '$batchId'")
+    // A takedown against a missing (or typo'd) store path must fail
+    // loudly, not create an orphan tombstones tree and report success —
+    // a right-to-be-forgotten request that silently did nothing
+    // (round-16 advice; mirrors appendToIvfIndex's readIvfCentroids
+    // guard, which enforces the same meta-sidecar precondition).
+    require(graft.util.IndexSidecar.exists(spark, path, "_graft_index.json"),
+      s"no IVF index meta at $path — cannot tombstone a missing store")
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .write.mode("overwrite").parquet(s"$path/tombstones/gen=$batchId")
   }
@@ -682,16 +822,131 @@ object Similarity {
     require(srcPath != destPath,
       "compaction writes a NEW index directory (version-swap pattern); " +
         "in-place compaction would lose crash safety")
-    val meta = graft.util.IndexSidecar.readBytes(spark, srcPath,
-      "_graft_index.json")
+    val meta = readIvfMeta(spark, srcPath)
     val live = readIvfIndex(spark, srcPath) // merge-on-read: tombstones applied
+    graft.util.IndexSidecar.deleteIfExists(spark, destPath, "_graft_index.json")
     for (sub <- Seq("inverted", "tombstones", "centroids"))
       graft.util.IndexSidecar.deleteIfExists(spark, destPath, sub)
     live.inverted.write.mode("overwrite").parquet(s"$destPath/inverted/gen=base")
     spark.read.parquet(s"$srcPath/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$destPath/centroids")
-    graft.util.IndexSidecar.writeBytes(spark, destPath,
-      "_graft_index.json", meta)
+    // dest manifest: single fresh generation (NOT the source's gens list —
+    // carrying it over would point the manifest at dirs that don't exist
+    // here); the fit-time health baseline carries over unchanged because
+    // compaction copies the quantizer, never refits it.
+    writeIvfMeta(spark, destPath,
+      meta.copy(gens = Seq("base"), epoch = 0))
+  }
+
+  /** RE-QUANTIZE a [[writeIvfIndex]] store into a fresh index at
+    * `destPath` — the drift-repair step a long-lived vector store
+    * eventually needs (round-16 verdict ask 1): [[appendToIvfIndex]]
+    * deliberately never refits, so sustained appends from a drifted
+    * distribution crowd into few cells ([[ivfIndexHealth]] measures the
+    * erosion) until the recall/scan contract degrades. This is the
+    * repair: the LIVE store content (merge-on-read — tombstoned rows
+    * never enter the new fit) refits a fresh coarse quantizer, every
+    * live vector is re-assigned by the SAME nearest-centroid expression
+    * the append path uses ([[assignToCentroids]] — one assignment rule
+    * across the whole rebuilt store), and the result publishes as a new
+    * single-generation index whose fit-time health baseline is measured
+    * on the repaired layout. Crash-safe like [[compactIvfIndex]]: new
+    * directory, read-only source, meta-last.
+    *
+    * Cost shape at 100 TB: one k-means fit on a BOUNDED sample
+    * (`maxFitRows`) + one assignment pass over the live rows + one
+    * write — the same bill as the original build, which is exactly why
+    * health-triggered re-quantize (not per-append refit) is the
+    * production cadence.
+    */
+  def requantizeIvfIndex(spark: SparkSession, srcPath: String,
+      destPath: String, nClusters: Int, seed: Long = 42L,
+      maxFitRows: Long = 100000L): Unit = {
+    require(srcPath != destPath,
+      "re-quantize writes a NEW index directory (version-swap pattern)")
+    val corpus = readIvfIndex(spark, srcPath).inverted
+      .select(col("neighbor_id"), col("emb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fit = buildIvfIndex(spark, corpus, "neighbor_id", "emb",
+      nClusters, seed, maxFitRows)
+    val re = IvfIndex(
+      assignToCentroids(spark, corpus, "neighbor_id", "emb", fit.centroids),
+      fit.centroids)
+    writeIvfIndex(re, destPath)
+    corpus.unpersist(blocking = false)
+  }
+
+  /** Per-generation accounting + outcome of one [[compactIvfGenerations]]
+    * run: which generations were rewritten (old → new manifest name),
+    * the live rows that paid rewrite IO, the dead rows physically
+    * reclaimed, and the generations left byte-untouched.
+    */
+  final case class GenCompaction(rewritten: Seq[(String, String)],
+      rowsRewritten: Long, rowsReclaimed: Long, coldGens: Seq[String])
+
+  /** INCREMENTAL (generational) compaction — the round-16 verdict's
+    * ask 2: [[compactIvfIndex]] rewrites the FULL payload (measured
+    * 184 s unmemoized at 200 k vectors) even when one small generation
+    * holds all the tombstoned rows. This compacts ONLY generations
+    * whose dead fraction exceeds `deadFracThreshold`: each hot
+    * generation's live rows rewrite under a new epoch-suffixed manifest
+    * name, cold generations stay byte-identical on disk, and the single
+    * meta-sidecar write is the COMMIT (manifest swap — the lakehouse
+    * rewrite-then-swap-manifests pattern on one JSON file): a crash
+    * before it leaves orphan rewrite dirs no manifest reader resolves;
+    * a crash after it leaves superseded dirs whose deletion below is
+    * best-effort cleanup, not correctness. Rewrite IO is therefore
+    * ∝ the hot generations' LIVE volume — dead-fraction-proportional,
+    * never store-proportional (the d20 band-IO economics, applied
+    * in place).
+    *
+    * The tombstone list is retained as-is: cold generations may still
+    * hold dead rows under the threshold, and an id absent from every
+    * generation anti-joins to nothing (harmless). Full reclamation —
+    * including the takedown list reset — remains [[compactIvfIndex]]'s
+    * job; this is the cheap steady-state maintenance between its runs.
+    */
+  def compactIvfGenerations(spark: SparkSession, path: String,
+      deadFracThreshold: Double): GenCompaction = {
+    val meta = readIvfMeta(spark, path)
+    if (!graft.util.IndexSidecar.exists(spark, path, "tombstones"))
+      return GenCompaction(Nil, 0L, 0L, meta.gens)
+    val tomb = broadcast(spark.read.parquet(s"$path/tombstones")
+      .select(col("id").as("neighbor_id")).distinct())
+    // one scan of the manifest generations → per-gen (total, dead); the
+    // result is ≤ |gens| rows of driver metadata
+    val inv = spark.read.option("basePath", s"$path/inverted")
+      .parquet(meta.gens.map(g => s"$path/inverted/gen=$g"): _*)
+    val stats = inv.select(col("neighbor_id"), col("gen"))
+      .join(tomb.withColumn("dead", lit(1L)), Seq("neighbor_id"), "left")
+      .groupBy("gen")
+      .agg(count(lit(1)).as("total"),
+        coalesce(sum("dead"), lit(0L)).as("dead"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val hot = stats.filter { case (_, total, dead) =>
+      dead > 0 && dead.toDouble / total > deadFracThreshold }
+    var rowsRewritten = 0L
+    var rowsReclaimed = 0L
+    val renames = hot.map { case (g, total, dead) =>
+      val newG = s"${g}.c${meta.epoch + 1}"
+      spark.read.parquet(s"$path/inverted/gen=$g")
+        .join(tomb, Seq("neighbor_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$path/inverted/gen=$newG")
+      rowsRewritten += total - dead
+      rowsReclaimed += dead
+      g -> newG
+    }
+    val renameMap = renames.toMap
+    val newGens = meta.gens.map(g => renameMap.getOrElse(g, g))
+    // COMMIT: one sidecar write swaps the manifest to the rewritten gens
+    writeIvfMeta(spark, path,
+      meta.copy(gens = newGens, epoch = meta.epoch + 1))
+    // post-commit cleanup of superseded dirs (best-effort by design)
+    renames.foreach { case (g, _) =>
+      graft.util.IndexSidecar.deleteIfExists(spark, path, s"inverted/gen=$g") }
+    GenCompaction(renames, rowsRewritten, rowsReclaimed,
+      meta.gens.filterNot(renameMap.contains))
   }
 
   /** The `nprobe` nearest clusters per probe: (p_id, p_emb, cluster) rows.

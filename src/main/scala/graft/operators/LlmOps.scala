@@ -2269,20 +2269,17 @@ object LlmOps {
     * after the round-13 deletion with the probe the non-starter note
     * asked for: the 0.9-recall IVF route was ~0.4·N² similarity mass
     * (deleted as a scale-killer); NN-Descent refinement over an IVF
-    * seed (occupancy-constant cells, np = 16) measures recall
-    * 0.995 / 0.956 / 0.921 at sf0.01 / sf0.1 / gsf1 — the directive's
-    * three measurement points — at similarity mass 0.75× / 0.36× /
-    * 0.061× of brute force (kBuild = 20, rounds = 2 — ScaleProbe
-    * `nnd`; refinement mass per node is bounded by C(2·kBuild, 2) per
+    * seed (occupancy-constant cells, np = 16) closes what the seed
+    * alone can't (seed-only recall ~0.6 — `probe_s12_np.scala`;
+    * refinement mass per node is bounded by C(2·kBuild, 2) per
     * round, independent of N, and the strictly-linear random-seed
     * variant measures 0.925 recall at rounds = 3 on sf0.1). Recall at
     * a FIXED budget decays as N grows the task (exact top-3 of 200 k
-    * is a harder target than of 20 k): gsf10 measures 0.567 at this
-    * dial through the two-level seed (0.786 through the pre-round-17
-    * flat-cap seed, whose 421 M seed sims were the O(N²/cap) class the
-    * two-level quantizer exists to close; np = 48 through the bounded
-    * seed buys the flat seed's per-node width back at any N — SCALE.md
-    * nnd ledger has all the points). The budget dial (kBuild / rounds /
+    * is a harder target than of 20 k): gsf10 measures 0.723 at the
+    * shipped kb30 dial through the two-level seed (the round-19
+    * frontier sweep; np = 48 through the bounded seed buys the flat
+    * seed's per-node width back at any N — SCALE.md nnd ledger has all
+    * the points). The budget dial (kBuild / rounds /
     * seedNprobe, each linear in N) is the honest lever, measured, never
     * hidden. The exact all-pairs baseline exists only as an AUDIT
     * on a bounded probe slice (vec_id < 40 — fixed-size, so audit cost
@@ -2290,11 +2287,13 @@ object LlmOps {
     * in-plan: every node got edges, no node exceeds k, and the recall
     * promise is scoped to the MEASURED ENVELOPE (the round-14 verdict's
     * narrowing directive): within n ≤ [[Similarity.NndRecallEnvelopeN]]
-    * the audited recall must be ≥ 0.9 (measured 0.995/0.956/0.921 at
-    * 500/2 k/20 k); past it the shipped dial is a BUDGET promise, not a
-    * recall promise — the declared boolean reports only that the
-    * operator is inside its declared operating envelope, and SCALE.md
-    * carries the measured out-of-envelope recall so nothing hides.
+    * the audited recall must be ≥ 0.9 (the round-19 frontier sweep at
+    * the SHIPPED kBuild = 30 dial: 1.000 / 0.996 / 0.949 / 0.935 at
+    * 500 / 2 k / 20 k / 40 k); past it the shipped dial is a BUDGET
+    * promise, not a recall promise — the declared boolean reports only
+    * that the operator is inside its declared operating envelope, and
+    * SCALE.md carries the measured out-of-envelope recall so nothing
+    * hides.
     */
   val s12 = QSpec(
     "s12_knn_graph",

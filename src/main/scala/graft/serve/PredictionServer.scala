@@ -225,6 +225,18 @@ final class PredictionServer(
     * Locale.ROOT guard, now enforced executor-side). The Spark job runs
     * to completion BEFORE the response commits, so analysis errors (a
     * CSV missing model columns) still surface as a clean 400.
+    *
+    * FILESYSTEM ASSUMPTION (round-16 advice, stated rather than hidden):
+    * the executors write their part files to a driver-local temp dir and
+    * the handler thread reads them back — valid in local mode (this
+    * server's deployment shape, like the reference's Streamlit app) and
+    * consistent with the pre-existing driver-local upload spool above,
+    * but a MULTI-NODE deployment must point both spool and output at a
+    * shared scheme-aware location (hdfs:///s3a://, resolved through the
+    * Hadoop FileSystem like graft.util.IndexSidecar does) or the part
+    * files land on machines the handler can't see. The old collect()
+    * path had no such assumption — it traded it for unbounded driver
+    * heap; this trade is the right one for the single-node twin.
     */
   private def handleBatch(ex: HttpExchange): Unit = {
     require(ex.getRequestMethod == "POST", "POST a CSV body with a header row")
