@@ -361,6 +361,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("p19 curate→pack→shard: p18's stages + ONE shard exchange, " +
+      "keep-set rides broadcasts, pruned scans") {
+    val (sh, bc, cg, w) = finalShape("p19_curate_pack_shard")
+    // p18's plan (8-shuffle keep-set derivation, 10 broadcasts) + the
+    // composition's marginal cost: one hash exchange on the shard key
+    // feeding the per-shard window sort (shuffleShards' honest cost —
+    // packing reuses the same window partitioning, no exchange of its
+    // own), and one broadcast attaching token counts to the tiny
+    // keep-set. Shuffle count rides the a02/s02/p18 AQE exchange-reuse
+    // wobble; 9 (measured isolated) is the BETTER plan.
+    bc shouldBe 11
+    sh should (be >= 9 and be <= 11)
+    w.max should be <= 2 // every documents scan column-pruned
+    cg should be >= 2
+    val p = SparkEntry.queries("p19_curate_pack_shard")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // only the deliberate 1-row quota-cap scalar cross (p18's shape)
+    "BroadcastNestedLoopJoin".r.findAllIn(p).length shouldBe 1
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("mm09 media ANN handoff: decode scan + bounded probe broadcast + " +
       "top-k agg, 1-col scans") {
     val (sh, bc, cg, w) = finalShape("mm09_media_ann_handoff")
