@@ -1367,26 +1367,27 @@ object Similarity {
     */
   /** The measured recall envelope for the SHIPPED s12 dial (kBuild = 30,
     * np = 16, rounds = 2): audited recall ≥ 0.9 holds at every measured
-    * corpus size up to gsf2's 40 k vectors (1.000 / 0.996 / 0.949 /
-    * 0.935 at 500 / 2 k / 20 k / 40 k — ScaleProbe `nnd`, the round-19
-    * frontier sweep that also set the dial: at 40 k the WIDTH lever
-    * kBuild 20→30 reads 0.935 vs the probe lever np 16→24's 0.909 at
-    * equal mass, and at 20 k it lifts 0.921→0.949, so the envelope
-    * doubled by shipping width, with margin). The next measured points
-    * sit under the promise at every wall-viable dial (100 k: 0.840 at
-    * kb30, 0.827 at np48; 200 k: 0.567 at the old dial) — so the
-    * envelope stops at 40 000. Within it the declared contract promises
-    * recall; past it only the budget (seed np·occupancy +
-    * C(2·kBuild,2)·rounds sims per node) is promised, and SCALE.md's
-    * ledger carries the measured out-of-envelope recall. 40 000 = the
-    * largest measured-GREEN size, NOT an extrapolation (the round-15
-    * ADVICE pin: a constant exceeding the largest green point
-    * contradicts the rule) — growing the envelope further means
-    * measuring a bigger
-    * corpus green first (the round-11 "fractions, not absolutes" rule
-    * applied to a promise).
+    * corpus size up to 60 k vectors (1.000 / 0.996 / 0.949 / 0.935 /
+    * 0.915 at 500 / 2 k / 20 k / 40 k / 60 k — ScaleProbe `nnd`; the
+    * round-19 frontier sweep set the dial — width beats probes at equal
+    * mass — and the round-20 gsf3 measurement extended the green curve
+    * to 60 k at 3.1 % of brute mass). The next measured point sits
+    * under the promise at every measured dial (100 k: 0.840 at kb30,
+    * 0.827 at np48, 0.868 at kb30+rounds3 — the refinement-round lever
+    * measured +0.008 at 60 k and +0.028 at 100 k per extra round for
+    * +25 % mass: diminishing, and not enough to close 100 k; 200 k:
+    * 0.567 at the old dial) — so the envelope stops at 60 000 and the
+    * knee lives in [60 k, 100 k). Within the envelope the declared
+    * contract promises recall; past it only the budget (seed
+    * np·occupancy + C(2·kBuild,2)·rounds sims per node) is promised,
+    * and SCALE.md's ledger carries the measured out-of-envelope
+    * recall. 60 000 = the largest measured-GREEN size, NOT an
+    * extrapolation (the round-15 ADVICE pin: a constant exceeding the
+    * largest green point contradicts the rule) — growing the envelope
+    * further means measuring a bigger corpus green first (the round-11
+    * "fractions, not absolutes" rule applied to a promise).
     */
-  val NndRecallEnvelopeN = 40000L
+  val NndRecallEnvelopeN = 60000L
 
   def nnDescentGraph(spark: SparkSession, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, kBuild: Int = 10,

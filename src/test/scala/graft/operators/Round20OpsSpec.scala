@@ -136,7 +136,7 @@ class Round20OpsSpec extends SparkSpec {
     assert(meta.health.isDefined, "fit-time baseline must be persisted")
     val drifted = emb.filter(col("vec_id") % 3 === 2)
       .select(col("vec_id"), transform(col("embedding"),
-        x => (x + lit(0.5f)).cast("float")).as("embedding"))
+        x => (x + lit(1.0f)).cast("float")).as("embedding"))
     Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", dir, "drift")
     val (h0, h1) = Similarity.ivfIndexHealth(spark, dir)
     h0.n should be < h1.n
