@@ -23,6 +23,19 @@ object LlmOps {
 
   import Tables._
 
+  /** ID-space shift for synthetic probe/arrival rows that re-enter a
+    * corpus-derived plan (s04, mm08, mm14, st19/st24/st25): 2^40 sits
+    * above any reachable doc/vec id at any SF (ids are dense row numbers
+    * — a 2^40-row table is ~10^7 × the 100 TB design point), so a shifted
+    * probe can never collide with a real id. The previous +300k/+400k/
+    * +700k offsets were already inside gsf10's doc-id range (500 k docs),
+    * where a collision silently drops the colliding pair from
+    * self-excluding top-1 joins or mis-reconstructs an oracle seed
+    * (round-17 advice). The oracle SQL twins carry the literal
+    * 1099511627776.
+    */
+  private[operators] val ProbeIdOffset = 1L << 40
+
   /** d01 — exact dedup stats. */
   val d01 = QSpec(
     "d01_exact_dedup",
@@ -748,7 +761,7 @@ object LlmOps {
   val s04 = QSpec(
     "s04_lsh_dup_retrieval",
     Some("""WITH probes AS (
-           |  SELECT vec_id + 300000 AS p_id,
+           |  SELECT vec_id + 1099511627776 AS p_id,
            |    list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT)) AS p_emb
            |  FROM embeddings WHERE vec_id % 10 = 5),
            |sims AS (
@@ -769,7 +782,7 @@ object LlmOps {
     (s, d) => {
       val base = embeddings(s, d).select("vec_id", "embedding")
       val probes = base.filter(col("vec_id") % 10 === 5)
-        .select((col("vec_id") + 300000L).as("vec_id"),
+        .select((col("vec_id") + ProbeIdOffset).as("vec_id"),
           transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
             .as("embedding"))
       Similarity.lshTopK(s, base, probes, "vec_id", "embedding", 1)
@@ -1438,7 +1451,7 @@ object LlmOps {
 
   /** mm08 — audio near-dup via landmark fingerprint: the audio member of
     * the re-encoded-duplicate family (mm06 images, mm07 video). Every
-    * 10th doc's clip re-enters the corpus under id+400000 with IDENTICAL
+    * 10th doc's clip re-enters the corpus under id + 2^40 with IDENTICAL
     * PCM but a DIFFERENT container — an extra spec-legal LIST/INFO chunk
     * ([[graft.llm.Multimodal.wavEncodeWithInfoChunk]]) — so byte-level
     * dedup (d01/d06) can never find these pairs and the REAL chunk-walk
@@ -1454,9 +1467,9 @@ object LlmOps {
     "mm08_audio_fingerprint_dedup",
     Some("""WITH ids AS (SELECT doc_id FROM documents
            |  UNION ALL
-           |  SELECT doc_id + 400000 FROM documents WHERE doc_id % 10 = 0),
+           |  SELECT doc_id + 1099511627776 FROM documents WHERE doc_id % 10 = 0),
            |sd AS (SELECT doc_id,
-           |    ((CASE WHEN doc_id >= 400000 THEN doc_id - 400000 ELSE doc_id END)
+           |    ((CASE WHEN doc_id >= 1099511627776 THEN doc_id - 1099511627776 ELSE doc_id END)
            |      * 53) % 1009 AS seed
            |  FROM ids),
            |lm AS (SELECT doc_id, w,
@@ -1483,7 +1496,7 @@ object LlmOps {
           val seed = ((id * 53) % 1009).toInt
           val bytes = Multimodal.wavEncodeWithInfoChunk(16000,
             i => (seed + 7 * i) % 2001 - 1000, 256, s"reenc-$id")
-          MediaRecord(id + 400000L, bytes,
+          MediaRecord(id + ProbeIdOffset, bytes,
             MediaMeta("audio/wav", bytes.length.toLong))
         }
       Multimodal.extractAudioFingerprints(base.unionByName(dups))
@@ -2639,7 +2652,7 @@ object LlmOps {
           val delta = if ((id / 10) % 2 == 0) 0 else 1
           val bytes = Multimodal.wavEncodeWithInfoChunk(16000,
             i => (seed + 7 * i) % 2001 - 1000 + delta, 256, s"arr-$id")
-          MediaRecord(id + 400000L, bytes,
+          MediaRecord(id + ProbeIdOffset, bytes,
             MediaMeta("audio/wav", bytes.length.toLong))
         }
       val arrVecs = Multimodal.extractLandmarkVectors(arrivals)
@@ -2653,7 +2666,7 @@ object LlmOps {
       val out = arrVecs
         .select(col("vec_id").as("p_id"), col("embedding").as("a_emb"))
         .join(cand, Seq("p_id"), "left")
-        .select((col("p_id") - 400000L).as("arrival_id"),
+        .select((col("p_id") - ProbeIdOffset).as("arrival_id"),
           (col("n_emb").isNotNull && col("a_emb") <=> col("n_emb"))
             .as("is_dup"),
           when(col("a_emb") <=> col("n_emb"), col("neighbor_id"))
@@ -2994,10 +3007,18 @@ object LlmOps {
       val onlyHot = report.rewritten.map(_._1) == Seq("shard1") &&
         report.coldGens.sorted == Seq("base", "shard2") &&
         meta.gens.contains("base") && meta.gens.contains("shard2")
-      val rewrittenGen = report.rewritten.head._2
-      val phys = s.read.parquet(s"$path/inverted/gen=$rewrittenGen")
-        .agg(count(lit(1)).as("n_phys"),
-          sum(when(col("neighbor_id") % 4 === 0, 1L).otherwise(0L)).as("n_dead"))
+      // headOption (round-17 advice): an empty rewrite set (no generation
+      // over threshold — possible at a pathological slice) must fail the
+      // contract booleans, not crash the spec with NoSuchElementException
+      val phys = report.rewritten.headOption match {
+        case Some((_, rewrittenGen)) =>
+          s.read.parquet(s"$path/inverted/gen=$rewrittenGen")
+            .agg(count(lit(1)).as("n_phys"),
+              sum(when(col("neighbor_id") % 4 === 0, 1L).otherwise(0L))
+                .as("n_dead"))
+        case None =>
+          s.range(1).select(lit(-1L).as("n_phys"), lit(-1L).as("n_dead"))
+      }
       val coldPhys = s.read.parquet(s"$path/inverted/gen=base")
         .agg(count(lit(1)).as("n_cold"))
       val liveShard1 = shard1.filter(col("vec_id") % 4 =!= 0)

@@ -1095,7 +1095,7 @@ object StreamOps {
     (s, d) => {
       val base = embeddings(s, d).select("vec_id", "embedding")
       val probes = base.filter(col("vec_id") % 10 === 5)
-        .select((col("vec_id") + 300000L).as("vec_id"),
+        .select((col("vec_id") + LlmOps.ProbeIdOffset).as("vec_id"),
           transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
             .as("embedding"))
       val backlog = batchBacklog(s, d, "st19",
@@ -1390,7 +1390,7 @@ object StreamOps {
     (s, d) => {
       val base = embeddings(s, d).select("vec_id", "embedding")
       val probes = base.filter(col("vec_id") % 10 === 5 && col("vec_id") < 500)
-        .select((col("vec_id") + 300000L).as("vec_id"),
+        .select((col("vec_id") + LlmOps.ProbeIdOffset).as("vec_id"),
           transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
             .as("embedding"))
       val backlog = batchBacklog(s, d, "st24",
@@ -1406,7 +1406,7 @@ object StreamOps {
         .select(col("p_id"), col("neighbor_id").as("bn"), col("sim").as("bs"))
       drained.join(batchR, Seq("p_id"), "full_outer")
         .agg(count(lit(1)).as("n_probes"),
-          (sum(when(col("sn") === col("p_id") - 300000L, 1).otherwise(0))
+          (sum(when(col("sn") === col("p_id") - LlmOps.ProbeIdOffset, 1).otherwise(0))
             .cast("double") / count(lit(1)) >= 0.95).as("dup_hit_rate_ge_095"),
           sum(when(col("sn") <=> col("bn") && col("ss") <=> col("bs"), 0)
             .otherwise(1)).cast("long").as("stream_batch_mismatch"))
@@ -1476,7 +1476,7 @@ object StreamOps {
         // copies of batch-0 vectors under shifted ids (fixed-size work
         // at any corpus SF — the st24 slice lesson)
         val probes = shard.filter(col("vec_id") % 9 === 2 && col("vec_id") < 200)
-          .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+          .select((col("vec_id") + LlmOps.ProbeIdOffset).as("vec_id"), col("embedding"))
           .localCheckpoint()
         val backlog = batchBacklog(s, d, "st25",
           shard.filter(col("vec_id") % 9 === 2),
@@ -1501,7 +1501,7 @@ object StreamOps {
                 Similarity.ivfTop1EachRow(sess, stored, probes,
                     "vec_id", "embedding", np)
                   .agg(count(lit(1)).as("n_probes"),
-                    sum(when(col("neighbor_id") === col("p_id") - 700000L &&
+                    sum(when(col("neighbor_id") === col("p_id") - LlmOps.ProbeIdOffset &&
                       col("sim") === 1.0d, 1L).otherwise(0L)).as("hits"))
                   .write.mode("overwrite").parquet(verdictPath)
               }
