@@ -988,18 +988,24 @@ object Similarity {
     *    both), so a scheduled maintenance sweep over a healthy fleet
     *    costs one aggregation job per store and zero writes.
     *
-    * The factor dial is probe-set (probe_s20.scala, SCALE.md round-21
-    * ledger): the shipped drift experiment (+1 shift on a ⅓ append)
-    * trips at ≥ 2 × occ / ≥ 1.05 × res at every measured dir with wide
-    * margins on BOTH sides — the residual factor is the tight one
-    * because append-induced residual drift is additive (0.36 → 0.55
-    * across the curve), while occupancy skew explodes multiplicatively
-    * (12–100×). An in-distribution append moves occ by < 1.4× and res
-    * by < 1.02× at every measured dir, so the healthy branch clears the
-    * same factors.
+    * The factor dial is probe-set (ScaleProbe `s20`, SCALE.md round-21
+    * ledger — five dirs, both branches) and the probe's NEGATIVE result
+    * shapes the rule: the residual ratio CANNOT discriminate the
+    * branches alone, because the fit-time baseline is in-sample and ANY
+    * appended shard — drifted or not — pays an out-of-sample penalty
+    * (healthy res ratio 1.69–1.73 at ≤ 500-vector corpora, ≈ the drift
+    * branch's own reading). OCCUPANCY is the discriminator: the drift
+    * blob crowds cells at 12–55× baseline at every measured dir while
+    * an in-distribution append reads 0.78–1.00×, so `occFactor = 4`
+    * sits ≥ 3× from both sides. The residual clause (`resFactor = 1.05`;
+    * drift reads ≥ 1.118 measured) is the CONFIRMATION that the
+    * quantizer no longer explains the data — it is what keeps a
+    * pure occupancy fluctuation (skewed-but-explained data) from
+    * triggering a refit that SCALE.md's +0.5-shift negative result
+    * shows the quantizer would absorb anyway.
     */
   def maintainIvfIndex(spark: SparkSession, srcPath: String,
-      destPath: String, nClusters: Int, occFactor: Double = 2.0,
+      destPath: String, nClusters: Int, occFactor: Double = 4.0,
       resFactor: Double = 1.05, seed: Long = 42L,
       maxFitRows: Long = 100000L): MaintenanceOutcome = {
     val (h0, h1) = ivfIndexHealth(spark, srcPath)

@@ -3044,6 +3044,215 @@ object LlmOps {
             .as("rewrite_lt_cold_rows"))
     })
 
+  /** Run the given tasks on their own threads and join them all — the
+    * declared concurrency harness for s19/st26 (genuine parallelism, no
+    * orchestration: the safety contract must hold under ANY schedule, so
+    * the choreography just launches and joins). The first failure
+    * propagates after every task has finished (a half-joined choreography
+    * would leave a thread mutating the store behind the test's back).
+    */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map(t => new Thread(() =>
+      try t() catch { case e: Throwable => errs.add(e): Unit }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  /** Memo over the s19 concurrent-mutation choreography: the declared
+    * booleans need the manifest snapshots and the compaction report, so
+    * the VALUE carries (gens after the concurrent phases, the report) —
+    * the genCompactionMemo discipline.
+    */
+  private val s19Memo = new graft.util.SessionMemo[String,
+    (Similarity.GenCompaction, Seq[String])]
+
+  /** s19 — CONCURRENT store mutations ([[Similarity.mutateIvfMeta]] —
+    * the round-17 verdict's ask 1): the manifest that made every store
+    * mutation crash-safe was a plain read-modify-write, so two writers
+    * racing on `_graft_index.json` could silently lose the slower one's
+    * already-published generation — exactly the deployment st25's
+    * streaming ingest invites. The commit now serializes under the
+    * store's lock file, re-reads the manifest inside the critical
+    * section, publishes by atomic rename, and verifies after write;
+    * this query runs BOTH contended choreographies under genuine
+    * concurrency (real threads, no orchestration — the safety property
+    * must hold under every schedule, and the deterministic worst-case
+    * interleavings are additionally injected in Round21OpsSpec at the
+    * commit primitive itself):
+    *
+    *  - phase 1, append ∥ append: two shards land concurrently;
+    *  - phase 2, append ∥ incremental compaction: a third shard lands
+    *    WHILE [[Similarity.compactIvfGenerations]] rewrites the hot
+    *    generation and swaps the manifest (the planted takedown — half
+    *    of shard A, s18's asymmetric-dead shape — makes A the only hot
+    *    generation under any schedule, since both phases are joined
+    *    before the stats read... phase 2's append races the stats,
+    *    rewrite, and commit windows).
+    *
+    * `all_gens_committed` pins that EVERY generation survives — base,
+    * the rewritten cc_a.c1, and both concurrently-appended shards (the
+    * lost-update failure drops exactly one of these);
+    * `rewrote_only_hot_gen` pins the compaction outcome was undisturbed
+    * by the race; and the search equality (s15's surviving-corpus
+    * contract) pins that the concurrently-assembled store answers
+    * row-for-row like the sequential fixed-quantizer rebuild — the s14
+    * invisibility argument extended across writer interleavings.
+    */
+  val s19 = QSpec(
+    "s19_ivf_concurrent_mutations",
+    Some("""SELECT CAST(50 AS BIGINT) AS n_rows,
+           | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS all_gens_committed,
+           | TRUE AS rewrote_only_hot_gen""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 3 < 2)
+      val shardA = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+      val shardB = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 4 === 1)
+      val shardC = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 4 === 3)
+      val probes = emb.filter(col("vec_id") < 5)
+      val idxBase = Similarity.cachedIvfIndex(s, base, d, "vec_id",
+        "embedding", 512, keySuffix = "lifecycle-base")
+      val path = graft.util.Tables.scratch(d, "s19_ivf")
+      val (report, gens) = s19Memo.getOrElseUpdate(s,
+        s"$path#${graft.util.SessionMemo.pathFingerprint(d)}") {
+        Similarity.writeIvfIndex(idxBase, path)
+        inParallel(
+          () => Similarity.appendToIvfIndex(shardA, "vec_id", "embedding",
+            path, "cc_a"),
+          () => Similarity.appendToIvfIndex(shardB, "vec_id", "embedding",
+            path, "cc_b"))
+        Similarity.tombstoneIvfIndex(s, path,
+          emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 4 === 0)
+            .select("vec_id"), "vec_id", "takedown1")
+        var rep: Similarity.GenCompaction = null
+        inParallel(
+          () => rep = Similarity.compactIvfGenerations(s, path, 0.1),
+          () => Similarity.appendToIvfIndex(shardC, "vec_id", "embedding",
+            path, "cc_c"))
+        (rep, Similarity.readIvfMeta(s, path).gens)
+      }
+      val allCommitted = gens.toSet ==
+        Set("base", "cc_a.c1", "cc_b", "cc_c")
+      val onlyHot = report.rewritten == Seq("cc_a" -> "cc_a.c1")
+      val stored = Similarity.readIvfIndex(s, path)
+      val liveInv = idxBase.inverted
+        .unionByName(Similarity.assignToCentroids(s,
+          shardA.unionByName(shardB).unionByName(shardC),
+          "vec_id", "embedding", idxBase.centroids))
+        .filter(!(col("neighbor_id") % 3 === 2 && col("neighbor_id") % 4 === 0))
+      val mem = Similarity.IvfIndex(liveInv, idxBase.centroids)
+      val np = math.max(1, idxBase.centroids.length * 2 / 5)
+      storeVsMem(s, stored, mem, probes, np)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n1") <=> col("n2") && col("s1") <=> col("s2"), 0)
+            .otherwise(1)).cast("long").as("n_mismatch"))
+        .select(col("n_rows"), col("n_mismatch"),
+          lit(allCommitted).as("all_gens_committed"),
+          lit(onlyHot).as("rewrote_only_hot_gen"))
+    })
+
+  /** The s20 corpus slice: maintenance ROUTING is a fixed-size decision
+    * (two aggregation jobs + at most one refit), so the choreography
+    * runs on a bounded id window — the st24 bounded-probe lesson applied
+    * to a store-building query; 20 000 ids ≈ the gsf1 corpus, the
+    * largest dir the trigger factors were probed to the unsliced edge
+    * on. At any larger dir the window selects the same-shaped prefix.
+    */
+  private val S20SliceMaxId = 20000L
+
+  /** Memo over the s20 routing choreography — the declared booleans need
+    * both branches' [[Similarity.MaintenanceOutcome]]s plus the healthy
+    * store's manifest-identity reading, so the VALUE carries all three.
+    */
+  private val s20Memo = new graft.util.SessionMemo[String,
+    (Similarity.MaintenanceOutcome, Similarity.MaintenanceOutcome, Boolean)]
+
+  /** s20 — HEALTH-TRIGGERED maintenance routing ([[Similarity
+    * .maintainIvfIndex]] — the round-17 verdict's ask 3): s17 measures
+    * drift and repairs UNCONDITIONALLY; the production cadence SCALE.md
+    * argues for — health check per sweep, refit only on degradation —
+    * was prose until now. One operator, both branches exercised:
+    *
+    *  - the DRIFTED store (s17's +1-shift append on the slice) must trip
+    *    the trigger and repair — `drifted_repaired` pins the routing
+    *    decision AND s17's repair quality (both health metrics strictly
+    *    better at the repaired store's publish-time baseline than at the
+    *    degraded reading);
+    *  - the HEALTHY store (same base, in-distribution append) must
+    *    no-op — `healthy_noop` pins that the trigger did NOT fire, the
+    *    destination was never created, and the source manifest is
+    *    BYTE-identical after the call (a maintenance sweep over a
+    *    healthy fleet is one aggregation job per store, zero writes).
+    *
+    * The trigger factors are probe-set (ScaleProbe `s20`, five dirs,
+    * SCALE.md round-21 ledger) with the probe's negative result baked
+    * into the rule — residual alone cannot discriminate the branches
+    * (any append is out-of-sample vs the fit-time baseline), so
+    * occupancy is the discriminator and residual the confirmation; see
+    * [[Similarity.maintainIvfIndex]]. Search equality on the repaired
+    * store (s17's contract: the same one-assignment-rule reference at
+    * the read-back centroids) pins the repair's correctness.
+    */
+  val s20 = QSpec(
+    "s20_ivf_maintenance_routing",
+    Some("""SELECT CAST(50 AS BIGINT) AS n_rows,
+           | CAST(0 AS BIGINT) AS n_mismatch, TRUE AS drifted_repaired,
+           | TRUE AS healthy_noop""".stripMargin),
+    (s, d) => {
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+        .filter(col("vec_id") < S20SliceMaxId)
+      val base = emb.filter(col("vec_id") % 3 < 2)
+      val shard = emb.filter(col("vec_id") % 3 === 2)
+      val drifted = shard.select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(1.0f)).cast("float")).as("embedding"))
+      val probes = emb.filter(col("vec_id") < 5)
+      val idx = Similarity.cachedIvfIndex(s, base, d, "vec_id",
+        "embedding", 512, keySuffix = "s20-base")
+      val driftPath = graft.util.Tables.scratch(d, "s20_ivf_drift")
+      val driftDest = graft.util.Tables.scratch(d, "s20_ivf_drift_repaired")
+      val okPath = graft.util.Tables.scratch(d, "s20_ivf_healthy")
+      val okDest = graft.util.Tables.scratch(d, "s20_ivf_healthy_dest")
+      val (outDrift, outOk, okUntouched) = s20Memo.getOrElseUpdate(s,
+        s"$driftPath#${graft.util.SessionMemo.pathFingerprint(d)}") {
+        Similarity.writeIvfIndex(idx, driftPath)
+        Similarity.appendToIvfIndex(drifted, "vec_id", "embedding",
+          driftPath, "drift1")
+        val o1 = Similarity.maintainIvfIndex(s, driftPath, driftDest, 512)
+        Similarity.writeIvfIndex(idx, okPath)
+        Similarity.appendToIvfIndex(shard, "vec_id", "embedding",
+          okPath, "shard1")
+        val bytesBefore = graft.util.IndexSidecar.readBytes(s, okPath,
+          "_graft_index.json")
+        val o2 = Similarity.maintainIvfIndex(s, okPath, okDest, 512)
+        val untouched = java.util.Arrays.equals(bytesBefore,
+          graft.util.IndexSidecar.readBytes(s, okPath, "_graft_index.json")) &&
+          !graft.util.IndexSidecar.exists(s, okDest, "_graft_index.json")
+        (o1, o2, untouched)
+      }
+      val repairedHealth = Similarity.readIvfMeta(s, driftDest).health.get
+      val driftedRepaired = outDrift.repaired &&
+        repairedHealth.occMaxOverMean < outDrift.current.occMaxOverMean &&
+        repairedHealth.meanResidual < outDrift.current.meanResidual
+      val healthyNoop = !outOk.repaired && okUntouched
+      val destCentroids = Similarity.readIvfCentroids(s, driftDest)
+      val stored = Similarity.readIvfIndex(s, driftDest)
+      val mem = Similarity.IvfIndex(
+        Similarity.assignToCentroids(s, base.unionByName(drifted),
+          "vec_id", "embedding", destCentroids),
+        destCentroids)
+      val np = math.max(1, destCentroids.length * 2 / 5)
+      storeVsMem(s, stored, mem, probes, np)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n1") <=> col("n2") && col("s1") <=> col("s2"), 0)
+            .otherwise(1)).cast("long").as("n_mismatch"))
+        .select(col("n_rows"), col("n_mismatch"),
+          lit(driftedRepaired).as("drifted_repaired"),
+          lit(healthyNoop).as("healthy_noop"))
+    })
+
   /** p16 — CURRICULUM ordering ([[graft.llm.Curation.curriculumStages]]):
     * the training-data layout step after curation — stage documents
     * easy→hard by an integer difficulty proxy (whitespace token count,
@@ -3316,5 +3525,5 @@ object LlmOps {
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
     mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09,
     mm10, mm11, mm12, mm13, s11, s12, s13, s14, s15, s16, p16, p17, d22, p18,
-    s17, s18, mm14, p19)
+    s17, s18, mm14, p19, s19, s20)
 }

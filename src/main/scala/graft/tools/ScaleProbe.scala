@@ -37,6 +37,7 @@ object ScaleProbe {
       case "st15dial" => args.drop(1).foreach(d => st15DialCounts(spark, d))
       case "nnd" => args.drop(1).foreach(d => nndCounts(spark, d))
       case "stfloor" => stFloor(spark, args(1), args.drop(2).toSeq)
+      case "s20" => args.drop(1).foreach(d => s20Ratios(spark, d))
       case "sigcount" => args.drop(1).foreach(d => sigCounts(spark, d))
       // generic declared-query run: show the result rows at each dir —
       // the contract-boolean probe for new operators (dial vetting at
@@ -287,6 +288,44 @@ object ScaleProbe {
       res.cleanup()
       res.edges.sparkSession.catalog.clearCache()
       graft.llm.Similarity.invalidateIvfIndexes(spark)
+    }
+  }
+
+  /** The s20 trigger-factor probe: runs the maintenance choreography's
+    * two branches (drifted +1-shift append vs in-distribution append) on
+    * the bounded s20 slice at each dir and prints the health ratios
+    * (current / fit-time baseline) the occ/res factors must separate —
+    * the drifted branch's ratios must clear BOTH factors at every dir,
+    * the healthy branch must fail at least one, with margin on both
+    * sides. Dial knobs via env: S20_SLICE (default 50000),
+    * S20_NCELLS (512).
+    */
+  private def s20Ratios(spark: SparkSession, dir: String): Unit = {
+    import graft.llm.Similarity
+    val sliceN = sys.env.getOrElse("S20_SLICE", "50000").toLong
+    val nCells = sys.env.getOrElse("S20_NCELLS", "512").toInt
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < sliceN)
+    val base = emb.filter(col("vec_id") % 3 < 2)
+    val shard = emb.filter(col("vec_id") % 3 === 2)
+    val drifted = shard.select(col("vec_id"),
+      transform(col("embedding"), x => (x + lit(1.0f)).cast("float"))
+        .as("embedding"))
+    val idx = timedP("s20", dir, s"fit n=${base.count()} cells=$nCells")(
+      Similarity.buildIvfIndex(spark, base, "vec_id", "embedding", nCells))
+    for ((branch, sh) <- Seq("drift" -> drifted, "healthy" -> shard)) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"s20probe-$branch").toString
+      Similarity.writeIvfIndex(idx, path)
+      Similarity.appendToIvfIndex(sh, "vec_id", "embedding", path, "b1")
+      val (h0, h1) = Similarity.ivfIndexHealth(spark, path)
+      println(f"PROBE s20 $dir COUNTS branch=$branch " +
+        f"occ0=${h0.occMaxOverMean}%.3f occ1=${h1.occMaxOverMean}%.3f " +
+        f"occ_ratio=${h1.occMaxOverMean / h0.occMaxOverMean}%.3f " +
+        f"res0=${h0.meanResidual}%.4f res1=${h1.meanResidual}%.4f " +
+        f"res_ratio=${h1.meanResidual / h0.meanResidual}%.4f")
+      graft.util.IndexSidecar.deleteIfExists(spark, path, "inverted")
+      graft.util.IndexSidecar.deleteIfExists(spark, path, "centroids")
     }
   }
 

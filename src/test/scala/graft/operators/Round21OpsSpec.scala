@@ -205,6 +205,21 @@ class Round21OpsSpec extends SparkSpec {
     Similarity.readIvfMeta(spark, dir).epoch shouldBe metaAtStats.epoch + 1
   }
 
+  test("s19/s20: declared contract booleans hold at the fixture SF") {
+    for ((name, boolCols) <- Seq(
+        "s19_ivf_concurrent_mutations" ->
+          Seq("all_gens_committed", "rewrote_only_hot_gen"),
+        "s20_ivf_maintenance_routing" ->
+          Seq("drifted_repaired", "healthy_noop"))) {
+      val row = graft.SparkEntry.queries(name)(spark, sf).head()
+      withClue(name) {
+        row.getAs[Long]("n_rows") shouldBe 50L
+        row.getAs[Long]("n_mismatch") shouldBe 0L
+        for (c <- boolCols) assert(row.getAs[Boolean](c), c)
+      }
+    }
+  }
+
   test("maintainIvfIndex: drifted store repairs, healthy store is a byte-" +
       "identical no-op") {
     val base = emb.filter(col("vec_id") % 3 < 2)
