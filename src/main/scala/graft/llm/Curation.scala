@@ -557,4 +557,84 @@ object Curation {
       .select(col("rank"), col(idCol), col(weightCol), col("key_micro"))
   }
 
+  // ------------------------------------------------ packed shard sink ---
+
+  /** One shard's row in the packed-dataset file manifest: the accounting
+    * a dataloader trusts without scanning the data — row count, token
+    * count, chunk count, and the p10-style order checksum
+    * (Σ (pos+1)·((doc_id mod 1000003)+1), exact BIGINT both engines)
+    * that pins the WITHIN-shard consumption order, not just membership.
+    */
+  final case class ShardManifestEntry(shard: Int, nDocs: Long,
+      nTokens: Long, nChunks: Long, orderChecksum: Long)
+
+  /** MATERIALIZE a packed shard layout (round-17 verdict ask 5 — the
+    * q04/p10 sink discipline applied to p19's output): the packed table
+    * — (shard, pos, doc_id, tok, chunk) rows, p19's five-stage
+    * derivation — writes as parquet PARTITIONED BY shard (each shard is
+    * one directory a dataloader worker consumes independently, ordered
+    * by `pos`; at 100 TB this is the shard-per-writer layout with no
+    * cross-shard coordination), and a per-shard file MANIFEST commits
+    * LAST as `_graft_shards.json` — the meta-last choreography the index
+    * stores use, so a crashed write leaves a dataset that refuses loudly
+    * ([[readShardManifest]]) instead of serving partial shards. The
+    * manifest is computed from the SAME plan that feeds the writer
+    * (plan-side accounting, ≤ nShards rows of driver metadata); p20's
+    * declared check recomputes every entry from the on-disk files and
+    * compares — a torn write, lost row, or reordered shard fails the
+    * read-back equality, not a downstream training run.
+    */
+  def writePackedShards(packed: DataFrame, path: String)
+      : Seq[ShardManifestEntry] = {
+    val spark = packed.sparkSession
+    val p = packed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val entries = p.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        countDistinct("chunk").as("n_chunks"),
+        sum((col("pos") + 1) * (col("doc_id") % 1000003 + 1))
+          .as("order_checksum"))
+      .collect()
+      .map(r => ShardManifestEntry(r.getAs[Int]("shard"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("order_checksum")))
+      .sortBy(_.shard).toSeq
+    // manifest dropped FIRST, data second, manifest committed LAST — any
+    // crash in between leaves a loudly-refusing dataset (the
+    // writeIvfIndex delete-all-upfront rule)
+    graft.util.IndexSidecar.deleteIfExists(spark, path, "_graft_shards.json")
+    graft.util.IndexSidecar.deleteIfExists(spark, path, "data")
+    p.write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    p.unpersist(blocking = false)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createArrayNode()
+    entries.foreach { e =>
+      val n = root.addObject()
+      n.put("shard", e.shard)
+      n.put("nDocs", e.nDocs)
+      n.put("nTokens", e.nTokens)
+      n.put("nChunks", e.nChunks)
+      n.put("orderChecksum", e.orderChecksum): Unit
+    }
+    graft.util.IndexSidecar.writeBytesAtomic(spark, path,
+      "_graft_shards.json", mapper.writeValueAsBytes(root))
+    entries
+  }
+
+  /** Load a [[writePackedShards]] manifest; refuses a path without one
+    * (the signature of a crashed or half-written materialization). */
+  def readShardManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[ShardManifestEntry] = {
+    require(graft.util.IndexSidecar.exists(spark, path, "_graft_shards.json"),
+      s"no shard manifest at $path — dataset missing or half-written")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new String(graft.util.IndexSidecar
+      .readBytes(spark, path, "_graft_shards.json"), "UTF-8"))
+    (0 until root.size()).map { i =>
+      val n = root.get(i)
+      ShardManifestEntry(n.get("shard").asInt(), n.get("nDocs").asLong(),
+        n.get("nTokens").asLong(), n.get("nChunks").asLong(),
+        n.get("orderChecksum").asLong())
+    }
+  }
 }

@@ -220,6 +220,52 @@ class Round21OpsSpec extends SparkSpec {
     }
   }
 
+  test("st26: mid-stream compaction swaps the manifest; store equals the " +
+      "sequential batch twin; one generation per micro-batch survives") {
+    val row = graft.SparkEntry
+      .queries("st26_stream_compaction_under_ingest")(spark, sf).head()
+    row.getAs[Long]("stream_batch_store_mismatch") shouldBe 0L
+    assert(row.getAs[Boolean]("compacted_midstream"))
+    row.getAs[Long]("n_append_batches") shouldBe 3L
+  }
+
+  test("p20: manifest matches the on-disk read-back per shard; doc totals " +
+      "equal the p19 layout's; a manifest-less dataset refuses loudly") {
+    val rows = graft.SparkEntry
+      .queries("p20_shard_sink_manifest")(spark, sf).collect()
+    rows.length shouldBe 8
+    assert(rows.forall(_.getAs[Boolean]("manifest_matches_readback")))
+    val p19Docs = graft.SparkEntry.queries("p19_curate_pack_shard")(spark, sf)
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe p19Docs
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Curation.readShardManifest(spark, tmpDir("no-manifest"))
+    }
+    e.getMessage should include("manifest")
+  }
+
+  test("writePackedShards: manifest round-trips; each shard dir reads back " +
+      "ordered by pos with its checksum") {
+    import spark.implicits._
+    val packed = Seq(
+      (0, 0L, 10L, 5L, 0L), (0, 1L, 20L, 7L, 0L), (0, 2L, 30L, 260L, 1L),
+      (1, 0L, 40L, 100L, 0L))
+      .toDF("shard", "pos", "doc_id", "tok", "chunk")
+    val dir = tmpDir("packed-sink")
+    val entries = graft.llm.Curation.writePackedShards(packed, dir)
+    graft.llm.Curation.readShardManifest(spark, dir) shouldBe entries
+    entries.map(_.shard) shouldBe Seq(0, 1)
+    entries.head.nDocs shouldBe 3L
+    entries.head.nTokens shouldBe 272L
+    entries.head.nChunks shouldBe 2L
+    // checksum = Σ (pos+1)·(doc_id%1000003 + 1) = 1·11 + 2·21 + 3·31 = 146
+    entries.head.orderChecksum shouldBe 146L
+    val rb = spark.read.parquet(s"$dir/data")
+      .filter(col("shard") === 0).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0))
+    rb shouldBe Array(10L, 20L, 30L)
+  }
+
   test("maintainIvfIndex: drifted store repairs, healthy store is a byte-" +
       "identical no-op") {
     val base = emb.filter(col("vec_id") % 3 < 2)
