@@ -1524,29 +1524,42 @@ object Similarity {
     * standard NN-Descent slack: a too-thin working list starves the
     * local join of exploration paths.
     */
-  /** The measured recall envelope for the SHIPPED s12 dial (kBuild = 30,
-    * np = 16, rounds = 2): audited recall ≥ 0.9 holds at every measured
-    * corpus size up to 60 k vectors (1.000 / 0.996 / 0.949 / 0.935 /
-    * 0.915 at 500 / 2 k / 20 k / 40 k / 60 k — ScaleProbe `nnd`; the
-    * round-19 frontier sweep set the dial — width beats probes at equal
-    * mass — and the round-20 gsf3 measurement extended the green curve
-    * to 60 k at 3.1 % of brute mass). The next measured point sits
-    * under the promise at every measured dial (100 k: 0.840 at kb30,
-    * 0.827 at np48, 0.868 at kb30+rounds3 — the refinement-round lever
-    * measured +0.008 at 60 k and +0.028 at 100 k per extra round for
-    * +25 % mass: diminishing, and not enough to close 100 k; 200 k:
-    * 0.567 at the old dial) — so the envelope stops at 60 000 and the
-    * knee lives in [60 k, 100 k). Within the envelope the declared
-    * contract promises recall; past it only the budget (seed
-    * np·occupancy + C(2·kBuild,2)·rounds sims per node) is promised,
-    * and SCALE.md's ledger carries the measured out-of-envelope
-    * recall. 60 000 = the largest measured-GREEN size, NOT an
-    * extrapolation (the round-15 ADVICE pin: a constant exceeding the
-    * largest green point contradicts the rule) — growing the envelope
-    * further means measuring a bigger corpus green first (the round-11
-    * "fractions, not absolutes" rule applied to a promise).
+  /** The measured recall envelope for the SHIPPED s12 dial — which is
+    * SIZE-ROUTED since round 21 ([[nndDialFor]]): recall at a fixed
+    * budget decays as N grows the task, so the dial spends where the
+    * corpus demands it. kBuild = 30 / rounds = 2 / np = 16 holds ≥ 0.9
+    * through 60 k (1.000 / 0.996 / 0.949 / 0.935 / 0.915 at
+    * 500 / 2 k / 20 k / 40 k / 60 k — ScaleProbe `nnd`; the round-19
+    * frontier sweep set it: width beats probes at equal mass); past
+    * 60 k that dial reads 0.840 at 100 k, so (60 k, 100 k] routes to
+    * the next width step kBuild = 40 / rounds = 3, which the round-21
+    * probe measured at **0.911 at 100 k** (mass 284 M ≈ 2.8 % of
+    * brute; kb40/r2 alone reads 0.871 — the third round is what closes
+    * it at this width, unlike at kb30 where it bought only +0.028).
+    * Within the envelope the declared contract promises recall at the
+    * routed dial; past it (200 k: 0.567 at the old kb30 dial) only the
+    * budget (seed np·occupancy + C(2·kBuild,2)·rounds sims per node,
+    * linear in N at fixed dial) is promised, the route drops back to
+    * the narrow dial — spending 2.7× mass outside the promise buys
+    * nothing contractual — and SCALE.md's ledger carries the measured
+    * out-of-envelope recall so nothing hides. 100 000 = the largest
+    * measured-GREEN size at the shipped (routed) dial, NOT an
+    * extrapolation (the round-15 ADVICE pin); growing the envelope
+    * further means measuring a bigger corpus green first.
     */
-  val NndRecallEnvelopeN = 60000L
+  val NndRecallEnvelopeN = 100000L
+
+  /** The corpus size up to which the NARROW dial (kBuild = 30,
+    * rounds = 2) meets the 0.9 recall promise — the routing boundary
+    * inside the envelope. */
+  val NndNarrowDialMaxN = 60000L
+
+  /** The size-routed NN-Descent dial: (kBuild, rounds) for a corpus of
+    * `n` vectors — see [[NndRecallEnvelopeN]] for the measured curve
+    * behind each leg. */
+  def nndDialFor(n: Long): (Int, Int) =
+    if (n > NndNarrowDialMaxN && n <= NndRecallEnvelopeN) (40, 3)
+    else (30, 2)
 
   def nnDescentGraph(spark: SparkSession, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, kBuild: Int = 10,

@@ -2324,11 +2324,14 @@ object LlmOps {
     * round, independent of N, and the strictly-linear random-seed
     * variant measures 0.925 recall at rounds = 3 on sf0.1). Recall at
     * a FIXED budget decays as N grows the task (exact top-3 of 200 k
-    * is a harder target than of 20 k): gsf10 measures 0.723 at the
-    * shipped kb30 dial through the two-level seed (the round-19
-    * frontier sweep; np = 48 through the bounded seed buys the flat
-    * seed's per-node width back at any N — SCALE.md nnd ledger has all
-    * the points). The budget dial (kBuild / rounds /
+    * is a harder target than of 20 k), so the dial is SIZE-ROUTED
+    * ([[Similarity.nndDialFor]] — round 21): kBuild = 30 / rounds = 2
+    * through 60 k, the measured kb40 / rounds = 3 width step on
+    * (60 k, 100 k] (0.911 at 100 k — the round-21 probe that closed
+    * the knee the round-19/20 frontier bracketed), and the narrow
+    * budget-bound dial past the envelope (gsf10 measures 0.723 at
+    * kb30 through the two-level seed; np = 48 reads 0.827 — SCALE.md
+    * nnd ledger has all the points). The budget dial (kBuild / rounds /
     * seedNprobe, each linear in N) is the honest lever, measured, never
     * hidden. The exact all-pairs baseline exists only as an AUDIT
     * on a bounded probe slice (vec_id < 40 — fixed-size, so audit cost
@@ -2336,13 +2339,13 @@ object LlmOps {
     * in-plan: every node got edges, no node exceeds k, and the recall
     * promise is scoped to the MEASURED ENVELOPE (the round-14 verdict's
     * narrowing directive): within n ≤ [[Similarity.NndRecallEnvelopeN]]
-    * the audited recall must be ≥ 0.9 (measured at the SHIPPED
-    * kBuild = 30 dial: 1.000 / 0.996 / 0.949 / 0.935 / 0.915 at
-    * 500 / 2 k / 20 k / 40 k / 60 k); past it the shipped dial is a BUDGET
-    * promise, not a recall promise — the declared boolean reports only
-    * that the operator is inside its declared operating envelope, and
-    * SCALE.md carries the measured out-of-envelope recall so nothing
-    * hides.
+    * the audited recall must be ≥ 0.9 at the routed dial
+    * (1.000 / 0.996 / 0.949 / 0.935 / 0.915 / 0.911 at
+    * 500 / 2 k / 20 k / 40 k / 60 k / 100 k); past it the dial is a
+    * BUDGET promise, not a recall promise — the declared boolean
+    * reports only that the operator is inside its declared operating
+    * envelope, and SCALE.md carries the measured out-of-envelope
+    * recall so nothing hides.
     */
   val s12 = QSpec(
     "s12_knn_graph",
@@ -2353,14 +2356,16 @@ object LlmOps {
     (s, d) => {
       val emb = embeddings(s, d)
       val k = 3
-      // kBuild = 30 / np = 16 is the MEASURED dial (SCALE.md nnd
-      // ledger: recall 1.000/0.996/0.949/0.935/0.915 at
-      // 500/2k/20k/40k/60k — the width dial beat the probe dial at
-      // equal mass in the round-19 frontier sweep, and the round-20
-      // gsf3 point extended the envelope to 60 k at the same dial;
-      // np = 8 reads 0.887 at 20 k, under the contract)
+      // the dial is SIZE-ROUTED (Similarity.nndDialFor — round-21):
+      // kBuild = 30 / rounds = 2 holds ≥ 0.9 through 60 k
+      // (1.000/0.996/0.949/0.935/0.915 at 500/2k/20k/40k/60k, SCALE.md
+      // nnd ledger); (60 k, 100 k] routes to the measured kb40/r3 leg
+      // (0.911 at 100 k — the round-21 probe); past the envelope the
+      // narrow dial is the budget bound. np = 16 throughout (np = 8
+      // reads 0.887 at 20 k, under the contract).
+      val (kb, rounds) = Similarity.nndDialFor(emb.count())
       val res = Similarity.nnDescentGraph(s, emb, "vec_id", "embedding",
-        k, kBuild = 30, rounds = 2, seedNprobe = 16, corpusKey = Some(d))
+        k, kBuild = kb, rounds = rounds, seedNprobe = 16, corpusKey = Some(d))
       val ann = res.edges.select("p_id", "neighbor_id").cache()
       val perNode = ann.groupBy("p_id").agg(count(lit(1)).as("deg"))
       val stats = perNode.agg(count(lit(1)).as("nodes"), max("deg").as("maxdeg"))
