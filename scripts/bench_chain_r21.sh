@@ -1,7 +1,8 @@
 #!/bin/bash
-# Round-21 chain at the grown 242-query surface (s19 concurrent store
+# Round-21 chain at the grown 244-query surface (s19 concurrent store
 # mutations, s20 health-triggered maintenance routing, st26 streaming
-# compaction under ingest, p20 materialized shard sink added after chain
+# compaction under ingest, p20 shard sink, st27 stream delete routing,
+# p21 dataloader resume plan added after chain
 # bc20). Standing protocol: re-record ALL five points in one calm session
 # whenever the query count moves. Anchors first (sf0.1 -> gsf1 -> gsf10 ->
 # gsf2 -> gsf5) so a wall-clock truncation costs the least informative

@@ -3653,10 +3653,130 @@ object LlmOps {
         .orderBy("shard")
     })
 
+  /** p21 — dataloader RESUME plan over the materialized asset (the
+    * consumption leg that closes the p19 → p20 story: p19 derives the
+    * packed layout, p20 materializes it with a trusted manifest, p21 is
+    * what a data-parallel training job computes at startup — and at
+    * every restart — WITHOUT scanning the dataset). Shards assign to
+    * workers deterministically (`shard mod W` — no coordination, the
+    * same rule every rank computes independently); each worker consumes
+    * its shards in (shard, chunk) order; a checkpoint is ONE number,
+    * the per-worker chunks-consumed count `step` (synchronous data
+    * parallelism: every rank has consumed equally). The resume cursor —
+    * which (shard, chunk) each worker reopens at — is a prefix-sum over
+    * the MANIFEST's per-shard chunk counts (≤ nShards rows of driver
+    * metadata; at 100 TB this stays a few KB while the data is the
+    * 100 TB), exhausted workers reporting a -1 sentinel. The one data
+    * touch is the declared `cursor_in_data` read-back: each cursor's
+    * (shard, chunk) must exist in the files — and it reads ONLY the
+    * cursor shards via partition pruning on the shard-partitioned
+    * layout (the p20 sink's design paying off: a restart never scans
+    * the corpus). Chunk-id density per shard (pinned by the p20
+    * read-back + Round21OpsSpec) is what makes the arithmetic cursor a
+    * valid file position.
+    */
+  val p21 = QSpec(
+    "p21_dataloader_resume_plan",
+    Some(s"""$p18KeepSql,
+            |pk_k AS (SELECT doc_id FROM r, n WHERE rn <= cap),
+            |pk_t AS (SELECT pk_k.doc_id,
+            |    CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+            |      AS BIGINT) AS tok,
+            |    CAST(('0x' || substr(md5('pack0:' || CAST(pk_k.doc_id AS VARCHAR)),
+            |      1, 12)) AS BIGINT) AS key
+            |  FROM pk_k JOIN documents d USING (doc_id)),
+            |pk_sh AS (SELECT doc_id, tok, key % 8 AS shard,
+            |    ROW_NUMBER() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+            |      - 1 AS pos
+            |  FROM pk_t),
+            |pk_w AS (SELECT *, COALESCE(SUM(tok) OVER (PARTITION BY shard
+            |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            |    0) AS cumb FROM pk_sh),
+            |pk_g AS (SELECT shard, doc_id, pos, tok, cumb // 256 AS chunk
+            |  FROM pk_w),
+            |pl_sc AS (SELECT shard, COUNT(DISTINCT chunk) AS n_chunks
+            |  FROM pk_g GROUP BY 1),
+            |pl_wk AS (SELECT shard % 3 AS worker, shard, n_chunks,
+            |    COALESCE(SUM(n_chunks) OVER (PARTITION BY shard % 3
+            |      ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND
+            |      1 PRECEDING), 0) AS cumc
+            |  FROM pl_sc),
+            |pl_ag AS (SELECT worker, COUNT(*) AS n_shards,
+            |    SUM(n_chunks) AS assigned_chunks
+            |  FROM pl_wk GROUP BY 1),
+            |pl_cu AS (SELECT worker, shard AS resume_shard,
+            |    3 - cumc AS resume_chunk
+            |  FROM pl_wk WHERE cumc <= 3 AND 3 < cumc + n_chunks)
+            |SELECT CAST(pl_ag.worker AS INT) AS worker,
+            |  CAST(n_shards AS BIGINT) AS n_shards,
+            |  CAST(assigned_chunks AS BIGINT) AS assigned_chunks,
+            |  CAST(COALESCE(resume_shard, -1) AS INT) AS resume_shard,
+            |  CAST(COALESCE(resume_chunk, -1) AS BIGINT) AS resume_chunk,
+            |  CAST(GREATEST(assigned_chunks - 3, 0) AS BIGINT)
+            |    AS chunks_remaining,
+            |  TRUE AS cursor_in_data
+            |FROM pl_ag LEFT JOIN pl_cu USING (worker)
+            |ORDER BY worker""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val nWorkers = 3
+      val step = 3L // per-worker chunks consumed at the checkpoint
+      val out = graft.util.Tables.scratch(d, "p20_shards")
+      val manifest = p20Memo.getOrElseUpdate(s,
+        s"$out#${graft.util.SessionMemo.pathFingerprint(d)}") {
+        graft.llm.Curation.writePackedShards(
+          packedRows(s, d).select("shard", "pos", "doc_id", "tok", "chunk"),
+          out)
+      }
+      val mdf = manifest.map(e => (e.shard, e.nChunks))
+        .toDF("shard", "n_chunks")
+        .withColumn("worker", col("shard") % nWorkers)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("worker").orderBy("shard")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val cum = mdf.withColumn("cumc",
+        coalesce(sum("n_chunks").over(w), lit(0L)))
+      val agg = cum.groupBy("worker")
+        .agg(count(lit(1)).as("n_shards"),
+          sum("n_chunks").as("assigned_chunks"))
+      val cursor = cum
+        .filter(col("cumc") <= step && lit(step) < col("cumc") + col("n_chunks"))
+        .select(col("worker"), col("shard").as("resume_shard"),
+          (lit(step) - col("cumc")).as("resume_chunk"))
+      val plan = agg.join(cursor, Seq("worker"), "left")
+        .select(col("worker"), col("n_shards"), col("assigned_chunks"),
+          coalesce(col("resume_shard"), lit(-1)).as("resume_shard"),
+          coalesce(col("resume_chunk"), lit(-1L)).as("resume_chunk"),
+          greatest(col("assigned_chunks") - step, lit(0L))
+            .as("chunks_remaining"))
+      // the one data touch: cursors must exist in the files — read ONLY
+      // the cursor shards (literal isin → partition pruning on the
+      // shard-partitioned layout; ≤ nWorkers driver-metadata rows)
+      val cursorShards = plan.filter(col("resume_shard") >= 0)
+        .select("resume_shard").collect().map(_.getInt(0)).distinct.toSeq
+      val present =
+        if (cursorShards.isEmpty)
+          Seq.empty[(Int, Long)].toDF("resume_shard", "resume_chunk")
+        else
+          s.read.parquet(s"$out/data")
+            .filter(col("shard").isin(cursorShards.map(Int.box): _*))
+            .select(col("shard").as("resume_shard"),
+              col("chunk").as("resume_chunk"))
+            .distinct()
+      plan.join(present.withColumn("hit", lit(true)),
+          Seq("resume_shard", "resume_chunk"), "left")
+        .select(col("worker").cast("int"), col("n_shards"),
+          col("assigned_chunks"), col("resume_shard").cast("int"),
+          col("resume_chunk"), col("chunks_remaining"),
+          (col("resume_shard") === -1 || coalesce(col("hit"), lit(false)))
+            .as("cursor_in_data"))
+        .orderBy("worker")
+    })
+
   val specs: Seq[QSpec] = Seq(d01, d02, d03, d04, d05, d06, d07, d09, d10, d11,
     d12, d13, d14, s01, s02, s03, s04, s05, s06, t01, t02, t03, t04, t06, t07, t08,
     t09, t11, t12, t13, t14, t15, p01, p02, p03, mm01, mm02, mm03, mm06, d15,
     mm07, s07, s08, d16, mm08, d17, s09, d18, d19, d20, d21, s10, p15, mm09,
     mm10, mm11, mm12, mm13, s11, s12, s13, s14, s15, s16, p16, p17, d22, p18,
-    s17, s18, mm14, p19, s19, s20, p20)
+    s17, s18, mm14, p19, s19, s20, p20, p21)
 }

@@ -1635,7 +1635,131 @@ object StreamOps {
           lit(nGens).as("n_append_batches"))
     })
 
+  /** Run-once-per-JVM memo over the st27 store choreography (the st25
+    * argument: both published stores are immutable and fully determined
+    * by the data dir).
+    */
+  private val st27Memo = new graft.util.SessionMemo[String, Boolean]
+
+  /** st27 — streaming DELETE routing (CDC ingest against the persisted
+    * IVF store — the third leg of the streaming index lifecycle: st25
+    * proves appends land and are readable mid-stream, st26 proves
+    * maintenance can run under ingest; st27 proves DELETES arriving ON
+    * the stream take effect, the right-to-be-forgotten path a 100 TB
+    * vector store must serve with bounded latency). One stream carries
+    * BOTH row kinds on an `op` column — the CDC shape a changelog
+    * source (Kafka compacted topic, Debezium feed) actually delivers —
+    * and each micro-batch routes them: `op = 'i'` rows append as one
+    * `gen=st<batchId>` generation, `op = 'd'` rows become one tombstone
+    * batch ([[graft.llm.Similarity.tombstoneIvfIndex]] — merge-on-read,
+    * no rewrite on the takedown path; reclamation stays with st26's
+    * compaction). Three declared terms:
+    *
+    *  - `stream_batch_store_mismatch = 0`: the stream-maintained store's
+    *    LIVE content (merge-on-read, tombstones applied) equals row for
+    *    row a twin store that replayed the same inserts and takedowns as
+    *    plain batch calls — CDC batch placement is invisible in the
+    *    published asset (st25's invariance extended over deletes);
+    *  - `deletes_invisible_midstream`: measured INSIDE the stream — the
+    *    batch AFTER the delete batch reads the store fresh (as any
+    *    concurrent reader would) and finds ZERO of the deleted ids
+    *    still retrievable, with the deleted set pinned non-empty:
+    *    read-your-deletes, the takedown-latency property itself;
+    *  - `n_append_batches = 3`: the delete batch's tombstones rode the
+    *    SAME micro-batch as that batch's inserts (one data generation
+    *    per batch, no extra write amplification on the delete path).
+    */
+  val st27 = QSpec(
+    "st27_stream_delete_routing",
+    Some("""SELECT CAST(0 AS BIGINT) AS stream_batch_store_mismatch,
+           | TRUE AS deletes_invisible_midstream,
+           | CAST(3 AS BIGINT) AS n_append_batches""".stripMargin),
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val base = emb.filter(col("vec_id") % 3 < 2)
+      val shard = emb.filter(col("vec_id") % 3 === 2)
+      // the takedown set: a quarter of batch 0's generation (vec_id ≡ 20
+      // mod 36 — non-empty from sf0.001 up), deleted by batch 1, checked
+      // invisible by batch 2
+      val dead = shard.filter(col("vec_id") % 9 === 2 && col("vec_id") % 4 === 0)
+      val idxBase = Similarity.cachedIvfIndex(s, base, d, "vec_id",
+        "embedding", 512, keySuffix = "lifecycle-base")
+      val streamPath = Tables.scratch(d, "st27_ivf_stream")
+      val twinPath = Tables.scratch(d, "st27_ivf_twin")
+      val verdictPath = Tables.scratch(d, "st27_deletes_check")
+      st27Memo.getOrElseUpdate(s,
+        s"$streamPath#${graft.util.SessionMemo.pathFingerprint(d)}") {
+        // batch twin: the same lifecycle as plain sequential calls
+        Similarity.writeIvfIndex(idxBase, twinPath)
+        Similarity.appendToIvfIndex(shard.filter(col("vec_id") % 9 === 2),
+          "vec_id", "embedding", twinPath, "st0")
+        Similarity.appendToIvfIndex(shard.filter(col("vec_id") % 9 === 5),
+          "vec_id", "embedding", twinPath, "st1")
+        Similarity.tombstoneIvfIndex(s, twinPath, dead.select("vec_id"),
+          "vec_id", "takedown.st1")
+        Similarity.appendToIvfIndex(shard.filter(col("vec_id") % 9 === 8),
+          "vec_id", "embedding", twinPath, "st2")
+        // stream side: one CDC feed, inserts and deletes on an op column
+        Similarity.writeIvfIndex(idxBase, streamPath)
+        val deadIds = dead.select("vec_id").localCheckpoint()
+        val b0 = shard.filter(col("vec_id") % 9 === 2).withColumn("op", lit("i"))
+        val b1 = shard.filter(col("vec_id") % 9 === 5).withColumn("op", lit("i"))
+          .unionByName(dead.withColumn("op", lit("d")))
+        val b2 = shard.filter(col("vec_id") % 9 === 8).withColumn("op", lit("i"))
+        val backlog = batchBacklog(s, d, "st27", b0, b1, b2)
+        val stream = s.readStream.schema(b0.schema)
+          .option("maxFilesPerTrigger", "1").parquet(backlog)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = stream.writeStream.trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], id: Long) =>
+              val sess = batch.sparkSession
+              Similarity.appendToIvfIndex(
+                batch.filter(col("op") === "i").select("vec_id", "embedding"),
+                "vec_id", "embedding", streamPath, s"st$id")
+              val dels = batch.filter(col("op") === "d").select("vec_id")
+              if (!dels.isEmpty)
+                Similarity.tombstoneIvfIndex(sess, streamPath, dels,
+                  "vec_id", s"takedown.st$id")
+              if (id == 2L) {
+                // read-your-deletes: the store AS A FRESH READER SEES IT
+                // must no longer serve any takedown id
+                Similarity.readIvfIndex(sess, streamPath).inverted
+                  .join(deadIds, col("neighbor_id") === col("vec_id"),
+                    "right_outer")
+                  .agg(count(lit(1)).as("dead_total"),
+                    sum(when(col("neighbor_id").isNotNull, 1L).otherwise(0L))
+                      .as("dead_seen"))
+                  .write.mode("overwrite").parquet(verdictPath)
+              }
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        true
+      }: Unit
+      val meta = Similarity.readIvfMeta(s, streamPath)
+      val nGens = meta.gens.count(_.startsWith("st")).toLong
+      val verdict = s.read.parquet(verdictPath)
+        .select((col("dead_total") > 0 && col("dead_seen") === 0)
+          .as("inv"))
+      val sInv = Similarity.readIvfIndex(s, streamPath).inverted
+        .select(col("neighbor_id"), col("cluster").as("c_s"), col("emb").as("e_s"))
+      val tInv = Similarity.readIvfIndex(s, twinPath).inverted
+        .select(col("neighbor_id"), col("cluster").as("c_t"), col("emb").as("e_t"))
+      sInv.join(tInv, Seq("neighbor_id"), "full_outer")
+        .agg(sum(when(col("c_s") <=> col("c_t") && col("e_s") <=> col("e_t"), 0)
+          .otherwise(1)).cast("long").as("stream_batch_store_mismatch"))
+        .crossJoin(verdict)
+        .select(col("stream_batch_store_mismatch"),
+          col("inv").as("deletes_invisible_midstream"),
+          lit(nGens).as("n_append_batches"))
+    })
+
   val specs: Seq[QSpec] = Seq(st01, st02, st03, st04, st05, st06, st07, st08,
     st09, st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20,
-    st21, st22, st23, st24, st25, st26)
+    st21, st22, st23, st24, st25, st26, st27)
 }

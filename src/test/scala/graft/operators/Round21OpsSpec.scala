@@ -302,4 +302,48 @@ class Round21OpsSpec extends SparkSpec {
     java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(okDir, "_graft_index.json")) shouldBe bytesBefore
   }
+
+  test("p21: resume cursors are manifest-consistent and every cursor " +
+      "survives the partition-pruned read-back") {
+    val rows = graft.SparkEntry
+      .queries("p21_dataloader_resume_plan")(spark, sf).collect()
+    val manifest = graft.llm.Curation.readShardManifest(spark,
+      graft.util.Tables.scratch(sf, "p20_shards"))
+    // worker partition of the manifest: every chunk assigned exactly once
+    rows.map(_.getAs[Long]("assigned_chunks")).sum shouldBe
+      manifest.map(_.nChunks).sum
+    rows.map(_.getAs[Long]("n_shards")).sum shouldBe manifest.size.toLong
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("cursor_in_data"), s"cursor missing: $r")
+      val rs = r.getAs[Int]("resume_shard")
+      val assigned = r.getAs[Long]("assigned_chunks")
+      if (rs >= 0) {
+        // cursor inside its shard's chunk range, owned by this worker
+        rs % 3 shouldBe r.getAs[Int]("worker")
+        val rc = r.getAs[Long]("resume_chunk")
+        val nc = manifest.find(_.shard == rs).get.nChunks
+        assert(rc >= 0 && rc < nc, s"cursor out of range: $r (shard has $nc)")
+        r.getAs[Long]("chunks_remaining") shouldBe assigned - 3L
+      } else {
+        // exhausted worker: sentinel cursor, checkpoint covers it all
+        r.getAs[Long]("resume_chunk") shouldBe -1L
+        assert(assigned <= 3L, s"non-exhausted worker lost its cursor: $r")
+        r.getAs[Long]("chunks_remaining") shouldBe 0L
+      }
+    }
+  }
+
+  test("st27: stream-routed deletes equal the batch twin, and the " +
+      "tombstones really mask rows (live < physical)") {
+    val r = graft.SparkEntry
+      .queries("st27_stream_delete_routing")(spark, sf).collect().head
+    r.getAs[Long]("stream_batch_store_mismatch") shouldBe 0L
+    r.getAs[Boolean]("deletes_invisible_midstream") shouldBe true
+    r.getAs[Long]("n_append_batches") shouldBe 3L
+    val p = graft.util.Tables.scratch(sf, "st27_ivf_stream")
+    val live = Similarity.readIvfIndex(spark, p).inverted.count()
+    val phys = spark.read.parquet(s"$p/inverted").count()
+    assert(live < phys,
+      s"merge-on-read must mask the takedown set: live=$live phys=$phys")
+  }
 }
