@@ -123,6 +123,43 @@ object GraftFunctions {
         .toObjectArray(org.apache.spark.sql.types.StringType)
         .map(_.toString).toSeq)
 
+  val normalizeEmbInfo = new ExpressionInfo(
+    classOf[NormalizeEmb].getName, "normalize_emb")
+  val sq8CodesInfo = new ExpressionInfo(classOf[Sq8CodesK].getName, "sq8_codes_k")
+  val sq8DistInfo = new ExpressionInfo(classOf[Sq8Dist].getName, "sq8_dist")
+  val nearestCellsInfo = new ExpressionInfo(
+    classOf[NearestCells].getName, "nearest_cells")
+  val ivf2CellKeysInfo = new ExpressionInfo(
+    classOf[Ivf2CellKeys].getName, "ivf2_cell_keys")
+
+  private def floatMatrix(e: Expression): Array[Array[Float]] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+      .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray())
+
+  private def doubleArr(e: Expression): Array[Double] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+
+  /** sq8_codes_k(emb, minsLit, scalesLit) — codebook args must be foldable
+    * array<double> literals. */
+  def buildSq8Codes(children: Seq[Expression]): Expression =
+    Sq8CodesK(children(0), doubleArr(children(1)), doubleArr(children(2)))
+
+  /** nearest_cells(emb, centsLit, np) — centroid matrix must be a foldable
+    * array<array<float>> literal, np a foldable int. */
+  def buildNearestCells(children: Seq[Expression]): Expression =
+    NearestCells(children(0), floatMatrix(children(1)),
+      children(2).eval(null).asInstanceOf[Number].intValue())
+
+  /** ivf2_cell_keys(emb, cents1Lit, res2Lit, np1, npAll, q). */
+  def buildIvf2CellKeys(children: Seq[Expression]): Expression =
+    Ivf2CellKeys(children(0), floatMatrix(children(1)), floatMatrix(children(2)),
+      children(3).eval(null).asInstanceOf[Number].intValue(),
+      children(4).eval(null).asInstanceOf[Number].intValue(),
+      children(5).eval(null).asInstanceOf[Number].doubleValue())
+
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val cos = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
@@ -170,6 +207,10 @@ object GraftFunctions {
     if (!registry.functionExists(tk)) {
       registry.registerFunction(tk, TopKSim.info, TopKSim.build _)
     }
+    val tkd = org.apache.spark.sql.catalyst.FunctionIdentifier("topk_sim_distinct")
+    if (!registry.functionExists(tkd)) {
+      registry.registerFunction(tkd, TopKSim.distinctInfo, TopKSim.buildDistinct _)
+    }
     val bpe = org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_counts")
     if (!registry.functionExists(bpe)) {
       registry.registerFunction(bpe, bpeCountsInfo, buildBpeCounts _)
@@ -192,6 +233,28 @@ object GraftFunctions {
     if (!registry.functionExists(wk)) {
       registry.registerFunction(wk, NegLog2Fixed.info,
         (children: Seq[Expression]) => NegLog2Fixed(children.head))
+    }
+    val ne = org.apache.spark.sql.catalyst.FunctionIdentifier("normalize_emb")
+    if (!registry.functionExists(ne)) {
+      registry.registerFunction(ne, normalizeEmbInfo,
+        (children: Seq[Expression]) => NormalizeEmb(children.head))
+    }
+    val sqc = org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_codes_k")
+    if (!registry.functionExists(sqc)) {
+      registry.registerFunction(sqc, sq8CodesInfo, buildSq8Codes _)
+    }
+    val sqd = org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_dist")
+    if (!registry.functionExists(sqd)) {
+      registry.registerFunction(sqd, sq8DistInfo,
+        (children: Seq[Expression]) => Sq8Dist(children(0), children(1)))
+    }
+    val nc = org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_cells")
+    if (!registry.functionExists(nc)) {
+      registry.registerFunction(nc, nearestCellsInfo, buildNearestCells _)
+    }
+    val i2k = org.apache.spark.sql.catalyst.FunctionIdentifier("ivf2_cell_keys")
+    if (!registry.functionExists(i2k)) {
+      registry.registerFunction(i2k, ivf2CellKeysInfo, buildIvf2CellKeys _)
     }
   }
 }

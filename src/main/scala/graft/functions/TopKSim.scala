@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * (10–100), so linear movement beats a heap's pointer chasing and
   * allocates nothing per row.
   */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, val dedupIds: Boolean = false) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var size = 0
@@ -25,6 +25,24 @@ final class TopKBuffer(val k: Int) {
   def insert(s: Double, id: Long): Unit = {
     // NaN compares false both ways → would otherwise float to rank 1
     if (java.lang.Double.isNaN(s)) return
+    if (dedupIds) {
+      // keep at most one entry per id (the better-scored one): the
+      // fused max-merge+trim used by nnDescentGraph, where a duplicate
+      // (id, score) arrives via several co-membership lists — k is small,
+      // so the linear scan beats a per-group pre-aggregation pass
+      var i = 0
+      while (i < size) {
+        if (ids(i) == id) {
+          if (!betterThan(s, id, scores(i), ids(i))) return
+          // remove the worse duplicate, then fall through to re-insert
+          var j = i
+          while (j < size - 1) { scores(j) = scores(j + 1); ids(j) = ids(j + 1); j += 1 }
+          size -= 1
+          i = size // exit loop
+        }
+        i += 1
+      }
+    }
     var pos =
       if (size < k) { size += 1; size - 1 }
       else if (betterThan(s, id, scores(k - 1), ids(k - 1))) k - 1
@@ -53,6 +71,7 @@ case class TopKSim(
     score: Expression,
     id: Expression,
     k: Int,
+    dedupIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] with ExpectsInputTypes {
@@ -65,9 +84,10 @@ case class TopKSim(
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("sim", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)
-  override def prettyName: String = "topk_sim"
+  override def prettyName: String =
+    if (dedupIds) "topk_sim_distinct" else "topk_sim"
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, dedupIds)
 
   override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
@@ -100,7 +120,7 @@ case class TopKSim(
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val buf = ByteBuffer.wrap(bytes)
-    val b = new TopKBuffer(buf.getInt())
+    val b = new TopKBuffer(buf.getInt(), dedupIds)
     val n = buf.getInt()
     var i = 0
     while (i < n) {
@@ -121,9 +141,18 @@ case class TopKSim(
 
 object TopKSim {
   val info = new ExpressionInfo(classOf[TopKSim].getName, "topk_sim")
+  val distinctInfo = new ExpressionInfo(classOf[TopKSim].getName, "topk_sim_distinct")
 
   /** topk_sim(score, id, k) — k must be a foldable int literal. */
   def build(children: Seq[Expression]): Expression =
     TopKSim(children(0), children(1),
       children(2).eval(null).asInstanceOf[Number].intValue())
+
+  /** topk_sim_distinct(score, id, k) — top-k with at most one entry per
+    * id (the better-scored copy wins; ties by the (score desc, id asc)
+    * total order). The fused form of groupBy(group, id).max(score)
+    * followed by topk_sim: one aggregation pass, one exchange. */
+  def buildDistinct(children: Seq[Expression]): Expression =
+    TopKSim(children(0), children(1),
+      children(2).eval(null).asInstanceOf[Number].intValue(), dedupIds = true)
 }

@@ -439,17 +439,15 @@ object Similarity {
   def probe2Cells(spark: SparkSession, idx: Ivf2Index, probes: DataFrame,
       idCol: String, embCol: String, nprobe1: Int, nprobe: Int): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val Q = 1 << 20 // dot quantum: key = round((2 − dot)·Q)·4096 + id
-    def packedKeys(cents: Array[Array[Float]]): Column =
-      array(cents.zipWithIndex.map { case (ctr, i) =>
-        val nrm = math.sqrt(ctr.map(x => x.toDouble * x).sum)
-        val dot =
-          if (nrm > 0)
-            call_function("cosine_sim", col("p_emb"),
-              array(ctr.map(lit(_)): _*)) * lit(nrm)
-          else lit(0.0d)
-        (round((lit(2.0d) - dot) * Q).cast("long") * 4096L + i).as(s"k$i")
-      }: _*)
+    // dot quantum: key = round((2 − dot)·Q)·4096 + id; grid key =
+    // (q1 + q2) · 2²³ + c1 · 2¹² + c2 — all int64 shift/mask arithmetic.
+    // The whole two-level ranking runs through the fused
+    // [[graft.functions.Ivf2CellKeys]] kernel (round 18) — the previous
+    // transform/flatten/array_sort pipeline paid per-element interpreted
+    // lambda dispatch (HOFs are CodegenFallback) over k1 + k2 + np1·k2
+    // elements per probe row; the kernel is one codegen'd loop with
+    // bit-identical keys (Spark round semantics, same norm fold).
+    val Q = (1 << 20).toDouble
     val k2n = idx.residuals2.length
     require(k2n <= 4096, s"residual codebook too large to pack: $k2n")
     require(idx.centroids1.length <= 2048,
@@ -457,20 +455,11 @@ object Similarity {
     val np1 = math.min(nprobe1, idx.centroids1.length)
     val npAll = math.min(nprobe, np1 * k2n)
     probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
-      .withColumn("near1",
-        slice(array_sort(packedKeys(idx.centroids1)), 1, np1))
-      .withColumn("near2", array_sort(packedKeys(idx.residuals2)))
-      // grid key = (q1 + q2) · 2²³ + c1 · 2¹² + c2: quantized-dot sums
-      // rank first, ids break ties — all int64 shift/mask arithmetic,
-      // no structs (q sums stay < 2²⁴, ids < 2¹² each, so fields never
-      // overlap and the total stays far under 2⁶³)
-      .withColumn("cells", slice(array_sort(flatten(
-        transform(col("near1"), a => transform(col("near2"), b =>
-          (shiftright(a, 12) + shiftright(b, 12)) * lit(1L << 23)
-            + a.bitwiseAND(lit(4095L)) * lit(4096L)
-            + b.bitwiseAND(lit(4095L)))))), 1, npAll))
-      .select(col("p_id"), col("p_emb"), explode(col("cells")).as("cell"))
-      // c1 is 11 bits (bits 12–22; c1 < 2048 by the require above) — an
+      .select(col("p_id"), col("p_emb"),
+        explode(call_function("ivf2_cell_keys", col("p_emb"),
+          typedLit(idx.centroids1), typedLit(idx.residuals2),
+          lit(np1), lit(npAll), lit(Q))).as("cell"))
+      // c1 is 11 bits (bits 12–22; c1 < 2048 by the require above) — a
       // 12-bit mask would capture bit 23, the score field's lowest bit
       .select(col("p_id"), col("p_emb"),
         shiftright(col("cell"), 12).bitwiseAND(lit(2047L)).cast("int").as("c1"),
@@ -680,7 +669,8 @@ object Similarity {
   def computeIvfHealth(spark: SparkSession, inverted: DataFrame,
       centroids: Array[Array[Float]]): IvfHealth = {
     GraftFunctions.ensureRegistered(spark)
-    val centArr = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+    // one Literal node (see probeClusters) — not nClusters·dim leaf nodes
+    val centArr = typedLit(centroids)
     // nanvl: a zero vector's cosine is 0/0 = NaN; "the quantizer explains
     // none of it" is residual 1, and a NaN here must never reach the
     // manifest commit (writeIvfMeta refuses non-finite health loudly)
@@ -1109,22 +1099,24 @@ object Similarity {
   }
 
   /** The `nprobe` nearest clusters per probe: (p_id, p_emb, cluster) rows.
-    * The centroid list is tiny and fixed → literal array, evaluated per
-    * probe row.
+    * The ranking runs through the fused [[graft.functions.NearestCells]]
+    * kernel (round 18): the previous `array(struct(lit…))` +
+    * `array_sort(transform(…))` formulation had TWO measured costs that
+    * were pure overhead at any scale — nClusters × dim literal leaf
+    * nodes (32 k at 512 cells × 64 dims) re-analyzed by Catalyst on
+    * every run, and per-ELEMENT interpreted lambda dispatch (higher-order
+    * functions are CodegenFallback), ~1 ms per probe row at 512 cells.
+    * The kernel is one codegen'd loop with the identical ranking
+    * semantics: (cosine desc, cid asc) under Spark SQL's double order
+    * (−0.0 == 0.0), centroids passed as ONE literal matrix.
     */
   def probeClusters(spark: SparkSession, idx: IvfIndex, probes: DataFrame,
       idCol: String, embCol: String, nprobe: Int): DataFrame = {
-    val centroidArr = array(idx.centroids.zipWithIndex.map { case (ctr, i) =>
-      struct(lit(i).as("cid"), array(ctr.map(lit(_)): _*).as("cv"))
-    }: _*)
     GraftFunctions.ensureRegistered(spark)
     probes.select(col(idCol).as("p_id"), col(embCol).as("p_emb"))
-      .withColumn("near", slice(array_sort(
-        transform(centroidArr, ce => struct(
-          (-call_function("cosine_sim", col("p_emb"), ce.getField("cv"))).as("negSim"),
-          ce.getField("cid").as("cid")))), 1, nprobe))
       .select(col("p_id"), col("p_emb"),
-        explode(col("near").getField("cid")).as("cluster"))
+        explode(call_function("nearest_cells", col("p_emb"),
+          typedLit(idx.centroids), lit(nprobe))).as("cluster"))
   }
 
   /** [[ivfSearch]] at k = 1 without the rank window — per-probe-ROW
@@ -1223,6 +1215,7 @@ object Similarity {
     * driver fetch — index metadata, not data.
     */
   def fitSq8(spark: SparkSession, corpus: DataFrame, embCol: String): Sq8Codebook = {
+    GraftFunctions.ensureRegistered(spark)
     val dims = corpus
       .select(posexplode(normalized(col(embCol))).as(Seq("i", "v")))
       .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
@@ -1239,22 +1232,16 @@ object Similarity {
     * squared L2 is monotone in cosine: ‖x−y‖² = 2 − 2cos). sqrt is
     * correctly rounded in IEEE-754; zero vectors pass through unscaled.
     */
-  private def normalized(emb: Column): Column = {
-    val nrm = sqrt(aggregate(emb, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    transform(emb, x => x.cast("double") / when(nrm > 0, nrm).otherwise(lit(1.0d)))
-  }
+  private def normalized(emb: Column): Column =
+    call_function("normalize_emb", emb)
 
-  /** SQ8 codes for one embedding column under a fitted codebook (literal
-    * min/scale arrays — dim-sized, codegen'd transform; no join).
+  /** SQ8 codes for one embedding column under a fitted codebook — the
+    * fused [[graft.functions.Sq8CodesK]] kernel (round 18; the previous
+    * `zip_with(normalized, …)` paid interpreted per-element lambda
+    * dispatch — HOFs are CodegenFallback — measured ~1 ms/row at 64 dims).
     */
-  def sq8Codes(emb: Column, cb: Sq8Codebook): Column = {
-    val mins = array(cb.mins.map(lit(_)): _*)
-    val scales = array(cb.scales.map(lit(_)): _*)
-    zip_with(normalized(emb), sequence(lit(0), lit(cb.mins.length - 1)),
-      (v, i) => round((v - element_at(mins, i + 1)) * element_at(scales, i + 1), 0)
-        .cast("long"))
-  }
+  def sq8Codes(emb: Column, cb: Sq8Codebook): Column =
+    call_function("sq8_codes_k", emb, typedLit(cb.mins), typedLit(cb.scales))
 
   /** Shared ADC tail for the SQ8 family ([[sq8TopK]], [[ivfSq8Search]]):
     * symmetric integer code distance over `cand` (which must carry
@@ -1273,9 +1260,9 @@ object Similarity {
       pe: DataFrame, k: Int, shortlist: Int): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.ensureRegistered(spark)
-    val qdist = aggregate(
-      zip_with(col("code"), col("p_code"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    // fused integer code distance (round 18): the zip_with + aggregate
+    // form paid interpreted per-element dispatch on every candidate row
+    val qdist = call_function("sq8_dist", col("code"), col("p_code"))
     val short = cand
       .filter(col("neighbor_id") =!= col("p_id"))
       .select(col("p_id"), col("neighbor_id"),
@@ -1476,6 +1463,8 @@ object Similarity {
     * entry per refinement round) — the graph's honesty ledger: mass must
     * stay linear in N for the operator to be declared at all (the s12
     * history: the 0.9-recall IVF route was 0.4·N² and got deleted).
+    * Empty when the build ran with `trackEvals = false` (the ledger jobs
+    * are opt-in measurement apparatus; the graph itself is identical).
     */
   final case class NnDescentResult(edges: DataFrame, simEvals: Seq[Long],
       cleanup: () => Unit = () => ())
@@ -1565,7 +1554,7 @@ object Similarity {
       idCol: String, embCol: String, k: Int, kBuild: Int = 10,
       rounds: Int = 2, nClusters: Int = -1, seedNprobe: Int = 8,
       corpusKey: Option[String] = None, seedMode: String = "ivf",
-      maxFlatCells: Int = 2048): NnDescentResult = {
+      maxFlatCells: Int = 2048, trackEvals: Boolean = true): NnDescentResult = {
     require(kBuild >= k, s"kBuild=$kBuild must be >= k=$k")
     require(seedMode == "ivf" || seedMode == "random",
       s"seedMode must be 'ivf' or 'random', not '$seedMode'")
@@ -1596,6 +1585,11 @@ object Similarity {
     // round 2 never finishes analysis). A multi-executor deployment uses
     // reliable checkpoint() for the same lineage cut; the iteration
     // contract is identical.
+    // `trackEvals = false` skips the similarity-mass accounting JOBS (one
+    // agg per seed + one count per round) for callers that only need the
+    // graph (the declared s12 query): the ledger is measurement apparatus,
+    // not part of the build, and each skipped job is a full driver-side
+    // action. ScaleProbe's nnd ledger keeps the default and still measures.
     var (cur, seedEvals) = seedMode match {
       case "ivf" if cellsWanted <= maxFlatCells =>
         val idx = corpusKey match {
@@ -1606,7 +1600,8 @@ object Similarity {
         // seed mass = members of each probe's nprobe cells (what
         // ivfSearch scans), counted from the same cluster assignment
         val np = math.min(seedNprobe, idx.centroids.length)
-        val evals = probeClusters(spark, idx, corpus, idCol, embCol, np)
+        val evals = if (!trackEvals) 0L else
+          probeClusters(spark, idx, corpus, idCol, embCol, np)
           .join(idx.inverted.groupBy("cluster")
             .agg(count(lit(1)).as("m")), "cluster")
           .agg(sum("m")).head().getLong(0)
@@ -1636,7 +1631,7 @@ object Similarity {
         val cells = probe2Cells(spark, idx, corpus, idCol, embCol,
             np1, seedNprobe)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val evals = cells
+        val evals = if (!trackEvals) 0L else cells
           .join(idx.inverted.groupBy("c1", "c2")
             .agg(count(lit(1)).as("m")), Seq("c1", "c2"))
           .agg(sum("m")).head().getLong(0)
@@ -1671,45 +1666,87 @@ object Similarity {
           .select(col("id"), col("nbr"),
             cosine(spark, col("ea"), col("eb")).as("sim"))
           .localCheckpoint()
-        (seeded, seeded.count())
+        (seeded, if (trackEvals) seeded.count() else 0L)
     }
-    val evals = scala.collection.mutable.ArrayBuffer[Long](seedEvals)
-    val wRev = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("sim").desc, col("nbr"))
+    val evals = scala.collection.mutable.ArrayBuffer[Long]()
+    if (trackEvals) evals += seedEvals
+    GraftFunctions.ensureRegistered(spark)
+    // Already-evaluated candidate pairs, one cached (a, b) set per round.
+    // Skipping a previously evaluated pair is EXACT, not approximate: the
+    // per-node lists improve monotonically under the (sim desc, id asc)
+    // order (merge ∪ trim), and cosine is deterministic — so re-offering
+    // a pair either finds it still in the list (no-op) or finds a list
+    // that already beat it once and beats it again. NN-Descent's round-2
+    // pair set is dominated by round-1 repeats (the lists barely move
+    // after one round), so the anti-join removes most of the round's
+    // similarity mass — the cosines, the two embedding joins and the
+    // merge rows — for the price of shuffling 16-byte pair keys.
+    var evaluated: List[DataFrame] = Nil
     for (_ <- 1 to rounds) {
+      // reverse edges capped at kBuild by (sim desc, nbr asc) — the same
+      // ranked set the previous row_number window produced, but through
+      // the bounded-heap topk_sim aggregate: partial aggregation shrinks
+      // each partition to kBuild entries per id BEFORE the exchange and
+      // nothing is sorted (the window paid Exchange + full Sort + Window).
       val rev = cur.select(col("nbr").as("id"), col("id").as("nbr"), col("sim"))
-        .withColumn("rn", row_number().over(wRev))
-        .filter(col("rn") <= kBuild).drop("rn", "sim")
+        .groupBy("id")
+        .agg(call_function("topk_sim", col("sim"), col("nbr"), lit(kBuild)).as("top"))
+        .select(col("id"), explode(col("top.id")).as("nbr"))
       val b = cur.select("id", "nbr").union(rev).distinct()
-      val pairs = b.as("x").join(b.as("y"),
+      val pairsAll = b.as("x").join(b.as("y"),
           col("x.id") === col("y.id") && col("x.nbr") < col("y.nbr"))
         .select(col("x.nbr").as("a"), col("y.nbr").as("b")).distinct()
-      val sims = pairs
+      // NB the anti set is ONLY the prior rounds' pair sets — a round's
+      // sims offer BOTH directions, so "in a prior pairs set" implies both
+      // endpoints saw the offer. Edges already in `cur` do NOT qualify:
+      // seed lists are DIRECTED (ivfSearch ranks into the probe's list
+      // only), so a cur edge proves one direction was offered, and
+      // skipping it would suppress the reverse offer (measured: recall
+      // 1.0 → 0.89 at sf0.01 when cur edges were wrongly included here).
+      val pairs = evaluated
+        .foldLeft(pairsAll)((p, ev) => p.join(ev, Seq("a", "b"), "left_anti"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val simsBase = pairs
         .join(emb.select(col("id").as("a"), col("emb").as("ea")), "a")
         .join(emb.select(col("id").as("b"), col("emb").as("eb")), "b")
         .select(col("a"), col("b"),
           cosine(spark, col("ea"), col("eb")).as("sim"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      evals += sims.count()
+      val sims =
+        if (!trackEvals) simsBase
+        else {
+          val p = simsBase.persist(StorageLevel.MEMORY_AND_DISK)
+          evals += p.count()
+          p
+        }
+      // both edge directions from ONE pass over the candidate sims (an
+      // explode of the two orientations) — the previous two-branch union
+      // scanned the sims subtree twice per merge — and the merge + trim
+      // fused into ONE bounded aggregate: duplicates of (id, nbr) always
+      // carry the identical deterministic cosine, so the per-id dedup
+      // inside topk_sim_distinct yields exactly the old
+      // groupBy(id, nbr).max(sim) → topk_sim result with one less
+      // exchange + aggregation pass per round.
       val merged = cur
-        .union(sims.select(col("a").as("id"), col("b").as("nbr"), col("sim")))
-        .union(sims.select(col("b").as("id"), col("a").as("nbr"), col("sim")))
-        // same pair can arrive via several lists and a prior round —
-        // max-merge before the trim so the top-k array holds distinct ids
-        .groupBy("id", "nbr").agg(max("sim").as("sim"))
-      GraftFunctions.ensureRegistered(spark)
+        .union(sims.select(explode(array(
+            struct(col("a").as("id"), col("b").as("nbr"), col("sim")),
+            struct(col("b").as("id"), col("a").as("nbr"), col("sim")))).as("e"))
+          .select(col("e.id").as("id"), col("e.nbr").as("nbr"),
+            col("e.sim").as("sim")))
       val prev = cur
       cur = merged.groupBy("id")
-        .agg(call_function("topk_sim", col("sim"), col("nbr"), lit(kBuild)).as("top"))
+        .agg(call_function("topk_sim_distinct", col("sim"), col("nbr"),
+          lit(kBuild)).as("top"))
         .select(col("id"), explode(col("top")).as("e"))
         .select(col("id"), col("e.id").as("nbr"), col("e.sim").as("sim"))
         .localCheckpoint()
-      sims.unpersist(blocking = false)
+      evaluated ::= pairs
+      if (trackEvals) sims.unpersist(blocking = false)
       // localCheckpoint is eager, so `prev`'s partitions are dead the
       // moment the new checkpoint exists — free them (in a long-lived
       // JVM the per-round snapshots otherwise accumulate for the session)
       unpersistLocalCheckpoint(prev)
     }
+    evaluated.foreach(_.unpersist(blocking = false))
     emb.unpersist(blocking = false)
     val last = cur
     val edges = finishTopK(cur.select(col("id").as("p_id"),

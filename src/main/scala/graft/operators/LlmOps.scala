@@ -1681,8 +1681,8 @@ object LlmOps {
       val lo = rng.map(_.getAs[Float]("lo"))
       val step = rng.map(r =>
         math.max((r.getAs[Float]("hi") - r.getAs[Float]("lo")) / 255.0f, 1e-12f))
-      val loCol = array(lo.map(lit(_)): _*)
-      val stepCol = array(step.map(lit(_)): _*)
+      val loCol = typedLit(lo)
+      val stepCol = typedLit(step)
       // int8 code then dequantize: arr[i] -> lo[i] + round((v-lo[i])/step[i])*step[i]
       def dequantized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         zip_with(c, sequence(lit(0), lit(lo.length - 1)), (v, i) => {
@@ -2364,8 +2364,13 @@ object LlmOps {
       // narrow dial is the budget bound. np = 16 throughout (np = 8
       // reads 0.887 at 20 k, under the contract).
       val (kb, rounds) = Similarity.nndDialFor(emb.count())
+      // trackEvals = false: the similarity-mass ledger is ScaleProbe
+      // apparatus; the declared query only consumes the graph, and each
+      // ledger entry is a full extra driver action (one agg per seed, one
+      // count per round)
       val res = Similarity.nnDescentGraph(s, emb, "vec_id", "embedding",
-        k, kBuild = kb, rounds = rounds, seedNprobe = 16, corpusKey = Some(d))
+        k, kBuild = kb, rounds = rounds, seedNprobe = 16, corpusKey = Some(d),
+        trackEvals = false)
       val ann = res.edges.select("p_id", "neighbor_id").cache()
       val perNode = ann.groupBy("p_id").agg(count(lit(1)).as("deg"))
       val stats = perNode.agg(count(lit(1)).as("nodes"), max("deg").as("maxdeg"))

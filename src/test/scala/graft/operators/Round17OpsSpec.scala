@@ -63,9 +63,14 @@ class Round17OpsSpec extends SparkSpec {
     val res = Similarity.nnDescentGraph(spark, fixture, "vec_id",
       "embedding", k = 3, kBuild = 4, rounds = 2)
     ranked(res.edges) shouldBe handTop3
-    // ledger shape: one seed entry + one entry per round, all positive
+    // ledger shape: one seed entry + one entry per round. Entries count
+    // FRESH evaluations only (round 18: previously-evaluated pairs are
+    // anti-joined away — an exact skip), so a CONVERGED round may read 0;
+    // the seed and the first refinement round must still do work.
     res.simEvals should have size 3
-    all(res.simEvals) should be > 0L
+    all(res.simEvals) should be >= 0L
+    res.simEvals.head should be > 0L
+    res.simEvals(1) should be > 0L
     res.cleanup()
   }
 
