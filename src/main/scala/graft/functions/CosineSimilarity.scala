@@ -211,6 +211,10 @@ object GraftFunctions {
     if (!registry.functionExists(tkd)) {
       registry.registerFunction(tkd, TopKSim.distinctInfo, TopKSim.buildDistinct _)
     }
+    val nbu = org.apache.spark.sql.catalyst.FunctionIdentifier("nbr_union")
+    if (!registry.functionExists(nbu)) {
+      registry.registerFunction(nbu, NbrUnion.info, NbrUnion.build _)
+    }
     val bpe = org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_counts")
     if (!registry.functionExists(bpe)) {
       registry.registerFunction(bpe, bpeCountsInfo, buildBpeCounts _)

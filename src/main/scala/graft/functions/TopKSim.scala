@@ -139,6 +139,131 @@ case class TopKSim(
     copy(score = newChildren(0), id = newChildren(1))
 }
 
+/** Buffer for [[NbrUnion]]: the group's forward-neighbor ids collected
+  * verbatim (bounded by kBuild per node upstream by construction, but the
+  * array grows if not) plus a [[TopKBuffer]] capping the reverse neighbors
+  * at k by (sim desc, id asc) — the exact set `topk_sim` would keep.
+  */
+final class NbrUnionBuffer(val k: Int) {
+  var fwd = new Array[Long](16)
+  var fwdSize = 0
+  val rev = new TopKBuffer(k)
+
+  def addFwd(id: Long): Unit = {
+    if (fwdSize == fwd.length) fwd = java.util.Arrays.copyOf(fwd, fwd.length * 2)
+    fwd(fwdSize) = id
+    fwdSize += 1
+  }
+}
+
+/** nbr_union(sim, nbr, is_fwd, k) — per-group DISTINCT neighbor ids, sorted
+  * ascending: the forward edges (is_fwd) taken verbatim, the reverse edges
+  * capped at the top-k by (sim desc, id asc). One aggregation pass replaces
+  * nnDescentGraph's former four-operator chain (reverse topk_sim aggregate
+  * → union → distinct → self-join input): the per-node candidate LIST is
+  * built in a single exchange, and the pair generation explodes it
+  * directly. The output is a SET (sorted for determinism), so any consumer
+  * that treats it as a set — pair combos a<b, distinct across groups —
+  * computes exactly what the unfused chain computed.
+  */
+case class NbrUnion(
+    score: Expression,
+    id: Expression,
+    isFwd: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[NbrUnionBuffer] with ExpectsInputTypes {
+
+  require(k > 0, "nbr_union requires k > 0")
+
+  override def children: Seq[Expression] = Seq(score, id, isFwd)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType, BooleanType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nbr_union"
+
+  override def createAggregationBuffer(): NbrUnionBuffer = new NbrUnionBuffer(k)
+
+  override def update(b: NbrUnionBuffer, input: InternalRow): NbrUnionBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    val f = isFwd.eval(input)
+    if (s != null && i != null && f != null) {
+      if (f.asInstanceOf[Boolean]) b.addFwd(i.asInstanceOf[Long])
+      else b.rev.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    b
+  }
+
+  override def merge(b: NbrUnionBuffer, other: NbrUnionBuffer): NbrUnionBuffer = {
+    var i = 0
+    while (i < other.fwdSize) { b.addFwd(other.fwd(i)); i += 1 }
+    i = 0
+    while (i < other.rev.size) { b.rev.insert(other.rev.scores(i), other.rev.ids(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: NbrUnionBuffer): Any = {
+    val all = new Array[Long](b.fwdSize + b.rev.size)
+    System.arraycopy(b.fwd, 0, all, 0, b.fwdSize)
+    var i = 0
+    while (i < b.rev.size) { all(b.fwdSize + i) = b.rev.ids(i); i += 1 }
+    java.util.Arrays.sort(all)
+    // in-place distinct over the sorted ids
+    var n = 0
+    i = 0
+    while (i < all.length) {
+      if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (n == all.length) all else java.util.Arrays.copyOf(all, n))
+  }
+
+  override def serialize(b: NbrUnionBuffer): Array[Byte] = {
+    val buf = ByteBuffer.allocate(12 + 8 * b.fwdSize + 4 + 16 * b.rev.size)
+    buf.putInt(b.k).putInt(b.fwdSize)
+    var i = 0
+    while (i < b.fwdSize) { buf.putLong(b.fwd(i)); i += 1 }
+    buf.putInt(b.rev.size)
+    i = 0
+    while (i < b.rev.size) { buf.putDouble(b.rev.scores(i)); buf.putLong(b.rev.ids(i)); i += 1 }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): NbrUnionBuffer = {
+    val buf = ByteBuffer.wrap(bytes)
+    val b = new NbrUnionBuffer(buf.getInt())
+    val nf = buf.getInt()
+    var i = 0
+    while (i < nf) { b.addFwd(buf.getLong()); i += 1 }
+    val nr = buf.getInt()
+    i = 0
+    while (i < nr) {
+      val s = buf.getDouble(); val id = buf.getLong()
+      b.rev.insert(s, id); i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): NbrUnion =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): NbrUnion =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NbrUnion =
+    copy(score = newChildren(0), id = newChildren(1), isFwd = newChildren(2))
+}
+
+object NbrUnion {
+  val info = new ExpressionInfo(classOf[NbrUnion].getName, "nbr_union")
+
+  /** nbr_union(score, id, is_fwd, k) — k must be a foldable int literal. */
+  def build(children: Seq[Expression]): Expression =
+    NbrUnion(children(0), children(1), children(2),
+      children(3).eval(null).asInstanceOf[Number].intValue())
+}
+
 object TopKSim {
   val info = new ExpressionInfo(classOf[TopKSim].getName, "topk_sim")
   val distinctInfo = new ExpressionInfo(classOf[TopKSim].getName, "topk_sim_distinct")

@@ -297,31 +297,47 @@ object Dedup {
     // the logical plan doubles per iteration — exponential analysis cost on
     // long-diameter graphs. Checkpointing pins the materialized rows and
     // restarts the plan from them, the standard Spark iterative pattern.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
     // labels are monotonically non-increasing under min-propagation, so the
-    // exact label sum strictly decreases until the fixpoint — comparing it
-    // round-over-round is a 1-row aggregate on the already-cached frame,
-    // not another join+shuffle (decimal: exact at any node-count × id scale).
-    // sum over an empty frame is null → coalesce to 0 so a corpus with no
-    // qualifying pairs converges to the empty result instead of NPE-ing.
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(coalesce(
-        sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-        lit(java.math.BigDecimal.ZERO)))
-      .head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // exact label sum strictly decreases until the fixpoint (decimal: exact
+    // at any node-count × id scale). The sum is OBSERVED during the
+    // checkpoint materialization itself (CollectMetrics accumulators on the
+    // eager-checkpoint action) instead of re-aggregating the checkpointed
+    // frame afterwards — one driver action per round, not two; the metric
+    // rides the job that must run anyway. sum over an empty frame is null →
+    // coalesce to 0 so a corpus with no qualifying pairs converges to the
+    // empty result instead of NPE-ing.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def labelSumExpr = coalesce(
+      sum(col("lbl").cast(dec38)),
+      lit(java.math.BigDecimal.ZERO).cast(dec38)).as("lbl_sum")
+    // NB string-named observe + queryExecution.observedMetrics, NOT the
+    // Observation helper: constructing an Observation initializes the
+    // session's ObservationManager, a non-serializable non-@transient
+    // SparkSession field (Spark 4.1.2) — after which ANY later closure
+    // that captures the session (e.g. a Spark ML model carrying its
+    // training summary, p08) dies with Task not serializable. The named
+    // form reads the CollectMetrics accumulators off the executed plan
+    // directly and touches no session state.
+    def observedCheckpoint(df: DataFrame, obsName: String)
+        : (DataFrame, java.math.BigDecimal) = {
+      val observed = df.observe(obsName, labelSumExpr)
+      val ck = observed.localCheckpoint(true) // eager: runs observed's plan
+      val row = observed.queryExecution.observedMetrics(obsName)
+      (ck, row.getDecimal(row.fieldIndex("lbl_sum")))
+    }
+    val ccRun = java.util.UUID.randomUUID().toString.take(8)
+    var (labels, prevSum) = observedCheckpoint(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")), s"cc_${ccRun}_init")
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
         .select(col("src").as("node"), col("lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
+      val (next, s) = observedCheckpoint(
+        labels.union(viaNeighbor).groupBy("node").agg(min("lbl").as("lbl")),
+        s"cc_${ccRun}_it$it")
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

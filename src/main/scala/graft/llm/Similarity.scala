@@ -1174,9 +1174,27 @@ object Similarity {
     * cosine re-rank on the members of each probe's `nprobe` clusters.
     */
   def ivfSearch(spark: SparkSession, idx: IvfIndex, probes: DataFrame,
-      idCol: String, embCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, embCol: String, k: Int, nprobe: Int,
+      minScanPartitions: Int = 1): DataFrame = {
     val p = probeClusters(spark, idx, probes, idCol, embCol, nprobe)
-    val cand = idx.inverted.join(broadcast(p), Seq("cluster"))
+    // The candidate scan fans each inverted row out to every probe of its
+    // cell (×nprobe·probes/cells), so a narrowly-partitioned inverted file
+    // serializes the whole cosine+topk pass onto its few tasks — at sf0.1
+    // one small parquet file = ONE scan partition carrying the entire
+    // probe×member fan-out (measured 1.1 s single-task). `minScanPartitions`
+    // lets wide-fan-out callers (the s12 seed: kBuild=30, np=16) spread the
+    // scan by cluster, ADAPTIVELY — a store already wider than the floor is
+    // left untouched, so at scale (inverted = the corpus, thousands of scan
+    // partitions) no extra shuffle is paid. Hash partitioning on the
+    // deterministic cluster id; result identity is partition-independent
+    // (topk_sim's merge order is absorbed by its total (sim desc, id asc)
+    // order).
+    val inverted =
+      if (minScanPartitions > 1 &&
+          idx.inverted.queryExecution.toRdd.getNumPartitions < minScanPartitions)
+        idx.inverted.repartition(minScanPartitions, col("cluster"))
+      else idx.inverted
+    val cand = inverted.join(broadcast(p), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("p_id"))
       .select(col("p_id"), col("neighbor_id"),
         cosine(spark, col("emb"), col("p_emb")).as("sim"))
@@ -1605,7 +1623,8 @@ object Similarity {
           .join(idx.inverted.groupBy("cluster")
             .agg(count(lit(1)).as("m")), "cluster")
           .agg(sum("m")).head().getLong(0)
-        (ivfSearch(spark, idx, corpus, idCol, embCol, kBuild, np)
+        (ivfSearch(spark, idx, corpus, idCol, embCol, kBuild, np,
+            minScanPartitions = spark.sparkContext.defaultParallelism)
           .select(col("p_id").as("id"), col("neighbor_id").as("nbr"),
             col("sim"))
           .localCheckpoint(), evals)
@@ -1683,19 +1702,30 @@ object Similarity {
     // merge rows — for the price of shuffling 16-byte pair keys.
     var evaluated: List[DataFrame] = Nil
     for (_ <- 1 to rounds) {
-      // reverse edges capped at kBuild by (sim desc, nbr asc) — the same
-      // ranked set the previous row_number window produced, but through
-      // the bounded-heap topk_sim aggregate: partial aggregation shrinks
-      // each partition to kBuild entries per id BEFORE the exchange and
-      // nothing is sorted (the window paid Exchange + full Sort + Window).
-      val rev = cur.select(col("nbr").as("id"), col("id").as("nbr"), col("sim"))
-        .groupBy("id")
-        .agg(call_function("topk_sim", col("sim"), col("nbr"), lit(kBuild)).as("top"))
-        .select(col("id"), explode(col("top.id")).as("nbr"))
-      val b = cur.select("id", "nbr").union(rev).distinct()
-      val pairsAll = b.as("x").join(b.as("y"),
-          col("x.id") === col("y.id") && col("x.nbr") < col("y.nbr"))
-        .select(col("x.nbr").as("a"), col("y.nbr").as("b")).distinct()
+      // Per-node candidate LIST in ONE aggregation pass (nbr_union): the
+      // forward edges verbatim plus the reverse edges capped at kBuild by
+      // (sim desc, nbr asc) — exactly the directed edge set the former
+      // four-operator chain built (reverse topk_sim aggregate → union →
+      // distinct → self-join on id), but with one exchange instead of
+      // four-plus and the cur subtree scanned ONCE (both orientations via
+      // explode). Partial aggregation bounds every partition's buffer at
+      // |fwd| + kBuild entries per id before the exchange. The list is
+      // emitted sorted-distinct, so the a<b double-explode below produces
+      // the identical unordered candidate-pair set the self-join produced
+      // (pairs are a SET: downstream is distinct → anti-join →
+      // deterministic cosine).
+      val lists = cur.select(explode(array(
+          struct(col("id"), col("nbr"), col("sim"), lit(true).as("fwd")),
+          struct(col("nbr").as("id"), col("id").as("nbr"), col("sim"),
+            lit(false).as("fwd")))).as("e"))
+        .groupBy(col("e.id").as("id"))
+        .agg(call_function("nbr_union", col("e.sim"), col("e.nbr"),
+          col("e.fwd"), lit(kBuild)).as("nbrs"))
+      val pairsAll = lists
+        .select(explode(col("nbrs")).as("a"), col("nbrs"))
+        .select(col("a"), explode(col("nbrs")).as("b"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
       // NB the anti set is ONLY the prior rounds' pair sets — a round's
       // sims offer BOTH directions, so "in a prior pairs set" implies both
       // endpoints saw the offer. Edges already in `cur` do NOT qualify:

@@ -111,16 +111,21 @@ object Extras {
            |      FROM orders)""".stripMargin),
     (s, d) => {
       val o = orders(s, d)
-      // two 1-row aggregates crossJoined, NOT one agg with both: mixing a
-      // distinct and a non-distinct aggregate forces an Expand (row
-      // duplication + no partial agg for the sketch) — measured 4.8 s vs
-      // 1.5 s for the separate plans at sf0.1
-      val exact = o.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      // ONE scan, dedup-then-aggregate, NOT one agg mixing a distinct and
+      // a non-distinct aggregate (that forces an Expand: row duplication +
+      // no partial agg for the sketch — measured 4.8 s vs 1.5 s at sf0.1)
+      // and NOT the earlier two-separate-plans crossJoin (that scanned
+      // orders twice). The distinct keys are computed with map-side
+      // partial aggregation, then count + sketch run as PLAIN aggregates
+      // over them: count(distinct keys) ≡ countDistinct, and the HLL
+      // register state is duplicate-insensitive (max-merged rho per
+      // register), so the estimate is bit-identical to the sketch over
+      // the raw rows.
       // rsd 0.01 (vs the 0.05 default): the declared bound is 5× the
       // sketch's standard error, not a coin flip on a 1-σ excursion
-      val approx = o.agg(
-        approx_count_distinct(col("o_custkey"), 0.01).as("approx_distinct"))
-      exact.crossJoin(approx)
+      o.select(col("o_custkey")).distinct()
+        .agg(count(col("o_custkey")).as("exact_distinct"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("approx_distinct"))
         .select(col("exact_distinct"),
           (abs(col("approx_distinct") - col("exact_distinct")) <=
             lit(0.05) * col("exact_distinct")).as("hll_within_5pct"))
@@ -311,6 +316,15 @@ object Extras {
            |  TRUE AS hll_within_5pct
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, d) => {
+      // NB the x02-style dedup-then-aggregate single-scan form was
+      // measured HERE and rejected: identical output and one less scan,
+      // but the grouped dedup must exchange by (priority, custkey) and
+      // the count+sketch re-exchange by priority — locally AQE coalesces
+      // the dedup read to ~1 partition and serializes it (1.14 s → 1.33 s
+      // at sf0.1). countDistinct's own plan dedups map-side AND exchanges
+      // by the GROUP key only, so the final count needs no second
+      // exchange; the sketch branch's exchange carries only fixed-width
+      // register buffers. See OPTIMIZATION_r18.md.
       val o = orders(s, d)
       val exact = o.groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
@@ -353,6 +367,11 @@ object Extras {
            |SELECT win_h, exact_distinct, TRUE AS hll_within_5pct
            |FROM w ORDER BY win_h""".stripMargin),
     (s, d) => {
+      // NB the single-scan dedup-then-aggregate form was measured HERE
+      // and rejected (same reasoning as x12, worse locally: 1.30 s →
+      // 2.09 s at sf0.1 — the ×3-exploded dedup exchange AQE-coalesces to
+      // ~1 partition and serializes). countDistinct's plan dedups
+      // map-side and exchanges by win_h only. See OPTIMIZATION_r18.md.
       val x = events(s, d)
         .select(col("user_id"),
           expr("(ts div 1000) div 3600000000").as("h"))

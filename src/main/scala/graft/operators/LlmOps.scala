@@ -2363,14 +2363,19 @@ object LlmOps {
       // (0.911 at 100 k — the round-21 probe); past the envelope the
       // narrow dial is the budget bound. np = 16 throughout (np = 8
       // reads 0.887 at 20 k, under the contract).
-      val (kb, rounds) = Similarity.nndDialFor(emb.count())
+      // ONE count drives both the dial and the occupancy-constant cell
+      // sizing (max(128, n/32) — nnDescentGraph's own default formula,
+      // passed explicitly so it doesn't re-count the corpus for it)
+      val n = emb.count()
+      val (kb, rounds) = Similarity.nndDialFor(n)
       // trackEvals = false: the similarity-mass ledger is ScaleProbe
       // apparatus; the declared query only consumes the graph, and each
       // ledger entry is a full extra driver action (one agg per seed, one
       // count per round)
       val res = Similarity.nnDescentGraph(s, emb, "vec_id", "embedding",
-        k, kBuild = kb, rounds = rounds, seedNprobe = 16, corpusKey = Some(d),
-        trackEvals = false)
+        k, kBuild = kb, rounds = rounds,
+        nClusters = math.max(128L, n / 32L).toInt,
+        seedNprobe = 16, corpusKey = Some(d), trackEvals = false)
       val ann = res.edges.select("p_id", "neighbor_id").cache()
       val perNode = ann.groupBy("p_id").agg(count(lit(1)).as("deg"))
       val stats = perNode.agg(count(lit(1)).as("nodes"), max("deg").as("maxdeg"))
