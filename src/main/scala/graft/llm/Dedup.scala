@@ -183,9 +183,29 @@ object Dedup {
     * then computed over the kept (rare) grams on both intersection AND
     * set-size sides, a well-defined and still discriminative measure.
     */
+  /** Spread a narrow source across at least the session's default
+    * parallelism BEFORE a per-row kernel fan-out (gram explode): at the
+    * bench SFs the documents table is ONE small parquet file = one scan
+    * partition, so every downstream narrow stage — the word_ngrams kernel,
+    * array_distinct, explode, the partial aggregates, and each RE-evaluation
+    * of the gram subtree (df-cap count, join inputs) — runs on one core
+    * (measured: three 1-task 0.3–0.9 s stages per d04 run). Size-adaptive
+    * like ivfSearch's minScanPartitions: an input already wider than the
+    * floor (any real deployment) is returned untouched, so no shuffle is
+    * ever added at scale. Round-robin repartition is retry-safe
+    * (sortBeforeRepartition) and result-neutral here — everything
+    * downstream is aggregation/join on the exploded grams.
+    */
+  private def spreadForKernel(df: DataFrame): DataFrame = {
+    val floor = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < floor) df.repartition(floor)
+    else df
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
-    val allGrams = df.select(col(idCol).as("doc"),
+    val src = spreadForKernel(df.select(col(idCol), col(textCol)))
+    val allGrams = src.select(col(idCol).as("doc"),
       explode(array_distinct(wordNGramsFused(df.sparkSession, col(textCol), n))).as("gram"))
     val grams = maxDocFreq match {
       case None => allGrams
@@ -231,7 +251,10 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minContainmentMicro: Long,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val allGrams = df.select(col(idCol).as("doc"),
+    // same scan-spread as ngramJaccardPairs — the gram subtree here is
+    // evaluated by three consumers (df-cap count, both join sides)
+    val src = spreadForKernel(df.select(col(idCol), col(textCol)))
+    val allGrams = src.select(col(idCol).as("doc"),
       explode(array_distinct(wordNGramsFused(df.sparkSession, col(textCol), n))).as("gram"))
     val grams = maxDocFreq match {
       case None => allGrams
@@ -858,7 +881,10 @@ object Dedup {
   private def shingleAndBand(df: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val shingled = df.select(col(idCol).as("id"),
+    // scan-spread before the shingle/minhash kernels (see spreadForKernel):
+    // the cache build and every band/verify consumer inherit the width
+    val src = spreadForKernel(df.select(col(idCol), col(textCol)))
+    val shingled = src.select(col(idCol).as("id"),
       array_distinct(wordNGramsFused(df.sparkSession, col(textCol), 3)).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("hs", call_function("sorted_hashes", col("shingles")))
@@ -1044,8 +1070,10 @@ object Dedup {
     */
   private[graft] def keptPositionedShingles(df: DataFrame, idCol: String,
       textCol: String, n: Int, maxDocFreq: Int): DataFrame = {
-    val grams = df.select(col(idCol).as("doc"),
-      posexplode(wordNGramsFused(df.sparkSession, col(textCol), n))
+    // scan-spread before the positioned-shingle kernel (see spreadForKernel)
+    val grams = spreadForKernel(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        posexplode(wordNGramsFused(df.sparkSession, col(textCol), n))
         .as(Seq("pos", "gram")))
     val rare = grams.groupBy("gram")
       .agg(countDistinct(col("doc")).as("df"))

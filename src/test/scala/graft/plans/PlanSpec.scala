@@ -60,9 +60,18 @@ class PlanSpec extends SparkSpec {
     cg should be >= 5
   }
 
-  test("d02 minhash: banded candidate join, 2-col shuffles only") {
+  test("d02 minhash: banded candidate join, one pruned scan feeds the " +
+      "cached shingles") {
     val (sh, bc, cg, w) = finalShape("d02_minhash_lsh")
-    (sh, bc, w) shouldBe ((2, 3, Seq(2, 2, 2, 2)))
+    // the scan-spread (round 18) repartitions the 2-col source once and
+    // the cached shingle frame feeds band keys AND both verify sides —
+    // ONE pruned documents scan where the pre-spread plan scanned it four
+    // times. Join strategies over the now-cached relation are AQE's call
+    // (observed 3 plain shuffles / 0 broadcasts isolated); pin bands, not
+    // the wobble — a lost bucketing would blow far past them.
+    w shouldBe Seq(2)
+    sh should (be >= 2 and be <= 4)
+    bc should (be >= 0 and be <= 3)
     cg should be >= 3
   }
 
@@ -164,12 +173,17 @@ class PlanSpec extends SparkSpec {
 
   test("d16 containment: gram-bucketed joins, AQE picks the build sides") {
     val (sh, bc, cg, w) = finalShape("d16_containment")
-    w shouldBe Seq(1, 2, 2, 2) // doc_id-only size scans, 2-col gram scans
+    // post scan-spread (round 18): ONE 2-col gram-source scan (the spread
+    // exchange fans it out to every gram consumer) + the doc_id-only scan
+    w shouldBe Seq(1, 2)
     // AQE broadcasts the rare-gram and size tables at this SF and may
-    // reuse exchanges across the two gram consumers — pin bands, not the
+    // reuse exchanges across the gram consumers — pin bands, not the
     // wobble (a lost bucketing would add corpus-sized shuffles far
-    // outside them)
-    sh should (be >= 5 and be <= 8)
+    // outside them). The upper band absorbs the scan-spread exchange plus
+    // its ReusedExchange reads (up to 4 counted as plain Exchange by the
+    // regex; verified isolated: 12 = 8 real + 4 reused, joins all
+    // BroadcastHashJoin).
+    sh should (be >= 5 and be <= 12)
     bc should (be >= 3 and be <= 6)
     cg should be >= 5
   }
